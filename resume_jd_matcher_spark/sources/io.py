@@ -1,0 +1,125 @@
+"""Sources and sinks (SURVEY.md §2.A, SRC1-SRC8).
+
+The reference ingests uploaded PDF/DOCX/TXT files one at a time through
+LangChain loaders (``/root/reference/utils.py:11-19``) and a temp-file
+round-trip (``/root/reference/app.py:75-78,145-157``). Here ingestion is
+a distributed scan: ``binaryFile`` / ``text`` sources, format routing as
+a column expression (unknown formats become quarantine rows, not
+exceptions), and page re-assembly as an order-preserving aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Formats the reference accepts (utils.py:12-17); everything else was a
+# ValueError — here it routes to a quarantine bucket instead.
+SUPPORTED_FORMATS = ("pdf", "docx", "txt")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """SRC7: engine-native parquet scan for one fixture table.
+
+    Catalyst handles predicate pushdown / column pruning / partition
+    pruning on this scan — keep filters declarative downstream.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's corpus table — stands in for the resume corpus
+    (reference shape ``{"file_name", "content"}``, vectorDB.py:19-25).
+    """
+    return load_table(spark, sf_dir, "documents")
+
+
+def scan_text_files(spark: SparkSession, glob: str) -> DataFrame:
+    """SRC3: whole-file text scan (reference: TextLoader, utils.py:16-17).
+
+    Returns (path STRING, text STRING); one row per file, distributed.
+    """
+    df = spark.read.text(glob, wholetext=True)
+    return df.select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+
+
+def scan_binary_files(spark: SparkSession, glob: str) -> DataFrame:
+    """SRC1/SRC2 substrate: distributed binary scan for PDF/DOCX/any blob.
+
+    Returns (path, modificationTime, length, content BINARY). Actual
+    PDF/DOCX parsing is a mapInPandas decode stage
+    (operators/multimodal.py) — the parse libraries are pluggable and
+    stubbed in this environment.
+    """
+    return spark.read.format("binaryFile").load(glob)
+
+
+def format_dispatch(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """SRC4/T7: route rows by file extension (reference utils.py:11-19).
+
+    Adds ``ext`` and ``route`` columns; unsupported extensions are
+    routed to 'quarantine' (the reference raised ValueError — at scale a
+    bad row must not kill the job).
+    """
+    ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]+)$", 1))
+    route = (
+        F.when(ext.isin(*SUPPORTED_FORMATS), ext)
+        .otherwise(F.lit("quarantine"))
+    )
+    return df.withColumn("ext", ext).withColumn("route", route)
+
+
+def concat_pages(
+    pages: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page",
+    text_col: str = "text",
+) -> DataFrame:
+    """SRC6: pages → one text per document, '\\n'-joined in page order
+    (reference: ``"\\n".join(p.page_content ...)``, app.py:82,155).
+
+    Order-preserving under shuffle: collect (page, text) structs, sort
+    by page, then join — never rely on input row order.
+    """
+    return (
+        pages.groupBy(doc_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(page_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("text")
+        )
+    )
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Engine sink (reference sinks were base64 PNG / JSON / HTML —
+    presentation, out of engine scope per SURVEY.md §2.A SRC8)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
