@@ -1,0 +1,80 @@
+"""Approximate nearest neighbor — the scale path for similarity search
+(SURVEY.md §2.C V5/V6 "at scale", north-star similarity-search op).
+
+Brute force (operators/similarity.py) is exact and O(N·Q); at 100 TB
+the corpus scan still parallelizes, but every query touches every row.
+The LSH path here prunes candidates to same-bucket rows first:
+
+  sign(v · h_j) for deterministic hyperplanes h_j → bit j of a bucket id
+  → equi-join corpus.bucket = query.bucket → exact re-rank in bucket.
+
+The bucket join is a plain equi-join, so Catalyst hash-partitions both
+sides on the bucket id — no crossJoin, no broadcast of the corpus, and
+the per-bucket candidate set is ~N / 2^planes. Hyperplanes are derived
+from ``sin`` of the (plane, dimension) index — fully deterministic and
+expressible identically in the DuckDB oracle (no RNG, no model).
+
+MLlib's ``BucketedRandomProjectionLSH`` offers the same shape with
+random planes; this implementation keeps the planes deterministic so
+results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.functions.vector import squared_l2
+
+
+def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
+    """Bucket id: bit j = sign(sum_i v[i] * sin(0.7*j*dim + 0.3*i)),
+    i 1-based — mirrors the oracle's generate_series(1, len) indexing."""
+    dim = F.size(vec)
+    idx = F.sequence(F.lit(1), dim)
+
+    def plane_term(j: int):
+        def term(x: Column, i: Column) -> Column:
+            return x.cast("double") * F.sin(
+                F.lit(0.7 * j) * dim.cast("double") + F.lit(0.3) * i.cast("double")
+            )
+
+        return term
+
+    bucket: Column = F.lit(0).cast("long")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, idx, plane_term(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0.0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Top-k per query among same-LSH-bucket candidates (exact squared
+    L2 re-rank inside the bucket). Recall < 1.0 by construction; pair
+    with brute force when ground truth is required."""
+    c = corpus.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    q = queries.withColumn("qbucket", lsh_signature(F.col(query_vec_col), n_planes))
+    cand = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    d = squared_l2(F.col(vec_col), F.col(query_vec_col))
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col), F.col("bucket"), d.alias("dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "bucket", F.round("dist", 4).alias("dist"))
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.functions.vector import distance, faiss_score
+from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
 
 def topk_similarity(
@@ -43,7 +44,7 @@ def topk_similarity(
     (default squared L2, FAISS IndexFlatL2 parity), score =
     round(10/(1+dist), 2) (rag_model_mass.py:13-15).
     """
-    paired = corpus.crossJoin(F.broadcast(queries))
+    paired = ensure_parallelism(corpus).crossJoin(F.broadcast(queries))
     d = distance(F.col(vec_col), F.col(query_vec_col), metric)
     scored = paired.select(
         F.col(query_id_col),
@@ -81,7 +82,7 @@ def argmin_per_group(
     map-side partial combine, which at scale beats a window sort: no
     per-group full sort, one shuffle of pre-combined partials.
     """
-    paired = corpus.crossJoin(F.broadcast(queries))
+    paired = ensure_parallelism(corpus).crossJoin(F.broadcast(queries))
     d = distance(F.col(vec_col), F.col(query_vec_col), metric)
     best = (
         paired.select(
@@ -116,11 +117,13 @@ def similarity_join(
     generalization of top-k search (and the near-dup primitive, V8).
 
     ``dedup_pairs`` keeps only left_id < right_id (symmetric self-join).
+    The left side is broadcast (callers bound it — a query set or a
+    candidate slice); the right side streams with full parallelism.
     Scale path: this exact form is O(N·M); for large N·M swap in the
     LSH-bucketed variant (operators/ann.py) which prunes candidate
     pairs to same-bucket before computing exact distances.
     """
-    paired = left.crossJoin(right)
+    paired = ensure_parallelism(right).crossJoin(F.broadcast(left))
     d = distance(F.col(left_vec), F.col(right_vec), metric)
     out = paired.select(
         F.col(left_id),

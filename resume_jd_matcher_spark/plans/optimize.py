@@ -1,0 +1,47 @@
+"""Physical-plan helpers (SURVEY.md §4).
+
+Catalyst already provides pushdown, pruning, broadcast selection, AQE
+— these helpers cover the few places the engine must shape the plan
+itself: making sure a cross-join's streamed side has enough partitions
+to use every core (a small parquet file arrives as ONE partition, and
+BroadcastNestedLoopJoin inherits the streamed side's parallelism), and
+plan-inspection utilities used by tests/bench to assert the plan shape
+(broadcast happened, filter pushed down) rather than guess.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism if it
+    currently has fewer partitions.
+
+    Intended for the *streamed* side of a broadcast cross join whose
+    source is a handful of small files: the O(N·M) pair computation
+    inherits the scan's partitioning, so one input split = one core.
+    At real scale the scan already yields hundreds of splits and this
+    is a no-op (the partition check avoids a gratuitous shuffle).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
+def assert_broadcast(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "Broadcast" in plan, f"expected a broadcast join in plan:\n{plan}"
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and fragment in plan, (
+        f"expected pushed filter containing {fragment!r} in plan:\n{plan}"
+    )

@@ -1,0 +1,445 @@
+"""Relational operator suite over the TPC-H-ish star schema
+(SURVEY.md §2.D A1/A4, §2.E W2-W4, §2.F J1-J5, §2.B T7/T8).
+
+The reference has no relational joins — its only "join" is the implicit
+query×corpus pairing inside FAISS search (rag_model_mass.py:37). The
+engine exposes the full standard suite; Catalyst picks broadcast-hash
+vs sort-merge, with explicit broadcast hints where the dim side is
+known-small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: TPC-H Q1-style pricing summary — partial (map-side) agg +
+    single shuffle on the 6-group key; whole-stage codegen'd."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: grouping-sets rollup (subtotals + grand total in one pass)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "agg_cube",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: full cube over two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       count(DISTINCT c_nationkey)::BIGINT AS n_nations,
+       round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact count-distinct (expands to a two-phase agg in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + J1: fact⋈dim chain with an explicit broadcast on the tiny
+    nation dim (25 rows) — one shuffle for orders⋈customer, zero for
+    the dim hop."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi — customers having at least one 'P'-status order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-anti — customers with no 'P'-status order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_outer",
+    """
+SELECT n.n_name,
+       count(c.c_custkey)::BIGINT AS n_customers
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+GROUP BY n.n_name
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-outer with a pushed-down join-side predicate — nations
+    keep a row even with zero qualifying customers."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_theta_band",
+    """
+SELECT s.s_suppkey, c.c_custkey,
+       round(s.s_acctbal - c.c_acctbal, 2) AS bal_gap
+FROM supplier s
+JOIN customer c
+  ON s.s_nationkey = c.c_nationkey
+ AND abs(s.s_acctbal - c.c_acctbal) < 10.0
+""",
+)
+def q_join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: banded theta join — equi key (nation) plus a non-equi band
+    predicate evaluated post-hash-match (no full cross product)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(s)
+        .join(
+            c,
+            (s.s_nationkey == c.c_nationkey)
+            & (F.abs(s.s_acctbal - c.c_acctbal) < 10.0),
+        )
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round(F.col("s_acctbal") - F.col("c_acctbal"), 2).alias("bal_gap"),
+        )
+    )
+
+
+@register(
+    "setop_suite",
+    """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'intersect' AS op, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+UNION ALL
+SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+UNION ALL
+SELECT 'union' AS op, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
+""",
+)
+def q_setop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: intersect / except / union over customer-key sets from two
+    order-status slices, tagged and unioned into one result."""
+    o = load_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (
+        f_keys.intersect(o_keys).select(F.lit("intersect").alias("op"), "o_custkey")
+        .unionByName(
+            f_keys.exceptAll(o_keys).select(F.lit("except").alias("op"), "o_custkey")
+        )
+        .unionByName(
+            f_keys.union(o_keys).distinct().select(F.lit("union").alias("op"), "o_custkey")
+        )
+    )
+
+
+@register(
+    "window_topk_orders",
+    """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn::INT AS rn
+FROM r WHERE rn <= 3
+""",
+)
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-3 orders per customer by price (rank window, the same
+    shape that powers per-query top-k in V5/V6)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+@register(
+    "window_running",
+    """
+SELECT user_id, event_id,
+       floor(epoch(ts))::BIGINT AS ts_epoch,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value,
+       round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+         AS prev_value,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_event_id
+FROM events
+WHERE user_id < 50
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: analytic windows — running sum / lag / lead per user ordered
+    by event time (deterministic tie-break on event_id)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "score_banding",
+    """
+SELECT band, count(*)::BIGINT AS n_orders
+FROM (
+  SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+              WHEN o_totalprice >= 150000 THEN 'medium'
+              ELSE 'low' END AS band
+  FROM orders
+) t
+GROUP BY band
+""",
+)
+def q_score_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: score banding (reference: ≥8 high / ≥5 medium / else low in
+    bulk_result.html:34-40) applied to order totals."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 150000, "medium")
+        .otherwise("low")
+    )
+    return o.select(band.alias("band")).groupBy("band").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "scalar_suite",
+    """
+SELECT event_id,
+       year(ts)::INT AS y,
+       month(ts)::INT AS m,
+       epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+       date_diff('day', DATE '2024-01-01', ts::DATE)::INT AS days_since,
+       upper(event_type) AS event_upper,
+       substr(event_type, 1, 3) AS event_pfx,
+       length(event_type)::INT AS event_len,
+       round(value, 1) AS value_1,
+       round(abs(value - 50.0), 2) AS dist_from_50,
+       round(sqrt(abs(value)), 4) AS sqrt_value,
+       round(ln(abs(value) + 1.0), 4) AS log_value,
+       round(pow(value / 100.0, 2), 6) AS pow_value,
+       json_extract_string(props, '$.k')::INT AS prop_k
+FROM events
+WHERE user_id < 20
+""",
+)
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: the scalar string/date/math/json surface in one projection
+    (all JVM built-ins, zero Python in the plan)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+        F.upper("event_type").alias("event_upper"),
+        F.substring("event_type", 1, 3).alias("event_pfx"),
+        F.length("event_type").cast("int").alias("event_len"),
+        F.round("value", 1).alias("value_1"),
+        F.round(F.abs(F.col("value") - 50.0), 2).alias("dist_from_50"),
+        F.round(F.sqrt(F.abs("value")), 4).alias("sqrt_value"),
+        F.round(F.log(F.abs(F.col("value")) + 1.0), 4).alias("log_value"),
+        F.round(F.pow(F.col("value") / 100.0, 2), 6).alias("pow_value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "format_dispatch",
+    """
+SELECT doc_id, path, ext, route
+FROM (
+  SELECT doc_id,
+         source || '/doc_' || doc_id ||
+           CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx'
+                           WHEN 2 THEN '.txt' ELSE '.xyz' END AS path
+  FROM documents
+) t,
+LATERAL (SELECT lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) AS ext) e,
+LATERAL (SELECT CASE WHEN ext IN ('pdf','docx','txt') THEN ext
+                     ELSE 'quarantine' END AS route) r
+""",
+)
+def q_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC4/T7: extension routing (reference utils.py:11-19 raised
+    ValueError on unknown formats; the engine quarantines rows)."""
+    from resume_jd_matcher_spark.sources.io import format_dispatch
+
+    d = load_table(spark, sf_dir, "documents")
+    ext_case = (
+        F.when(F.col("doc_id") % 4 == 0, ".pdf")
+        .when(F.col("doc_id") % 4 == 1, ".docx")
+        .when(F.col("doc_id") % 4 == 2, ".txt")
+        .otherwise(".xyz")
+    )
+    paths = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id"), ext_case).alias(
+            "path"
+        ),
+    )
+    return format_dispatch(paths).select("doc_id", "path", "ext", "route")

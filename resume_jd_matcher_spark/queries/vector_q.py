@@ -1,0 +1,252 @@
+"""Vector / similarity queries (SURVEY.md §2.C V4-V8, §2.E W1).
+
+Engine paths live in operators/similarity.py and operators/ann.py;
+oracle SQL re-expresses the same math over DOUBLE[] with identical
+left-to-right folds and ``ORDER BY dist, vec_id`` tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import similarity
+from resume_jd_matcher_spark.operators.similarity_blas import (
+    similarity_join_blas,
+    topk_similarity_blas,
+)
+from resume_jd_matcher_spark.operators.ann import lsh_bucket_topk
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+# Oracle-side squared L2 / dot over DOUBLE[] — same left-to-right fold
+# as the engine's zip_with/aggregate (functions/vector.py).
+SQL_SQL2 = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+SQL_DOT = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
+SQL_NORM = "sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{a}[i])))"
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+
+
+@register(
+    "topk_similarity",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+), d AS (
+  SELECT query_id, vec_id, {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c, q
+), r AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id,
+       round(dist, 4) AS dist,
+       round(10.0/(1.0+dist), 2) AS score
+FROM r WHERE rn <= 5
+""",
+)
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 flagship: the reference's bulk /shortlist search
+    (rag_model_mass.py:17-47) — top-5 per query with 0-10 scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_similarity_blas(
+        emb.select("vec_id", "embedding"), _emb_queries(spark, sf_dir), k=5
+    )
+
+
+@register(
+    "knn_per_label",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+), d AS (
+  SELECT query_id, label, vec_id, {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c, q
+), r AS (
+  SELECT query_id, label, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id, label ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, label, vec_id,
+       round(dist, 4) AS dist,
+       round(10.0/(1.0+dist), 2) AS score
+FROM r WHERE rn = 1
+""",
+)
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4/A2: nearest corpus vector per (query, label) group — the
+    honest generalization of the reference's per-section k=1 retrieval
+    (rag_model.py:59-62). Hash-aggregate argmin, no window sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.argmin_per_group(
+        emb.select("vec_id", "label", "embedding"),
+        _emb_queries(spark, sf_dir),
+        group_col="label",
+    )
+
+
+@register(
+    "similarity_join",
+    f"""
+WITH l AS (
+  SELECT vec_id AS left_id, embedding::DOUBLE[] AS le
+  FROM embeddings WHERE vec_id < 50
+), r AS (
+  SELECT vec_id AS right_id, embedding::DOUBLE[] AS re FROM embeddings
+)
+SELECT left_id, right_id, round({SQL_SQL2.format(a='le', b='re')}, 4) AS dist
+FROM l, r
+WHERE round({SQL_SQL2.format(a='le', b='re')}, 4) < 1.5 AND left_id < right_id
+""",
+)
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6: all pairs within squared-L2 distance 1.5 (left side bounded
+    to 50 query rows) — the batch generalization of top-k search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("left_id"), F.col("embedding").alias("left_embedding")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("right_id"), F.col("embedding").alias("right_embedding")
+    )
+    return similarity_join_blas(left, right, threshold=1.5, dedup_pairs=True)
+
+
+@register(
+    "cosine_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+), d AS (
+  SELECT query_id, vec_id,
+         {SQL_DOT.format(a='qe', b='ce')}
+           / ({SQL_NORM.format(a='qe')} * {SQL_NORM.format(a='ce')}) AS cos_sim
+  FROM c, q
+), r AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, round(cos_sim, 4) AS cos_sim
+FROM r WHERE rn <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7: cosine-similarity top-5 per query (alternative metric for
+    V5's search; ANN brute-force baseline for embedding columns)."""
+    from pyspark.sql import Window
+
+    from resume_jd_matcher_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    paired = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(_emb_queries(spark, sf_dir))
+    )
+    scored = paired.select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("query_embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "neardup_embedding",
+    f"""
+WITH l AS (
+  SELECT vec_id AS left_id, embedding::DOUBLE[] AS le FROM embeddings
+), r AS (
+  SELECT vec_id AS right_id, embedding::DOUBLE[] AS re FROM embeddings
+)
+SELECT left_id, right_id, round({SQL_SQL2.format(a='le', b='re')}, 4) AS dist
+FROM l, r
+WHERE round({SQL_SQL2.format(a='le', b='re')}, 4) < 1.2 AND left_id < right_id
+""",
+)
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 near-dup via embedding distance: all pairs closer than ε=1.2
+    squared L2 — the "embedding-cosine near-dup" dedup primitive over
+    the full corpus (self-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("left_id"), F.col("embedding").alias("left_embedding")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("right_id"), F.col("embedding").alias("right_embedding")
+    )
+    return similarity_join_blas(left, right, threshold=1.2, dedup_pairs=True)
+
+
+_LSH_PLANES = 8
+
+_SQL_LSH_SIG = (
+    "list_sum(list_transform(generate_series(0, {planes} - 1), j -> "
+    "CASE WHEN list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * sin(0.7 * j * len({a}) + 0.3 * i))) > 0.0 "
+    "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT vec_id, e AS ce,
+         {_SQL_LSH_SIG.format(a='e', planes=_LSH_PLANES)} AS bucket
+  FROM e0
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         {_SQL_LSH_SIG.format(a='e', planes=_LSH_PLANES)} AS qbucket
+  FROM e0 WHERE vec_id < 3
+), d AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c JOIN q ON c.bucket = q.qbucket
+), r AS (
+  SELECT query_id, vec_id, bucket, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, bucket, round(dist, 4) AS dist
+FROM r WHERE rn <= 5
+""",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing (deterministic
+    sin-derived hyperplanes) → equi-join on bucket → exact re-rank
+    within bucket. Candidate set shrinks ~2^planes-fold vs brute force;
+    the bucket join is an equi-join Catalyst can hash-partition, so no
+    crossJoin of the full corpus at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries_df = _emb_queries(spark, sf_dir)
+    return lsh_bucket_topk(corpus, queries_df, k=5, n_planes=_LSH_PLANES)

@@ -36,7 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Catalyst handles predicate pushdown / column pruning / partition
     pruning on this scan — keep filters declarative downstream.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    has no native type for — read it as nanos-since-epoch LONG and
+    convert to a microsecond timestamp (truncation, matching how
+    DuckDB reads the same column).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
