@@ -1,0 +1,100 @@
+"""V1/V2: batch embedding operators (SURVEY.md §2.C).
+
+The reference embeds with sentence-transformers/all-MiniLM-L6-v2
+(``/root/reference/vectorDB.py:7,12,26,38``; ``rag_model.py:16,56``),
+reloading the model on every request. The engine's pattern is an
+iterator-form Pandas UDF: the model loads ONCE per executor Python
+worker, then streams Arrow batches — the per-request reload (the
+reference's biggest anti-optimization, SURVEY.md §4) disappears by
+construction.
+
+Backends are pluggable by name. ``hash``: a deterministic, dependency-
+free embedder (md5-derived values per dimension) that keeps the whole
+DAG oracle-checkable — the per-dim arithmetic is reproducible in SQL.
+``sentence-transformers``: the reference's real model, used when the
+library is installed (not in this environment — import-gated, never a
+hard dependency).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_DIM = 8
+
+
+def _hash_embed_one(text: str, dim: int) -> list[float]:
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{text}#dim{d}".encode("utf-8")).hexdigest()[:8]
+        out.append(round(int(h, 16) / 4294967296.0 * 2.0 - 1.0, 6))
+    return out
+
+
+def _make_hash_backend(dim: int) -> Callable[[pd.Series], pd.Series]:
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _hash_embed_one(t if t is not None else "", dim))
+
+    return embed
+
+
+def _make_st_backend(model_name: str) -> Callable[[pd.Series], pd.Series]:
+    # Loaded lazily inside the executor worker; one model per worker.
+    from sentence_transformers import SentenceTransformer  # import-gated
+
+    model = SentenceTransformer(model_name)
+
+    def embed(texts: pd.Series) -> pd.Series:
+        vecs = model.encode(texts.fillna("").tolist(), convert_to_numpy=True)
+        return pd.Series([v.astype(float).tolist() for v in vecs])
+
+    return embed
+
+
+def embedder_udf(backend: str = "hash", dim: int = DEFAULT_DIM):
+    """Iterator pandas_udf: TEXT → ARRAY<DOUBLE>. The backend is
+    constructed once per worker, amortized over all batches."""
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if backend == "hash":
+            fn = _make_hash_backend(dim)
+        elif backend == "sentence-transformers":
+            fn = _make_st_backend("sentence-transformers/all-MiniLM-L6-v2")
+        else:
+            raise ValueError(f"unknown embedding backend: {backend}")
+        for texts in batches:
+            yield fn(texts)
+
+    return embed_udf
+
+
+def embed_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backend: str = "hash",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """V1: corpus embedding → (id, embedding ARRAY<DOUBLE>). Persist the
+    result (parquet) rather than recomputing per query — the engine fix
+    for the reference's per-request re-embedding (app.py:86,160)."""
+    return df.select(
+        F.col(id_col), embedder_udf(backend, dim)(F.col(text_col)).alias("embedding")
+    )
+
+
+def embed_query(spark, jd_text: str, backend: str = "hash", dim: int = DEFAULT_DIM) -> DataFrame:
+    """V2: embed one query string (the JD) as a 1-row DataFrame, ready
+    to broadcast against a corpus (reference rag_model.py:47-56)."""
+    one = spark.createDataFrame([(0, jd_text)], ["query_id", "jd_text"])
+    return one.select(
+        "query_id", embedder_udf(backend, dim)(F.col("jd_text")).alias("query_embedding")
+    )

@@ -1,0 +1,134 @@
+"""U1-U3: LLM-backed operators with a deterministic stub backend
+(SURVEY.md §2.H, §5.3).
+
+The reference makes one Ollama (gemma3:1b) call per scoring/feedback/
+explanation request (``rag_model.py:81,107``; ``rag_model_mass.py:57``).
+The engine treats LLM inference as a batch operator: prompts flow
+through ``mapInPandas`` so one executor worker holds one client and
+batches requests; the backend is pluggable by name.
+
+The ``stub`` backend is a deterministic fake that honors each task's
+output CONTRACT (``SCORES:\\n<name>: <int>`` for scoring; "- " bullets
+for feedback/explanation), so the full DAG — prompt assembly → invoke
+→ parse → aggregate — runs and is testable with no model anywhere
+(SURVEY.md §7 hard-part (d)). Scores are a clamped token-overlap
+between section body and JD, reproducible in SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stub_tokens(s: str) -> set[str]:
+    return set(s.lower().split())
+
+
+def stub_score_response(sections_and_jd: tuple[list[tuple[str, str]], str]) -> str:
+    """Deterministic SCORES: response — per section, score = clamped
+    count of distinct section tokens also present in the JD."""
+    sections, jd = sections_and_jd
+    jd_toks = _stub_tokens(jd)
+    lines = ["SCORES:"]
+    for name, body in sections:
+        score = min(10, len(_stub_tokens(body) & jd_toks))
+        lines.append(f"{name}: {score}")
+    return "\n".join(lines)
+
+
+def _stub_backend(task: str) -> Callable[[pd.DataFrame], pd.Series]:
+    def generate(pdf: pd.DataFrame) -> pd.Series:
+        if task == "score":
+            # SCORES: contract (constants.py:95-100); one line per section.
+            def sc(row):
+                jd_toks = _stub_tokens(row["jd_text"])
+                lines = ["SCORES:"]
+                for s in row["sections"]:
+                    name, body = s["section"], s["body"]
+                    lines.append(
+                        f"{name}: {min(10, len(_stub_tokens(body) & jd_toks))}"
+                    )
+                return "\n".join(lines)
+
+            return pdf.apply(sc, axis=1)
+        if task == "feedback":
+            # "- " bullets naming JD tokens missing from the resume
+            # (contract of RESUME_FEEDBACK_QUERY, constants.py:7-30).
+            def fb(row):
+                missing = sorted(
+                    _stub_tokens(row["jd_text"]) - _stub_tokens(row["resume_text"])
+                )[:10]
+                return "\n".join(f"- add: {m}" for m in missing) or "- no gaps found"
+
+            return pdf.apply(fb, axis=1)
+        if task == "explain":
+            # exactly 5 bullets (contract of EXPLAIN_RESUME_MATCH_PROMPT,
+            # constants.py:32-54).
+            def ex(row):
+                common = sorted(
+                    _stub_tokens(row["jd_text"]) & _stub_tokens(row["resume_text"])
+                )
+                bullets = (common + ["experience", "skills", "projects", "education", "strengths"])[:5]
+                return "\n".join(f"- matches on: {b}" for b in bullets)
+
+            return pdf.apply(ex, axis=1)
+        raise ValueError(f"unknown stub task: {task}")
+
+    return generate
+
+
+def llm_transform(
+    df: DataFrame,
+    task: str,
+    out_col: str = "response",
+    backend: str = "stub",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch LLM inference harness: (id, resume_text, jd_text) →
+    (id, response). mapInPandas so the backend/client is constructed
+    once per worker and sees whole Arrow batches.
+
+    ``backend='stub'`` is deterministic; an Ollama/OpenAI-compatible
+    backend plugs in here without touching the operator DAG."""
+    if backend != "stub":
+        raise NotImplementedError(
+            "only the deterministic stub backend ships in this environment; "
+            "model-backed generation is a pluggable seam by design"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_col, T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _stub_backend(task)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: fn(pdf)})
+
+    return df.mapInPandas(gen, schema)
+
+
+def resume_feedback(
+    df: DataFrame, id_col: str = "doc_id", backend: str = "stub"
+) -> DataFrame:
+    """U2: per-resume improvement bullets vs the JD
+    (reference rag_model.py:100-114)."""
+    return llm_transform(df, "feedback", "feedback", backend, id_col)
+
+
+def explain_match(
+    df: DataFrame, id_col: str = "doc_id", backend: str = "stub"
+) -> DataFrame:
+    """U3: exactly-5-bullet match explanation
+    (reference rag_model_mass.py:50-63)."""
+    return llm_transform(df, "explain", "explanation", backend, id_col)

@@ -1,0 +1,81 @@
+"""T1: span-based section chunker (SURVEY.md §2.B T1).
+
+The reference's ``chunk_by_section`` (``/root/reference/rag_model.py:
+18-42``) finds section headers with a compiled alternation of the
+7-key vocabulary followed by ``[:\\n]`` (case-insensitive), and each
+section body spans from the header match's end to the next match's
+start (or EOF), stripped. Later duplicate headers overwrite earlier
+ones; text before the first header and unrecognized headers are
+dropped (unrecognized header text folds into the preceding body,
+since only vocabulary headers are boundaries).
+
+Span extraction over the whole string is inherently scalar — per
+SURVEY.md §7 this is one of the few legitimate Pandas-UDF stages.
+The UDF is Arrow-batched and regex state compiles once per executor
+interpreter, so the hot loop is C-regex over each batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from resume_jd_matcher_spark.functions.parsing import SECTION_PATTERNS
+
+_HEADER_RE = re.compile(
+    r"(?P<header>(" + "|".join(SECTION_PATTERNS.values()) + r"))\s*[:\n]",
+    re.IGNORECASE,
+)
+_FULLMATCH = [
+    (key, re.compile(pattern, re.IGNORECASE))
+    for key, pattern in SECTION_PATTERNS.items()
+]
+
+_SECTIONS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("section", T.StringType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+)
+
+
+def _chunk_one(text: str) -> list[tuple[str, str]]:
+    if text is None:
+        return []
+    matches = list(_HEADER_RE.finditer(text))
+    chunks: dict[str, str] = {}
+    for i, match in enumerate(matches):
+        header = match.group("header").strip().lower()
+        section_key = None
+        for key, rx in _FULLMATCH:
+            if rx.fullmatch(header):
+                section_key = key
+                break
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        if section_key:
+            chunks[section_key] = text[match.end() : end].strip()
+    return list(chunks.items())
+
+
+@pandas_udf(_SECTIONS_TYPE)
+def chunk_sections_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_chunk_one)
+
+
+def chunk_by_section(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Documents → long-form (id, section, body), one row per canonical
+    section present (keep-last on duplicate headers)."""
+    return (
+        df.select(F.col(id_col), chunk_sections_udf(F.col(text_col)).alias("secs"))
+        .select(F.col(id_col), F.explode("secs").alias("sec"))
+        .select(id_col, F.col("sec.section").alias("section"), F.col("sec.body").alias("body"))
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators (SURVEY.md §2.H U5; north-star text
+analysis): token counting, quality scoring, language-ID heuristic,
+term frequency, document fingerprinting. All native expressions —
+no Python in any of these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.functions.text import fingerprint_md5, tokens
+
+# Tiny per-language stopword lists for the n-gram/keyword heuristic.
+# Ordered dict — evaluation order is the deterministic tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is")
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / single non-space
+# symbols — the shape GPT-style tokenizers use before merges.
+BPE_PATTERN = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _count_in(tok_col, words: tuple[str, ...]):
+    return F.size(F.filter(tok_col, lambda t: t.isin(*words)))
+
+
+def text_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-scoring features per document: token/char counts, mean
+    token length, stopword ratio, punctuation & digit density, plus a
+    blended 0-1 quality score (weights arbitrary but fixed)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    avg_tok = n_chars.cast("double") / n_tokens.cast("double")
+    stop_ratio = _count_in(toks, STOPWORDS).cast("double") / n_tokens.cast("double")
+    punct_ratio = (
+        F.regexp_count(F.col(text_col), F.lit(r"[,.!?;:]")).cast("double")
+        / n_chars.cast("double")
+    )
+    digit_ratio = (
+        F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).cast("double")
+        / n_chars.cast("double")
+    )
+    quality = (
+        F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * 2.0, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio * 10.0, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("int").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Keyword-marker language ID: count marker-word occurrences per
+    language, predict the max (ties → first language in fixed de<en<
+    es<fr<zh order). Output includes the labeled lang for accuracy
+    inspection. (On the synthetic corpus the text carries no real
+    language signal — the operator contract, not the accuracy, is
+    what's verified.)"""
+    toks = tokens(text_col)
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    predicted = F.lit(None).cast("string")
+    # reversed so the first lang in order wins ties via last-applied when()
+    for lang in reversed(LANG_MARKERS):
+        predicted = F.when(scores[lang] == best, F.lit(lang)).otherwise(predicted)
+    return df.select(
+        F.col(id_col),
+        predicted.alias("predicted_lang"),
+        F.col(lang_col).alias("labeled_lang"),
+        (predicted == F.col(lang_col)).cast("int").alias("is_match"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("int").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("int").alias(
+            "n_bpe_tokens"
+        ),
+        F.length(text_col).cast("bigint").alias("n_chars_actual"),
+    )
+
+
+def term_frequency(
+    df: DataFrame, top_n: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide term frequency, top-N by (count desc, token asc).
+
+    Deterministic cutoff via rank; the explode→groupBy is map-side
+    combined, so the shuffle carries one row per distinct token per
+    partition.
+    """
+    tf = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("token", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprint (md5 over normalized text)."""
+    return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))

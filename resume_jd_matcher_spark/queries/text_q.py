@@ -1,0 +1,286 @@
+"""Text-analysis + dedup queries over `documents` (SURVEY.md §2.H U5,
+§2.C V8; north-star text-analysis/dedup suites).
+
+Tokenization contract shared with the oracle: lowercase, trim, split
+on /\\s+/. Hashing contract: ``hash32`` = first 8 hex chars of md5 as
+BIGINT (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import dedup, textstats
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+SQL_TOKS = "string_split_regex(trim(lower({c})), '\\s+')"
+SQL_HASH32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+_STOP_SQL = "('a','the','and','of','to','in','is')"
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         text,
+         {SQL_TOKS.format(c='text')} AS toks,
+         length(text) AS nc
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(toks) AS ntok,
+         nc,
+         nc::DOUBLE / len(toks) AS avg_tok,
+         len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks) AS stop_r,
+         len(regexp_extract_all(text, '[,.!?;:]'))::DOUBLE / nc AS punct_r,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nc AS digit_r
+  FROM t
+)
+SELECT doc_id,
+       ntok::INT AS n_tokens,
+       nc::BIGINT AS n_chars_actual,
+       round(avg_tok, 4) AS avg_token_len,
+       round(stop_r, 4) AS stopword_ratio,
+       round(punct_r, 4) AS punct_ratio,
+       round(digit_r, 4) AS digit_ratio,
+       round(0.5 * least(ntok::DOUBLE / 100.0, 1.0)
+           + 0.3 * (1.0 - least(stop_r * 2.0, 1.0))
+           + 0.2 * (1.0 - least(digit_r * 10.0, 1.0)), 4) AS quality
+FROM r
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: per-document quality features + blended quality score."""
+    return textstats.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_CASE = " ".join(
+    f"WHEN len(list_filter(toks, x -> x IN {tuple(words)!r})) = best THEN '{lang}'"
+    for lang, words in textstats.LANG_MARKERS.items()
+).replace('"', "'")
+
+
+@register(
+    "language_id",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, toks,
+         greatest(
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['de'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['en'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['es'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['fr'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['zh'])!r}))
+         ) AS best
+  FROM t
+)
+SELECT doc_id,
+       CASE {_LANG_CASE} END AS predicted_lang,
+       lang AS labeled_lang,
+       (CASE {_LANG_CASE} END = lang)::INT AS is_match
+FROM s
+""",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: keyword-marker language ID (deterministic heuristic)."""
+    return textstats.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       len({SQL_TOKS.format(c='text')})::INT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]'))::INT
+         AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: whitespace + BPE-ish-regex token counting."""
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "term_frequency",
+    f"""
+WITH tf AS (
+  SELECT unnest({SQL_TOKS.format(c='text')}) AS token FROM documents
+), c AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM tf GROUP BY token
+), r AS (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c
+)
+SELECT token, cnt, rank::INT AS rank FROM r WHERE rank <= 20
+""",
+)
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: corpus-wide top-20 term frequency."""
+    return textstats.term_frequency(load_table(spark, sf_dir, "documents"), top_n=20)
+
+
+@register(
+    "lang_distribution",
+    """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: corpus language distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS rep_doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 exact dedup: hash-groupBy on the normalized-text fingerprint."""
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard",
+    f"""
+WITH w AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS w
+  FROM documents WHERE doc_id < 40
+), t AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w)-2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [] END AS sh
+  FROM w
+), p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM t a, t b
+  WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT left_id, right_id, round(i::DOUBLE / u, 4) AS jaccard
+FROM p WHERE round(i::DOUBLE / u, 4) > 0.0
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: exact 3-gram-shingle Jaccard over all pairs of a bounded
+    slice — the ground truth MinHash approximates."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dedup.ngram_jaccard_join(d, n=3, min_jaccard=0.0)
+
+
+@register(
+    "minhash_lsh",
+    f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({SQL_HASH32.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.left_id, c.right_id,
+       round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+FROM cand c
+JOIN h ha ON ha.doc_id = c.left_id
+JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+GROUP BY c.left_id, c.right_id
+""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 scale path: MinHash signatures → banded LSH candidate pairs →
+    estimated Jaccard. Candidate generation is an equi-join on
+    (band_id, band_sig) — no O(N²) pair scan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4)
+
+
+@register(
+    "simhash_fingerprint",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {SQL_HASH32.format(c='tok')} AS hv FROM tok
+), b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM b GROUP BY doc_id
+""",
+)
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: 16-bit SimHash fingerprint per document."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), n_bits=16)
+
+
+@register(
+    "simhash_neardup",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok
+  FROM documents WHERE doc_id < 300
+), h AS (
+  SELECT doc_id, {SQL_HASH32.format(c='tok')} AS hv FROM tok
+), b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+  GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM b GROUP BY doc_id
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: SimHash near-dup pairs (hamming ≤ 3) over a bounded slice."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.simhash_neardup(d, max_hamming=3, n_bits=16)
