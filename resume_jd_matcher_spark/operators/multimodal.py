@@ -1,0 +1,128 @@
+"""Multimodal columns (SURVEY.md §2.H U6; north-star multimodal ops).
+
+Media (image/audio/video) live as opaque BINARY columns beside typed
+metadata in the same table — the engine treats decode / feature
+extraction / resize / frame-sampling as ``mapInPandas`` stages over
+Arrow-batched bytes. The Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested; the codec itself is pluggable:
+
+- ``bytestats``: dependency-free deterministic decoder (byte-level
+  features) — used by tests and the oracle-checked query.
+- ``pillow`` / ``soundfile`` etc.: real decoders, import-gated because
+  the media libraries are not in this environment. Calling them here
+  raises NotImplementedError by design (STUB, clearly marked).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("codec", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a multimodal table from the documents fixture: the text
+    bytes stand in for an encoded media payload, with typed metadata.
+    (Real ingestion: ``spark.read.format('binaryFile')`` →
+    sources/io.py scan_binary_files.)"""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.struct(
+            modality.alias("modality"),
+            F.lit("raw").alias("codec"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytestats(pdf: pd.DataFrame) -> pd.DataFrame:
+    blobs = pdf["media"]
+    byte_len = blobs.map(len)
+    first = blobs.map(lambda b: b[0] if len(b) else 0)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "modality": pdf["modality"],
+            "byte_len": byte_len.astype("int64"),
+            "first_byte": first.astype("int32"),
+            "width": (16 + byte_len % 64).astype("int32"),
+            "height": (16 + (byte_len * 7) % 64).astype("int32"),
+            "n_frames": (1 + first % 8).astype("int32"),
+        }
+    )
+
+
+def decode_features(df: DataFrame, codec: str = "bytestats") -> DataFrame:
+    """Decode/feature-extract stage over BINARY media. Arrow batches of
+    raw bytes in, typed feature rows out; one decoder instance per
+    worker. Unknown/real codecs are import-gated stubs."""
+    if codec != "bytestats":
+        raise NotImplementedError(
+            f"codec {codec!r} requires media libraries not present in this "
+            "environment; the bytestats decoder exercises the identical "
+            "Spark plumbing (STUB by design)"
+        )
+
+    flat = df.select("doc_id", "media", F.col("meta.modality").alias("modality"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_bytestats(pdf)
+
+    return flat.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 64) -> DataFrame:
+    """Frame-sampling plumbing demo: explode each media blob into
+    chunk offsets (one row per sampled "frame"), keeping lineage to
+    the source row. Real video codecs plug into the same shape."""
+    n = F.floor(F.length("media") / every).cast("int")
+    return df.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias(
+            "frame_idx", "offset_mult"
+        ),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("offset_mult") * every).cast("long").alias("byte_offset"),
+    )

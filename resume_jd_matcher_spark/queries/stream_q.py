@@ -1,0 +1,167 @@
+"""Streaming batch-twins + multimodal queries (SURVEY.md §2.G, §2.H U6).
+
+DuckDB can't run a stream, so each streaming query registers its BATCH
+TWIN here (same transformation logic over the same events table);
+tests/test_streaming.py asserts stream-result == batch-twin-result,
+closing the loop: oracle checks the twin, equivalence checks the
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.multimodal import attach_media, decode_features
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G batch twin: tumbling 1-day event-time windows per
+    event_type (streaming version: streaming/events.py
+    tumbling_counts, equivalence-tested)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    """
+WITH e AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT AS te FROM events
+), w AS (
+  SELECT event_type, (te // 43200) * 43200 AS win_epoch FROM e
+  UNION ALL
+  SELECT event_type, (te // 43200) * 43200 - 43200 FROM e
+)
+SELECT win_epoch, event_type, count(*)::BIGINT AS n
+FROM w GROUP BY 1, 2
+""",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G batch twin: sliding windows (1 day / 12 h hop) — each event
+    lands in two windows; the oracle enumerates both hops."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/§2.G: gap-based sessionization (gap > 1 h starts a session) —
+    lag + running-sum windows; the streaming analog is
+    ``session_window(ts, '1 hour')``."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       ascii(substr(text, 1, 1))::INT AS first_byte,
+       (16 + octet_length(encode(text)) % 64)::INT AS width,
+       (16 + (octet_length(encode(text)) * 7) % 64)::INT AS height,
+       (1 + ascii(substr(text, 1, 1)) % 8)::INT AS n_frames
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: binary media column + typed metadata → mapInPandas decode /
+    feature-extract (bytestats codec; real codecs are an import-gated
+    plug). The oracle recomputes the byte-level features in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_media(d), codec="bytestats")
+
+
+@register(
+    "multimodal_frames",
+    """
+SELECT doc_id,
+       (f - 1)::INT AS frame_idx,
+       ((f - 1) * 64)::BIGINT AS byte_offset
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1,
+        greatest(octet_length(encode(text)) // 64, 1))) AS f) frames
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: frame-sampling plumbing — one row per sampled chunk of each
+    media blob, lineage preserved."""
+    from resume_jd_matcher_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_media(d), every=64)

@@ -1,0 +1,66 @@
+"""Dedup operators on crafted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark sql engines and parquet files"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog near the river bank today "),  # normalized dup
+        (4, near),                      # near-dup of 1
+        (5, far),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(crafted):
+    out = {r.rep_doc_id: r.n_dups for r in dedup.dedup_exact(crafted).collect()}
+    assert out[1] == 3  # 1, 2, and whitespace/case-normalized 3
+    assert out[4] == 1
+    assert out[5] == 1
+
+
+def test_minhash_estimates_near_dup_high(crafted):
+    got = {
+        (r.left_id, r.right_id): r.est_jaccard
+        for r in dedup.minhash_lsh_candidates(crafted, n_hashes=16, rows_per_band=4).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    # near-dup pair should be surfaced as a candidate with high estimate
+    assert (1, 4) in got and got[(1, 4)] >= 0.5
+    assert (1, 5) not in got
+
+
+def test_simhash_identical_docs_equal(crafted):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(crafted).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[5]
+
+
+def test_simhash_neardup_pairs(crafted):
+    pairs = {
+        (r.left_id, r.right_id): r.hamming
+        for r in dedup.simhash_neardup(crafted, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) in pairs  # near-dup within small hamming distance
+
+
+def test_ngram_jaccard_ground_truth(crafted):
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup.ngram_jaccard_join(crafted, n=3).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 4)] < 1.0
+    assert (1, 5) not in got or got[(1, 5)] < 0.1

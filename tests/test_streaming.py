@@ -1,0 +1,49 @@
+"""§2.G: streamed result == batch twin on the same finite data."""
+
+from __future__ import annotations
+
+import pytest
+
+from resume_jd_matcher_spark.queries.stream_q import (
+    q_stream_sliding_counts,
+    q_stream_tumbling_counts,
+)
+from resume_jd_matcher_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_stream_to_memory,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.slow
+def test_tumbling_stream_equals_batch(spark):
+    stream = tumbling_counts(read_events_stream(spark, SF))
+    got = run_stream_to_memory(stream, "t_tumbling", output_mode="complete")
+    want = q_stream_tumbling_counts(spark, SF)
+    assert _rows(got) == _rows(want)
+
+
+@pytest.mark.slow
+def test_sliding_stream_equals_batch(spark):
+    stream = sliding_counts(read_events_stream(spark, SF))
+    got = run_stream_to_memory(stream, "t_sliding", output_mode="complete")
+    want = q_stream_sliding_counts(spark, SF)
+    assert _rows(got) == _rows(want)
+
+
+@pytest.mark.slow
+def test_stream_dedup_within_watermark(spark):
+    stream = dedup_within_watermark(read_events_stream(spark, SF))
+    got = run_stream_to_memory(stream, "t_dedup", output_mode="append")
+    n = got.count()
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    assert n == load_table(spark, SF, "events").select("event_id").distinct().count()

@@ -1,0 +1,95 @@
+"""V4-V7 property tests (SURVEY.md §5.4): self-match, monotonicity,
+permutation stability, BLAS/expression path agreement, LSH sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import similarity
+from resume_jd_matcher_spark.operators.similarity_blas import topk_similarity_blas
+from resume_jd_matcher_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding").cache()
+
+
+def _queries(emb, n=2):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+
+
+def test_self_match_is_rank_one_with_score_10(emb):
+    out = similarity.topk_similarity(emb, _queries(emb), k=1).collect()
+    for r in out:
+        assert r.query_id == r.vec_id
+        assert r.dist == 0.0
+        assert r.score == 10.0
+
+
+def test_score_monotone_decreasing_in_distance(emb):
+    rows = similarity.topk_similarity(emb, _queries(emb), k=10).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        dists = [r.dist for r in rs]
+        scores = [r.score for r in rs]
+        assert dists == sorted(dists)
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_blas_path_matches_expression_path(emb):
+    a = similarity.topk_similarity(emb, _queries(emb), k=5)
+    b = topk_similarity_blas(emb, _queries(emb), k=5)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert len(ra) == len(rb)
+    for x, y in zip(ra, rb):
+        assert x[:2] == y[:2]
+        assert x[2] == pytest.approx(y[2], abs=1e-4)
+        assert x[3] == pytest.approx(y[3], abs=1e-2)
+
+
+def test_topk_stable_under_corpus_permutation(emb, spark):
+    base = similarity.topk_similarity(emb, _queries(emb), k=5).collect()
+    shuffled = emb.orderBy(F.rand(seed=7))
+    perm = similarity.topk_similarity(shuffled, _queries(emb), k=5).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, perm))
+
+
+def test_lsh_candidates_are_subset_of_bucket(emb):
+    from resume_jd_matcher_spark.operators.ann import lsh_bucket_topk, lsh_signature
+
+    out = lsh_bucket_topk(emb, _queries(emb), k=5, n_planes=8)
+    sigs = emb.withColumn("bucket", lsh_signature(F.col("embedding"), 8))
+    joined = out.join(sigs.select("vec_id", F.col("bucket").alias("true_bucket")), "vec_id")
+    bad = joined.filter(F.col("bucket") != F.col("true_bucket")).count()
+    assert bad == 0
+
+
+def test_argmin_per_group_agrees_with_window_rank(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "label", "embedding")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = similarity.argmin_per_group(emb, q, group_col="label").collect()
+    # brute-force check via pandas
+    import numpy as np
+
+    pdf = emb.toPandas()
+    qpdf = q.toPandas()
+    for r in got:
+        qv = np.array(qpdf[qpdf.query_id == r.query_id].query_embedding.iloc[0], dtype=float)
+        grp = pdf[pdf.label == r.label]
+        dists = grp.embedding.map(
+            lambda v: float(((np.array(v, dtype=float) - qv) ** 2).sum())
+        )
+        best = grp.assign(d=dists).sort_values(["d", "vec_id"]).iloc[0]
+        assert int(best.vec_id) == r.vec_id
