@@ -1,0 +1,242 @@
+"""Advanced / composite operators: as-of join, the full shortlist
+lifecycle, map assembly, array scalar suite, pivot/unpivot, approx
+aggregates, MLlib LSH (SURVEY.md §2.D A3, §2.F J4, §2.H, §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.asof import asof_join
+from resume_jd_matcher_spark.operators.embedding import embed_documents, embed_query
+from resume_jd_matcher_spark.operators.similarity_blas import topk_similarity_blas
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.queries.scoring_q import JD_TEXT, _expected_sections
+from resume_jd_matcher_spark.sources.io import load_table
+
+
+@register(
+    "asof_join",
+    """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'error' AND user_id < 100
+), clk AS (
+  SELECT event_id AS click_event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id < 100
+)
+SELECT e.event_id, e.user_id,
+       floor(epoch(e.ts))::BIGINT AS ts_epoch,
+       c.click_event_id,
+       floor(epoch(c.ts))::BIGINT AS click_ts_epoch
+FROM err e ASOF LEFT JOIN clk c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: as-of join — for each error event, the most recent click at
+    or before it per user. Union + last_value carry-forward (one
+    shuffle, no per-key pandas); DuckDB twin is native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    out = asof_join(err, clk, on="user_id", ts_col="ts", right_cols=("click_event_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("click_event_id_asof").alias("click_event_id"),
+        F.unix_timestamp("ts_asof").alias("click_ts_epoch"),
+    )
+
+
+_SQL_EMBED = (
+    "list_transform(generate_series(0, 7), d -> "
+    "round((('0x' || substr(md5({t} || '#dim' || d), 1, 8))::BIGINT "
+    "/ 4294967296.0) * 2.0 - 1.0, 6))"
+)
+
+_SQL_SQL2_D = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+@register(
+    "shortlist_e2e",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, {_SQL_EMBED.format(t='text')} AS ce FROM documents
+), q AS (
+  SELECT 0::BIGINT AS query_id, {_SQL_EMBED.format(t=f"'{JD_TEXT}'")} AS qe
+), d AS (
+  SELECT query_id, doc_id, {_SQL_SQL2_D.format(a='qe', b='ce')} AS dist
+  FROM corpus, q
+), r AS (
+  SELECT query_id, doc_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn
+  FROM d
+)
+SELECT query_id, doc_id, round(dist, 4) AS dist,
+       round(10.0/(1.0+dist), 2) AS score
+FROM r WHERE rn <= 10
+""",
+)
+def q_shortlist_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 full /shortlist lifecycle: embed corpus (V1, hash backend)
+    → embed JD (V2) → top-k with scores (V5+T5+W1) — every stage the
+    real operator, embeddings computed in-flight by the iterator UDF."""
+    corpus = embed_documents(
+        load_table(spark, sf_dir, "documents"), backend="hash", dim=8
+    )
+    q = embed_query(spark, JD_TEXT, backend="hash", dim=8)
+    return topk_similarity_blas(
+        corpus, q, k=10, id_col="doc_id", query_id_col="query_id"
+    )
+
+
+@register(
+    "sections_map",
+    """
+WITH base AS (
+  SELECT doc_id,
+         substr(text, 1, 80) AS s1, substr(text, 81, 160) AS s2
+  FROM documents
+), sections AS (
+  SELECT doc_id, 'summary' AS section, trim(s1) AS body FROM base
+  UNION ALL SELECT doc_id, 'experience', trim(s2) FROM base
+  UNION ALL SELECT doc_id, 'skills', trim(s1 || ' extra') FROM base
+  UNION ALL SELECT doc_id, 'education', trim(s2) FROM base
+)
+SELECT doc_id,
+       count(*)::INT AS n_sections,
+       string_agg(section || '=' || substr(body, 1, 12), '; ' ORDER BY section)
+         AS sections_repr
+FROM sections GROUP BY doc_id
+""",
+)
+def q_sections_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: collect-to-map (the reference's dict-of-sections, D3) —
+    map_from_entries over sorted entries, re-serialized deterministically
+    for comparison."""
+    secs = _expected_sections(spark, sf_dir)
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct(F.col("section"), F.col("body"))))
+    )
+    return (
+        secs.groupBy("doc_id")
+        .agg(m.alias("m"))
+        .select(
+            "doc_id",
+            F.size(F.map_keys("m")).cast("int").alias("n_sections"),
+            F.concat_ws(
+                "; ",
+                F.transform(
+                    F.map_entries("m"),
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), F.substring(e["value"], 1, 12)
+                    ),
+                ),
+            ).alias("sections_repr"),
+        )
+    )
+
+
+@register(
+    "array_ops",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       len(v)::INT AS dim,
+       round(v[1], 6) AS first_v,
+       round(list_sum(list_transform(v, x -> abs(x))), 4) AS l1_norm,
+       len(list_filter(v, x -> x > 0))::INT AS n_pos,
+       (list_max(v) > 0.5)::INT AS has_big
+FROM e
+""",
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 array suite: size / element_at / transform+aggregate /
+    filter / exists over the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_v"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.exists(v, lambda x: x > 0.5).cast("int").alias("has_big"),
+    )
+
+
+@register(
+    "pivot_unpivot",
+    """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: pivot to wide (status → columns) then stack back to long —
+    the round trip must reproduce the direct group-by."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'F', F, 'O', O) AS (l_linestatus, qty)",
+    ).filter(F.col("qty").isNotNull())
+
+
+@register("approx_stats", None)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 approximate aggregates (rows-only: sketch results are
+    engine-specific by design): HLL count-distinct + approximate
+    quantiles per return flag; exact counterparts checked in pytest."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+    )
+
+
+@register("mllib_lsh_join", None)
+def q_mllib_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8/V6 via MLlib (rows-only: hash functions are MLlib-internal):
+    BucketedRandomProjectionLSH approxSimilarityJoin on the embedding
+    column — the library counterpart of operators/ann.py. Fixed seed
+    for reproducibility; recall vs exact checked in pytest."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    left = emb.filter(F.col("vec_id") < 50)
+    joined = model.approxSimilarityJoin(left, emb, 1.25, distCol="l2_dist")
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("left_id"),
+            F.col("datasetB.vec_id").alias("right_id"),
+            F.round(F.col("l2_dist") * F.col("l2_dist"), 4).alias("dist"),
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
