@@ -132,14 +132,19 @@ def parse_scores(
     voids the WHOLE document (the reference's dict comprehension
     throws and is caught, yielding {}).
 
+    Duplicate section lines keep the LAST occurrence (dict-comprehension
+    semantics in the reference).
+
     Output: (id, section, score INT) for valid documents only.
     """
     body = F.regexp_extract(F.col(resp_col), r"(?s)SCORES:\s*(.*)", 1)
     lines = responses.select(
-        F.col(id_col), F.explode(F.split(F.trim(body), r"\n")).alias("line")
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(body), r"\n")).alias("pos", "line"),
     ).filter(F.col("line").contains(":"))
     parsed = lines.select(
         id_col,
+        "pos",
         F.trim(F.element_at(F.split(F.col("line"), ":", 2), 1)).alias("section"),
         F.expr(
             "try_cast(trim(element_at(split(line, ':', 2), 2)) AS INT)"
@@ -148,10 +153,14 @@ def parse_scores(
     validity = parsed.groupBy(id_col).agg(
         (F.count(F.when(F.col("score").isNull(), 1)) == 0).alias("all_ok")
     )
+    # keep-last per (doc, section) = max line position wins
+    last = parsed.groupBy(id_col, "section").agg(
+        F.max(F.struct("pos", "score")).alias("best")
+    )
     return (
-        parsed.join(validity, id_col)
+        last.join(validity, id_col)
         .filter(F.col("all_ok"))
-        .select(id_col, "section", "score")
+        .select(id_col, "section", F.col("best.score").alias("score"))
     )
 
 

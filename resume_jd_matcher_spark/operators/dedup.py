@@ -108,7 +108,9 @@ def minhash_lsh_candidates(
     same-band pairs (id1 < id2), est_jaccard = fraction of equal
     signature components. Output: (left_id, right_id, est_jaccard).
     """
-    sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+    # Signatures feed three consumers (banding + both sides of the
+    # estimate join); persist so the explode→groupBy runs once, not 3×.
+    sigs = minhash_signatures(df, n_hashes, id_col, text_col).persist()
     bands = lsh_bands(sigs, rows_per_band, id_col)
 
     a = bands.select(

@@ -411,7 +411,9 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "format_dispatch",
     """
-SELECT doc_id, path, ext, route
+SELECT doc_id, path, ext, route,
+       regexp_replace(split_part(path, '/', -1), '[^A-Za-z0-9._-]', '_', 'g')
+         AS safe_name
 FROM (
   SELECT doc_id,
          source || '/doc_' || doc_id ||
@@ -442,4 +444,6 @@ def q_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path"
         ),
     )
-    return format_dispatch(paths).select("doc_id", "path", "ext", "route")
+    return format_dispatch(paths).select(
+        "doc_id", "path", "ext", "route", "safe_name"
+    )

@@ -83,18 +83,26 @@ def scan_binary_files(spark: SparkSession, glob: str) -> DataFrame:
 
 
 def format_dispatch(df: DataFrame, path_col: str = "path") -> DataFrame:
-    """SRC4/T7: route rows by file extension (reference utils.py:11-19).
+    """SRC4/T7: route rows by file extension (reference utils.py:11-19)
+    and sanitize the filename (reference: ``secure_filename``,
+    app.py:75,149 — anything outside [A-Za-z0-9._-] becomes '_').
 
-    Adds ``ext`` and ``route`` columns; unsupported extensions are
-    routed to 'quarantine' (the reference raised ValueError — at scale a
-    bad row must not kill the job).
+    Adds ``ext``, ``route``, and ``safe_name`` columns; unsupported
+    extensions are routed to 'quarantine' (the reference raised
+    ValueError — at scale a bad row must not kill the job).
     """
     ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]+)$", 1))
     route = (
         F.when(ext.isin(*SUPPORTED_FORMATS), ext)
         .otherwise(F.lit("quarantine"))
     )
-    return df.withColumn("ext", ext).withColumn("route", route)
+    basename = F.substring_index(F.col(path_col), "/", -1)
+    safe = F.regexp_replace(basename, r"[^A-Za-z0-9._-]", "_")
+    return (
+        df.withColumn("ext", ext)
+        .withColumn("route", route)
+        .withColumn("safe_name", safe)
+    )
 
 
 def concat_pages(

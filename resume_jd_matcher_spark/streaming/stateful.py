@@ -1,0 +1,80 @@
+"""Custom stateful streaming operators (SURVEY.md §2.G):
+``applyInPandasWithState`` for arbitrary per-key state, and a
+``foreachBatch`` scorer that matches each micro-batch of arriving
+documents against a static JD — the streaming shape of the reference's
+bulk route (app.py:133-180: "new resumes arrive, score them now").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) maintained in explicit
+    group state across micro-batches; emits the updated totals for
+    users seen in each batch.
+
+    State is two numbers per user — bounded by cardinality, not stream
+    length; pair with a timeout for expiring idle users at scale.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        stateStructType="n LONG, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_scorer(docs_stream: DataFrame, jd_text: str, sink: list) -> Any:
+    """foreachBatch: embed each arriving micro-batch of documents and
+    score it against the static JD (stub embedder), appending scored
+    rows to ``sink`` (a real deployment writes a table / serves top-k).
+
+    Returns the started StreamingQuery.
+    """
+    from resume_jd_matcher_spark.operators.embedding import (
+        embed_documents,
+        embed_query,
+    )
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        topk_similarity_blas,
+    )
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        corpus = embed_documents(batch_df, backend="hash", dim=8)
+        q = embed_query(spark, jd_text, backend="hash", dim=8)
+        topk = topk_similarity_blas(
+            corpus, q, k=5, id_col="doc_id", query_id_col="query_id"
+        )
+        sink.extend(topk.collect())
+
+    return (
+        docs_stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

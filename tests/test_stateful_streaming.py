@@ -1,0 +1,72 @@
+"""§2.G stateful ops: explicit group state + foreachBatch scoring."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from resume_jd_matcher_spark.sources.io import load_table
+from resume_jd_matcher_spark.streaming.events import read_events_stream
+from resume_jd_matcher_spark.streaming.stateful import (
+    foreach_batch_scorer,
+    running_user_totals,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.slow
+def test_stateful_running_totals_match_batch(spark):
+    stream = running_user_totals(read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            # keep the LAST emitted state per user (update mode re-emits)
+            "SELECT user_id, n_events, total_value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+            "  FROM t_state) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.slow
+def test_foreach_batch_scorer(spark):
+    docs_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    os.symlink(f"{SF}/documents.parquet", f"{docs_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_schema).format("parquet").load(docs_dir)
+
+    sink: list = []
+    q = foreach_batch_scorer(stream, "spark table data query", sink)
+    q.awaitTermination()
+    assert len(sink) == 5  # top-5 of the single micro-batch
+    assert all(0.0 <= r.score <= 10.0 for r in sink)
+    assert [r.dist for r in sink] == sorted(r.dist for r in sink)
