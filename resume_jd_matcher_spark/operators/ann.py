@@ -78,3 +78,73 @@ def lsh_bucket_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "bucket", F.round("dist", 4).alias("dist"))
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    partition_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: element-wise mean vector per partition
+    (the fixture's label column stands in for k-means cluster ids —
+    at scale, MLlib KMeans fits the same shape).
+
+    Long-form posexplode → groupBy(partition, dim) avg → re-assembled
+    ordered array: two narrow shuffles, no driver collection.
+    """
+    long = corpus.select(
+        partition_col,
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        ),
+    )
+    per_dim = long.groupBy(partition_col, "dim").agg(F.avg("v").alias("cv"))
+    return per_dim.groupBy(partition_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    partition_col: str = "label",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF search: route each query to its n_probe nearest centroids,
+    then exact-rank only within those partitions. With P partitions and
+    balanced data, each query scans ~n_probe/P of the corpus; the
+    routing join is an equi-join on the partition id, so the big side
+    shuffles once on a low-cardinality key (AQE handles imbalance).
+    """
+    cents = ivf_centroids(corpus, partition_col, vec_col)
+    qc = F.broadcast(queries).crossJoin(F.broadcast(cents))
+    qdist = squared_l2(F.col(query_vec_col), F.col("centroid"))
+    ranked = qc.select(
+        query_id_col, query_vec_col, partition_col, qdist.alias("cdist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cdist").asc(), F.col(partition_col).asc()
+    )
+    routed = (
+        ranked.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= n_probe)
+        .select(query_id_col, query_vec_col, partition_col)
+    )
+    cand = corpus.join(F.broadcast(routed), partition_col)
+    d = squared_l2(F.col(vec_col), F.col(query_vec_col))
+    scored = cand.select(
+        query_id_col, F.col(id_col), F.col(partition_col), d.alias("dist")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, partition_col, F.round("dist", 4).alias("dist"))
+    )

@@ -240,3 +240,73 @@ def q_mllib_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("left_id") < F.col("right_id"))
     )
+
+
+@register(
+    "top_orders_global",
+    """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: global top-N — orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition partial top-N + driver merge,
+    no full sort; the plan shape FAISS's k-NN return implies,
+    rag_model_mass.py:37-47)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: explicit GROUPING SETS via the SQL API (same Catalyst plan
+    as the DataFrame rollup/cube paths — the engine exposes both)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "exact_percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact interpolated percentiles per group (both engines use
+    linear interpolation — verified identical; the approximate sketch
+    variant is the rows-only approx_stats query)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("round(percentile(l_extendedprice, 0.25), 4)").alias("p25"),
+        F.expr("round(percentile(l_extendedprice, 0.50), 4)").alias("p50"),
+        F.expr("round(percentile(l_extendedprice, 0.95), 4)").alias("p95"),
+    )

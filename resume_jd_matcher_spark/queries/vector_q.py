@@ -250,3 +250,56 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding")
     queries_df = _emb_queries(spark, sf_dir)
     return lsh_bucket_topk(corpus, queries_df, k=5, n_planes=_LSH_PLANES)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+  SELECT label,
+         list(cv ORDER BY dim) AS centroid
+  FROM (
+    SELECT label, dim, avg(e[dim]) AS cv
+    FROM e0, (SELECT unnest(generate_series(1, 64)) AS dim) dims
+    GROUP BY label, dim
+  ) GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM e0 WHERE vec_id < 3
+), routed AS (
+  SELECT query_id, qe, label FROM (
+    SELECT q.query_id, q.qe, cent.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {SQL_SQL2.format(a='qe', b='centroid')}, cent.label
+           ) AS crn
+    FROM q, cent
+  ) WHERE crn <= 2
+), d AS (
+  SELECT r.query_id, c.vec_id, c.label,
+         {SQL_SQL2.format(a='r.qe', b='c.e')} AS dist
+  FROM routed r JOIN e0 c ON c.label = r.label
+), ranked AS (
+  SELECT query_id, vec_id, label, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, label, round(dist, 4) AS dist
+FROM ranked WHERE rn <= 5
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2 — IVF: per-label centroids (coarse quantizer)
+    route each query to its 2 nearest partitions; exact ranking touches
+    only ~2/10 of the corpus. Complements the LSH path: IVF prunes by
+    data geometry, LSH by random projection."""
+    from resume_jd_matcher_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.select("vec_id", "label", "embedding"),
+        _emb_queries(spark, sf_dir),
+        k=5,
+        n_probe=2,
+    )
