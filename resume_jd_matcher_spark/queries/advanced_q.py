@@ -310,3 +310,127 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(percentile(l_extendedprice, 0.50), 4)").alias("p50"),
         F.expr("round(percentile(l_extendedprice, 0.95), 4)").alias("p95"),
     )
+
+
+@register(
+    "fuzzy_match",
+    """
+WITH t AS (SELECT DISTINCT event_type FROM events)
+SELECT a.event_type AS left_type, b.event_type AS right_type,
+       levenshtein(a.event_type, b.event_type)::INT AS edit_dist
+FROM t a, t b
+WHERE a.event_type < b.event_type
+  AND levenshtein(a.event_type, b.event_type) <= 4
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: fuzzy string matching — Levenshtein distance over distinct
+    value pairs (typo-dedup primitive; both engines implement the
+    classic DP edit distance)."""
+    t = load_table(spark, sf_dir, "events").select("event_type").distinct()
+    a = t.select(F.col("event_type").alias("left_type"))
+    b = t.select(F.col("event_type").alias("right_type"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("left_type") < F.col("right_type"))
+        .select(
+            "left_type",
+            "right_type",
+            F.levenshtein("left_type", "right_type").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+@register(
+    "window_stats",
+    """
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: the full ranking-window surface — ntile / percent_rank /
+    cume_dist / rank / dense_rank per customer."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+SELECT o_orderkey,
+       strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+       quarter(o_orderdate)::INT AS q,
+       (dayofweek(o_orderdate) + 1)::INT AS dow,
+       dayofyear(o_orderdate)::INT AS doy,
+       date_diff('month', DATE '1995-01-01', o_orderdate::DATE)::INT AS months_since
+FROM orders
+WHERE o_orderkey < 2000
+""",
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 date suite: interval arithmetic, last_day, quarter,
+    day-of-week (Spark 1=Sunday ↔ DuckDB 0=Sunday, mapped), day-of-
+    year, month deltas — exposed as strings/ints for exact compare."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("int").alias("q"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        (
+            (F.year(d) - F.lit(1995)) * 12 + F.month(d) - F.lit(1)
+        ).cast("int").alias("months_since"),
+    )
+
+
+@register(
+    "json_struct",
+    """
+SELECT event_id,
+       json_extract_string(props, '$.k')::INT AS k_int,
+       (json_extract_string(props, '$.k')::INT * 2)::INT AS k_doubled,
+       (json_extract_string(props, '$.k') IS NOT NULL)::INT AS has_k
+FROM events
+WHERE user_id < 30
+""",
+)
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 json: from_json into a typed struct, then project/compute on
+    the parsed fields (schema-on-read for the props column)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    parsed = e.select("event_id", F.from_json("props", schema).alias("p"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_int"),
+        (F.col("p.k") * 2).cast("int").alias("k_doubled"),
+        F.col("p.k").isNotNull().cast("int").alias("has_k"),
+    )

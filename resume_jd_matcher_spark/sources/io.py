@@ -41,7 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     has no native type for — read it as nanos-since-epoch LONG and
     convert to a microsecond timestamp (truncation, matching how
     DuckDB reads the same column).
+
+    Session timezone is pinned to UTC here so every query is correct
+    even under an externally-provided SparkSession (the oracle's
+    timestamps are UTC-naive).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         e = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,53 @@
+"""Salted aggregation equivalence + incremental embedding append."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.embedding import embed_documents
+from resume_jd_matcher_spark.operators.relational import (
+    incremental_append,
+    salted_aggregate,
+)
+from resume_jd_matcher_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_equals_plain(spark):
+    l = load_table(spark, SF, "lineitem")
+    salted = salted_aggregate(
+        l,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count", "l_extendedprice": "max"},
+        n_salts=8,
+    )
+    plain = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_l_quantity"),
+        F.count("l_orderkey").alias("count_l_orderkey"),
+        F.max("l_extendedprice").alias("max_l_extendedprice"),
+    )
+    got = {r.l_returnflag: (round(r.sum_l_quantity, 6), r.count_l_orderkey, r.max_l_extendedprice) for r in salted.collect()}
+    want = {r.l_returnflag: (round(r.sum_l_quantity, 6), r.count_l_orderkey, r.max_l_extendedprice) for r in plain.collect()}
+    assert got == want
+
+
+def test_incremental_append_embeds_only_delta(spark, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("embstore") / "embeddings")
+    docs = load_table(spark, SF, "documents")
+
+    first = docs.filter(F.col("doc_id") < 300)
+    embed_documents(first, backend="hash", dim=8).write.parquet(store)
+
+    existing = spark.read.parquet(store)
+    incoming = embed_documents(
+        docs.filter(F.col("doc_id") < 400), backend="hash", dim=8
+    )
+    merged = incremental_append(existing, incoming, "doc_id")
+
+    assert merged.count() == 400
+    assert merged.select("doc_id").distinct().count() == 400
+    # idempotent: appending the same delta again adds nothing
+    again = incremental_append(merged, incoming, "doc_id")
+    assert again.count() == 400
