@@ -56,15 +56,22 @@ def text_quality(
         + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * 2.0, F.lit(1.0)))
         + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio * 10.0, F.lit(1.0)))
     )
+    # +1e-9 before rounding: the blended ratios can land EXACTLY on a
+    # 4th-decimal .5 boundary (small-rational coincidences), where
+    # Spark's BigDecimal rounding and DuckDB's scale-multiply rounding
+    # disagree on which side the double sits. The nudge (mirrored in
+    # the oracle SQL) moves the boundary to a value the formula can't
+    # produce.
+    eps = F.lit(1e-9)
     return df.select(
         F.col(id_col),
         n_tokens.cast("int").alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars_actual"),
-        F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(quality, 4).alias("quality"),
+        F.round(avg_tok + eps, 4).alias("avg_token_len"),
+        F.round(stop_ratio + eps, 4).alias("stopword_ratio"),
+        F.round(punct_ratio + eps, 4).alias("punct_ratio"),
+        F.round(digit_ratio + eps, 4).alias("digit_ratio"),
+        F.round(quality + eps, 4).alias("quality"),
     )
 
 

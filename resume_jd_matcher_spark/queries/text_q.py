@@ -43,13 +43,13 @@ WITH t AS (
 SELECT doc_id,
        ntok::INT AS n_tokens,
        nc::BIGINT AS n_chars_actual,
-       round(avg_tok, 4) AS avg_token_len,
-       round(stop_r, 4) AS stopword_ratio,
-       round(punct_r, 4) AS punct_ratio,
-       round(digit_r, 4) AS digit_ratio,
+       round(avg_tok + 1e-9, 4) AS avg_token_len,
+       round(stop_r + 1e-9, 4) AS stopword_ratio,
+       round(punct_r + 1e-9, 4) AS punct_ratio,
+       round(digit_r + 1e-9, 4) AS digit_ratio,
        round(0.5 * least(ntok::DOUBLE / 100.0, 1.0)
            + 0.3 * (1.0 - least(stop_r * 2.0, 1.0))
-           + 0.2 * (1.0 - least(digit_r * 10.0, 1.0)), 4) AS quality
+           + 0.2 * (1.0 - least(digit_r * 10.0, 1.0)) + 1e-9, 4) AS quality
 FROM r
 """,
 )
