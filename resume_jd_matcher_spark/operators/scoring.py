@@ -41,8 +41,46 @@ def stub_score_response(sections_and_jd: tuple[list[tuple[str, str]], str]) -> s
     return "\n".join(lines)
 
 
+def _parse_prompt_sections(prompt: str) -> tuple[list[tuple[str, str]], str]:
+    """Recover ([(section, body)...], jd_text) from an assembled
+    SCORE_ALL_SECTIONS_PROMPT — the stub 'reads' the prompt exactly as
+    a real model would, so T3 is genuinely in the loop."""
+    import re as _re
+
+    sections: list[tuple[str, str]] = []
+    jd = ""
+    body_part = prompt.split("RESUME SECTIONS:\n", 1)
+    if len(body_part) == 2:
+        blocks_txt = body_part[1].split("\n\nJOB DESCRIPTION:", 1)[0]
+        # split only at separators followed by a '[header]' — an empty
+        # body would otherwise swallow the next block's bracket line
+        for block in _re.split(r"\n\n(?=\[)", blocks_txt):
+            if block.startswith("[") and "]\n" in block:
+                name, body = block[1:].split("]\n", 1)
+                sections.append((name, body.strip()))
+    jd_part = prompt.split('JOB DESCRIPTION:\n"""', 1)
+    if len(jd_part) == 2:
+        jd = jd_part[1].split('"""', 1)[0]
+    return sections, jd
+
+
 def _stub_backend(task: str) -> Callable[[pd.DataFrame], pd.Series]:
     def generate(pdf: pd.DataFrame) -> pd.Series:
+        if task == "score_prompt":
+            # Full-fidelity U1: input is the ASSEMBLED PROMPT (T3
+            # output); the stub recovers sections + JD from it and
+            # answers in the SCORES: contract.
+            def sp(row):
+                sections, jd = _parse_prompt_sections(row["prompt"])
+                jd_toks = _stub_tokens(jd)
+                lines = ["SCORES:"]
+                for name, body in sections:
+                    lines.append(
+                        f"{name}: {min(10, len(_stub_tokens(body) & jd_toks))}"
+                    )
+                return "\n".join(lines)
+
+            return pdf.apply(sp, axis=1)
         if task == "score":
             # SCORES: contract (constants.py:95-100); one line per section.
             def sc(row):

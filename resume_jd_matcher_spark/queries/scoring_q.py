@@ -259,22 +259,15 @@ FROM scored GROUP BY doc_id
 )
 def q_scoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 end-to-end (the /result lifecycle, SURVEY.md §3.1): chunker
-    UDF → grouped sections → stub LLM scorer (token-overlap, honoring
-    the SCORES: contract) → T4 parse → A1 mean. Every stage is the real
-    operator; only the model is the deterministic stub."""
+    UDF (T1) → prompt assembly (T3, the real reference template) →
+    stub LLM (U1 — reads sections+JD back OUT of the prompt, answers
+    in the SCORES: contract) → T4 parse → A1 mean. Every stage is the
+    real operator; only the model behind the prompt is the stub."""
     sections = chunk_by_section(
         _synthetic_resumes(spark, sf_dir), id_col="doc_id", text_col="resume"
     )
-    grouped = (
-        sections.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("section"), F.col("body")))
-            ).alias("sections")
-        )
-        .withColumn("jd_text", F.lit(JD_TEXT))
-    )
-    responses = llm_transform(grouped, task="score")
+    prompts = assemble_prompt(sections, JD_TEXT)
+    responses = llm_transform(prompts, task="score_prompt")
     return mean_score(parse_scores(responses))
 
 
