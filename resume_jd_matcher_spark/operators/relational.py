@@ -64,3 +64,59 @@ def incremental_append(
     """
     fresh = incoming.join(existing, key_col, "left_anti")
     return existing.unionByName(fresh)
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    ts_col: str = "effective_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """SCD2 merge without a lakehouse MERGE INTO (guide: "emulate with
+    anti-join + union + window"): close out current rows whose tracked
+    attributes changed, append the new versions, leave everything else
+    untouched. ``current`` rows have NULL ``end_col`` while open;
+    ``updates`` carries (key, tracked..., ts).
+
+    One shuffle on the key (the join); history rows pass through
+    untouched via union.
+    """
+    open_rows = current.filter(F.col(end_col).isNull())
+    closed_rows = current.filter(F.col(end_col).isNotNull())
+
+    u = updates.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"_new_{c}") for c in tracked_cols],
+        F.col(ts_col).alias("_new_ts"),
+    )
+    joined = open_rows.join(u, key_col, "left")
+    change_pred = None
+    for c in tracked_cols:
+        p = ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+        change_pred = p if change_pred is None else (change_pred | p)
+    has_update = F.col("_new_ts").isNotNull()
+
+    # unchanged (or no update) open rows stay open
+    still_open = joined.filter(~(has_update & change_pred)).select(current.columns)
+    # changed rows get closed at the update timestamp
+    closed_now = (
+        joined.filter(has_update & change_pred)
+        .withColumn(end_col, F.col("_new_ts"))
+        .select(current.columns)
+    )
+    # and their new versions open at the update timestamp
+    new_versions = (
+        joined.filter(has_update & change_pred)
+        .select(
+            key_col,
+            *[F.col(f"_new_{c}").alias(c) for c in tracked_cols],
+            F.col("_new_ts").alias(ts_col),
+            F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
+        )
+        .select(*[c for c in current.columns])
+    )
+    return closed_rows.unionByName(still_open).unionByName(closed_now).unionByName(
+        new_versions
+    )

@@ -47,3 +47,26 @@ def test_stream_dedup_within_watermark(spark):
     from resume_jd_matcher_spark.sources.io import load_table
 
     assert n == load_table(spark, SF, "events").select("event_id").distinct().count()
+
+
+@pytest.mark.slow
+def test_sessionize_matches_native_session_window(spark):
+    """The lag+cumsum sessionizer agrees with Spark's native
+    session_window on session count and per-session event counts
+    (fixture gaps never land exactly on the 1h boundary, where the
+    two definitions differ by open/closed interval)."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.queries.stream_q import q_sessionize
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    ours = q_sessionize(spark, SF)
+    e = load_table(spark, SF, "events")
+    native = (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    a = sorted(map(tuple, ours.select("user_id", "n_events").collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b
