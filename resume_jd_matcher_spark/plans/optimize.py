@@ -45,3 +45,38 @@ def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     assert "PushedFilters" in plan and fragment in plan, (
         f"expected pushed filter containing {fragment!r} in plan:\n{plan}"
     )
+
+
+def estimated_rows(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate for a plan (None if unknown).
+    Cheap — reads optimizer statistics, runs nothing."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        opt = stats.rowCount()
+        if opt.isDefined():
+            return int(str(opt.get()))
+        size = int(str(stats.sizeInBytes()))
+        # fall back to size / rough-row-width
+        return max(size // 256, 1)
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return None
+
+
+def choose_similarity_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    max_exact_pairs: int = 50_000_000,
+) -> str:
+    """Cost-based routing for similarity joins: 'exact' (BLAS
+    brute-force) while the estimated pair count is tractable, else
+    'lsh' (bucketed candidates, operators/ann.py). The estimate comes
+    from Catalyst plan statistics — no job runs to decide.
+
+    This is the engine-level stand-in for the optional custom Catalyst
+    rewrite rule (SURVEY.md §4): same decision, made at operator-
+    construction time where it's observable and testable.
+    """
+    nl, nr = estimated_rows(left), estimated_rows(right)
+    if nl is None or nr is None:
+        return "exact"
+    return "exact" if nl * nr <= max_exact_pairs else "lsh"

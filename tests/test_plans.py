@@ -50,3 +50,14 @@ def test_topk_shuffles_only_partials(spark):
     plan = physical_plan(q_topk_similarity(spark, SF))
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_choose_similarity_strategy(spark):
+    from resume_jd_matcher_spark.plans.optimize import choose_similarity_strategy
+
+    emb = load_table(spark, SF, "embeddings")
+    small = emb.limit(10)
+    assert choose_similarity_strategy(small, small) == "exact"
+    assert (
+        choose_similarity_strategy(emb, emb, max_exact_pairs=1000) == "lsh"
+    )
