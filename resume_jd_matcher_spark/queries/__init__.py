@@ -58,6 +58,7 @@ from resume_jd_matcher_spark.queries import text_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import scoring_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import stream_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import advanced_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
 
 # Flagship entry point re-export (used by __spark_entry__.entry()).
 from resume_jd_matcher_spark.queries.vector_q import q_topk_similarity  # noqa: E402,F401

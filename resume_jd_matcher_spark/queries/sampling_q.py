@@ -1,0 +1,120 @@
+"""Training-data prep queries (north-star [EXT]): deterministic
+splits, balancing, packing, PII redaction over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import sampling
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.queries.text_q import SQL_HASH32, SQL_TOKS
+from resume_jd_matcher_spark.sources.io import load_table
+
+
+@register(
+    "train_test_split",
+    f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN {SQL_HASH32.format(c='doc_id::VARCHAR')} % 10 < 8 THEN 'train'
+              WHEN {SQL_HASH32.format(c='doc_id::VARCHAR')} % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*)::BIGINT AS n_docs
+FROM s GROUP BY lang, split
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (stable under
+    repartitioning and corpus appends), summarized per language."""
+    d = sampling.train_test_split(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "cap_per_source",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 10
+""",
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data balancing: keep at most 10 documents per source
+    (deterministic order, not sampling)."""
+    return sampling.cap_per_group(
+        load_table(spark, sf_dir, "documents"), group_col="source", cap=10
+    ).select("doc_id", "source")
+
+
+@register(
+    "pack_token_budget",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, len({SQL_TOKS.format(c='text')}) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM t
+)
+SELECT doc_id, lang, n_tokens::INT AS n_tokens,
+       ((running - 1) // 2000)::BIGINT AS bin_id
+FROM r
+""",
+)
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: running per-language token cumsum assigns each
+    document to a ~2000-token training bin."""
+    return sampling.pack_token_budget(
+        load_table(spark, sf_dir, "documents"), budget=2000
+    )
+
+
+@register(
+    "pii_redact",
+    """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or https://docs.example.com/d/' || doc_id
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^\\s]+'))::INT AS n_urls,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\\s]+', '<URL>', 'g') AS redacted
+FROM seeded
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene: deterministic email/URL injection on every 5th doc
+    (fixture text contains none), then codegen'd regex count + redact."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or https://docs.example.com/d/"),
+                F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return sampling.redact_pii(seeded)
