@@ -118,3 +118,86 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return sampling.redact_pii(seeded)
+
+
+@register(
+    "corpus_clean_pipeline",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         {SQL_TOKS.format(c='text')} AS toks,
+         length(text) AS nc,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, fp,
+         len(toks) AS ntok,
+         len(list_filter(toks, x -> x IN ('a','the','and','of','to','in','is')))::DOUBLE
+           / len(toks) AS stop_r,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nc AS digit_r
+  FROM t
+), quality AS (
+  SELECT doc_id, lang, fp, ntok,
+         0.5 * least(ntok::DOUBLE / 100.0, 1.0)
+       + 0.3 * (1.0 - least(stop_r * 2.0, 1.0))
+       + 0.2 * (1.0 - least(digit_r * 10.0, 1.0)) AS q
+  FROM scored
+), deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rn
+  FROM quality
+), kept AS (
+  SELECT * FROM deduped
+  WHERE dup_rn = 1 AND q >= 0.5 AND ntok BETWEEN 20 AND 1000
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(ntok)::BIGINT AS total_tokens,
+       round(avg(q) + 1e-9, 4) AS avg_quality
+FROM kept GROUP BY lang
+""",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleaning pipeline in one declarative plan:
+    quality scoring → exact dedup (keep lowest id per fingerprint) →
+    quality/length filters → per-language corpus stats. One scan, two
+    shuffles (fingerprint window + final agg) — the shape a 100 TB
+    cleaning job wants: no intermediate materialization, Catalyst
+    fuses the whole thing."""
+    from resume_jd_matcher_spark.functions.text import fingerprint_md5, tokens as toks_fn
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = toks_fn("text")
+    ntok = F.size(toks)
+    stop_r = F.size(
+        F.filter(toks, lambda t: t.isin("a", "the", "and", "of", "to", "in", "is"))
+    ).cast("double") / ntok.cast("double")
+    digit_r = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("double") / F.length(
+        "text"
+    ).cast("double")
+    q = (
+        F.lit(0.5) * F.least(ntok.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_r * 2.0, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_r * 10.0, F.lit(1.0)))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        fingerprint_md5("text").alias("fp"),
+        ntok.alias("ntok"),
+        q.alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    kept = (
+        scored.withColumn("dup_rn", F.row_number().over(w))
+        .filter(
+            (F.col("dup_rn") == 1)
+            & (F.col("q") >= 0.5)
+            & F.col("ntok").between(20, 1000)
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
+    )
