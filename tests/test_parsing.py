@@ -3,8 +3,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from resume_jd_matcher_spark.functions.parsing import (
     canonical_section,
     mean_score,

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.operators.embedding import embed_documents

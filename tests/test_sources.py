@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import functions as F
-
 from resume_jd_matcher_spark.sources.io import (
     concat_pages,
     format_dispatch,
