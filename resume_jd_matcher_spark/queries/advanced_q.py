@@ -434,3 +434,32 @@ def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.k") * 2).cast("int").alias("k_doubled"),
         F.col("p.k").isNotNull().cast("int").alias("has_k"),
     )
+
+
+@register(
+    "stats_moments",
+    """
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_extendedprice), 2) AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: second-moment statistics — sample stddev/variance and
+    bivariate corr/covar per group (single-pass algebraic aggregates;
+    both engines agree to the exposed rounding)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+    )
