@@ -38,16 +38,19 @@ def asof_join(
     NULLs (left-outer semantics, matching DuckDB ASOF LEFT JOIN).
     """
     lt = left.withColumn("_tag", F.lit(1))
-    rt = right.select(
-        on,
-        ts_col,
-        *right_cols,
-    ).withColumn("_tag", F.lit(0))
-
-    payload = F.struct(
-        F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_cols]
+    # Right payload columns go ONLY into the _payload struct — never as
+    # top-level union columns — so a right_cols name that also exists on
+    # the left can't be merged/clobbered by unionByName.
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(ts_col),
+            F.struct(
+                F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_cols]
+            ).alias("_payload"),
+        )
+        .withColumn("_tag", F.lit(0))
     )
-    rt = rt.withColumn("_payload", payload)
     lt = lt.withColumn("_payload", F.lit(None).cast(rt.schema["_payload"].dataType))
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
@@ -61,7 +64,7 @@ def asof_join(
     carried = unioned.withColumn(
         "_last", F.last("_payload", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("_tag") == 1).drop("_tag", "_payload", *right_cols)
+    out = carried.filter(F.col("_tag") == 1).drop("_tag", "_payload")
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_last.{c}"))
     return out.withColumn(f"{ts_col}{suffix}", F.col("_last._rts")).drop("_last")

@@ -29,6 +29,19 @@ from resume_jd_matcher_spark.functions.text import (
     tokens,
 )
 
+# DataFrames persisted by operators in this module (MinHash signatures
+# feed three consumers, so they cache). Long-lived sessions — bench
+# loops, services — call release_persisted() after materializing a
+# result so storage memory doesn't accumulate across queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every DataFrame this module cached. Safe to call at
+    any time; lazily-recomputed plans stay correct (just slower)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -110,7 +123,9 @@ def minhash_lsh_candidates(
     """
     # Signatures feed three consumers (banding + both sides of the
     # estimate join); persist so the explode→groupBy runs once, not 3×.
+    # Tracked in _PERSISTED for explicit release by long-lived callers.
     sigs = minhash_signatures(df, n_hashes, id_col, text_col).persist()
+    _PERSISTED.append(sigs)
     bands = lsh_bands(sigs, rows_per_band, id_col)
 
     a = bands.select(

@@ -138,14 +138,18 @@ def topk_similarity_blas(
             rids = pdf[id_col].to_numpy()
             d2 = _sq_l2(rmat, qmat)  # B×Q
             kk = min(k, d2.shape[0])
-            # partial top-k per query within this batch
-            part = np.argpartition(d2, kk - 1, axis=0)[:kk, :]  # kk×Q
-            qi = np.repeat(np.arange(d2.shape[1])[None, :], kk, axis=0)
+            # Partial top-k per query within this batch, KEEPING boundary
+            # ties: emit every row with dist <= the kth-smallest distance
+            # so equidistant candidates survive to the global (dist, id)
+            # tie-break window. (argpartition alone would drop an
+            # arbitrary one of the tied rows.)
+            kth = np.partition(d2, kk - 1, axis=0)[kk - 1, :]  # per-query kth dist
+            ri, qi = np.nonzero(d2 <= kth[None, :])
             yield pd.DataFrame(
                 {
-                    query_id_col: qids[qi.ravel()],
-                    id_col: rids[part.ravel()],
-                    "dist": d2[part.ravel(), qi.ravel()],
+                    query_id_col: qids[qi],
+                    id_col: rids[ri],
+                    "dist": d2[ri, qi],
                 }
             )
 

@@ -40,18 +40,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixes all tables — so the events file is staged (symlinked) into a
     scratch directory once per (session, sf_dir).
     """
+    import hashlib
     import os
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"events_stream_{abs(hash((spark.sparkContext.applicationId, sf_dir)))}",
-    )
+    # Stable digest (not Python's salted hash()) so every run of the
+    # same fixture reuses ONE staging dir instead of leaking a new
+    # /tmp/events_stream_* per process.
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except FileExistsError:
+            pass  # concurrent stager won the race — same target
     raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -25,3 +25,19 @@ def test_asof_picks_latest_at_or_before(spark):
     assert got[(1, "L5")] == 100       # latest right at ts<=5 is ts=4
     assert got[(1, "L10")] == 200      # ties (ts == 10) are visible
     assert got[(2, "L3")] is None      # no prior right row → NULL
+
+
+def test_asof_right_col_name_collision_keeps_left(spark):
+    """A right payload column whose name also exists on the left must
+    not clobber the left data: left's `v` survives, right's arrives as
+    `v_asof`."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "left-v")], ["k", "ts", "v"]
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), "right-v")], ["k", "ts", "v"]
+    )
+    out = asof_join(left, right, on="k", ts_col="ts", right_cols=("v",))
+    row = out.collect()[0]
+    assert row.v == "left-v"
+    assert row.v_asof == "right-v"

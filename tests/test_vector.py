@@ -122,3 +122,25 @@ def test_ann_recall_floor(spark):
     }
     assert len(exact & lsh) / len(exact) >= 0.2
     assert len(exact & ivf) / len(exact) >= 0.2
+
+
+def test_topk_blas_duplicate_vector_tiebreak(spark):
+    """Equidistant corpus vectors tying at the k-th boundary must
+    resolve by smallest id (the documented (dist, id) contract) — the
+    per-batch partial top-k may not drop a tied candidate early."""
+    dim = 4
+    base = [1.0] * dim
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(10)], ["vec_id", "embedding"]
+    ).repartition(1)  # single batch: the worst case for partial top-k
+    q = spark.createDataFrame([(0, base)], ["query_id", "query_embedding"])
+
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        topk_similarity_blas,
+    )
+
+    got = sorted(
+        (r.query_id, r.vec_id, r.dist)
+        for r in topk_similarity_blas(corpus, q, k=3).collect()
+    )
+    assert got == [(0, 0, 0.0), (0, 1, 0.0), (0, 2, 0.0)]
