@@ -167,7 +167,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH w AS (
   SELECT doc_id, {SQL_TOKS.format(c='text')} AS w
-  FROM documents WHERE doc_id < 40
+  FROM documents WHERE doc_id < 400
 ), t AS (
   SELECT doc_id,
          CASE WHEN len(w) >= 3 THEN
@@ -187,9 +187,11 @@ FROM p WHERE round(i::DOUBLE / u, 4) > 0.0
 """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V8: exact 3-gram-shingle Jaccard over all pairs of a bounded
-    slice — the ground truth MinHash approximates."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    """V8: exact 3-gram-shingle Jaccard — the ground truth MinHash
+    approximates. Engine path prunes candidates via a shared-shingle
+    equi-join (no crossJoin); the all-pairs oracle is the spec it must
+    equal exactly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return dedup.ngram_jaccard_join(d, n=3, min_jaccard=0.0)
 
 
@@ -260,7 +262,7 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH tok AS (
   SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok
-  FROM documents WHERE doc_id < 300
+  FROM documents
 ), h AS (
   SELECT doc_id, {SQL_HASH32.format(c='tok')} AS hv FROM tok
 ), b AS (
@@ -281,6 +283,10 @@ WHERE a.doc_id < b.doc_id
 """,
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V8: SimHash near-dup pairs (hamming ≤ 3) over a bounded slice."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return dedup.simhash_neardup(d, max_hamming=3, n_bits=16)
+    """V8: SimHash near-dup pairs (hamming ≤ 3) over the FULL corpus.
+    The engine path is the banded equi-join (no crossJoin — see
+    operators/dedup.simhash_neardup); the oracle stays the all-pairs
+    spec, which the banded plan must equal exactly."""
+    return dedup.simhash_neardup(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_bits=16
+    )

@@ -63,3 +63,46 @@ def test_ngram_jaccard_ground_truth(crafted):
     assert got[(1, 2)] == 1.0
     assert 0.5 < got[(1, 4)] < 1.0
     assert (1, 5) not in got or got[(1, 5)] < 0.1
+
+
+def test_simhash_neardup_banded_equals_allpairs(spark):
+    """The banded equi-join must produce EXACTLY the all-pairs answer
+    (pigeonhole: hamming <= r pairs match in >= 1 of r+1 bands) — and
+    its physical plan must contain no cross join."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.plans.optimize import physical_plan
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    banded = dedup.simhash_neardup(d, max_hamming=3, n_bits=16)
+
+    plan = physical_plan(banded)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # all-pairs spec, computed inline
+    sh = dedup.simhash(d, n_bits=16)
+    a = sh.select(F.col("doc_id").alias("left_id"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("right_id"), F.col("simhash").alias("sh_b"))
+    spec = (
+        a.crossJoin(b)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("left_id", "right_id", "hamming")
+    )
+    got = {(r.left_id, r.right_id, r.hamming) for r in banded.collect()}
+    want = {(r.left_id, r.right_id, r.hamming) for r in spec.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ngram_jaccard_pruned_no_crossjoin(spark):
+    """Shared-shingle candidate pruning: no cross join in the plan."""
+    from resume_jd_matcher_spark.plans.optimize import physical_plan
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = physical_plan(dedup.ngram_jaccard_join(d, n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
