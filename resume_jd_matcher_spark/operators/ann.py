@@ -80,6 +80,39 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_vec: str = "left_embedding",
+    right_vec: str = "right_embedding",
+    dedup_pairs: bool = False,
+) -> DataFrame:
+    """ε-similarity join, LSH-bucketed: candidates are same-bucket
+    pairs (equi-join Catalyst hash-partitions on the bucket id — works
+    big×big, no broadcast, no crossJoin), then exact squared-L2 verify
+    under ``threshold``. Approximate by construction: cross-bucket near
+    pairs are missed (~(1-ε) recall tunable via n_planes); this is the
+    scale route ``choose_similarity_strategy`` picks when the estimated
+    pair count makes brute force intractable.
+
+    Output schema matches similarity_join_blas: (left_id, right_id,
+    dist)."""
+    lb = left.withColumn("_lb", lsh_signature(F.col(left_vec), n_planes))
+    rb = right.withColumn("_rb", lsh_signature(F.col(right_vec), n_planes))
+    cand = lb.join(rb, F.col("_lb") == F.col("_rb"))
+    d = squared_l2(F.col(left_vec), F.col(right_vec))
+    out = cand.select(
+        F.col(left_id), F.col(right_id), F.round(d, 4).alias("dist")
+    ).filter(F.col("dist") < F.lit(threshold))
+    if dedup_pairs:
+        out = out.filter(F.col(left_id) < F.col(right_id))
+    return out
+
+
 def ivf_centroids(
     corpus: DataFrame,
     partition_col: str = "label",

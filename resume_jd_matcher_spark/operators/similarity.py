@@ -133,3 +133,44 @@ def similarity_join(
     if dedup_pairs:
         out = out.filter(F.col(left_id) < F.col(right_id))
     return out
+
+
+def similarity_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_vec: str = "left_embedding",
+    right_vec: str = "right_embedding",
+    dedup_pairs: bool = False,
+    max_exact_pairs: int = 50_000_000,
+) -> DataFrame:
+    """V6 with cost-based routing (SURVEY.md §4): pick the physical
+    strategy from Catalyst's row-count estimates — no job runs to
+    decide. Tractable estimated pair count → exact BLAS brute force
+    (``similarity_join_blas``); beyond ``max_exact_pairs`` → the
+    LSH-bucketed candidates path (``ann.lsh_similarity_join``), whose
+    equi-join works big×big without materializing either side.
+
+    Both routes emit the same (left_id, right_id, dist) schema."""
+    from resume_jd_matcher_spark.operators.ann import lsh_similarity_join
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        similarity_join_blas,
+    )
+    from resume_jd_matcher_spark.plans.optimize import (
+        choose_similarity_strategy,
+    )
+
+    route = choose_similarity_strategy(left, right, max_exact_pairs)
+    if route == "exact":
+        return similarity_join_blas(
+            left, right, threshold, left_id, right_id, left_vec, right_vec,
+            dedup_pairs,
+        )
+    return lsh_similarity_join(
+        left, right, threshold,
+        left_id=left_id, right_id=right_id,
+        left_vec=left_vec, right_vec=right_vec,
+        dedup_pairs=dedup_pairs,
+    )

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.operators import similarity
 from resume_jd_matcher_spark.operators.similarity_blas import (
-    similarity_join_blas,
     topk_similarity_blas,
 )
 from resume_jd_matcher_spark.operators.ann import lsh_bucket_topk
@@ -118,7 +117,10 @@ WHERE round({SQL_SQL2.format(a='le', b='re')}, 4) < 1.5 AND left_id < right_id
 )
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V6: all pairs within squared-L2 distance 1.5 (left side bounded
-    to 50 query rows) — the batch generalization of top-k search."""
+    to 50 query rows) — the batch generalization of top-k search.
+    Routed by ``choose_similarity_strategy`` (Catalyst stats): at this
+    pair count it takes the exact BLAS path; past ``max_exact_pairs``
+    the same call degrades gracefully to LSH-bucketed candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("left_id"), F.col("embedding").alias("left_embedding")
@@ -126,7 +128,9 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = emb.select(
         F.col("vec_id").alias("right_id"), F.col("embedding").alias("right_embedding")
     )
-    return similarity_join_blas(left, right, threshold=1.5, dedup_pairs=True)
+    return similarity.similarity_join_auto(
+        left, right, threshold=1.5, dedup_pairs=True
+    )
 
 
 @register(
@@ -201,7 +205,9 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = emb.select(
         F.col("vec_id").alias("right_id"), F.col("embedding").alias("right_embedding")
     )
-    return similarity_join_blas(left, right, threshold=1.2, dedup_pairs=True)
+    return similarity.similarity_join_auto(
+        left, right, threshold=1.2, dedup_pairs=True
+    )
 
 
 _LSH_PLANES = 8

@@ -61,3 +61,42 @@ def test_choose_similarity_strategy(spark):
     assert (
         choose_similarity_strategy(emb, emb, max_exact_pairs=1000) == "lsh"
     )
+
+
+def test_similarity_join_auto_routes_to_lsh(spark):
+    """Above the pair-count threshold the router must engage the
+    LSH-bucketed route: equi-join on the bucket id (no crossJoin, no
+    MapInPandas), and every emitted pair must be a true under-threshold
+    pair (precision 1.0 — LSH trades recall, never correctness)."""
+    from resume_jd_matcher_spark.operators.similarity import (
+        similarity_join_auto,
+    )
+    from resume_jd_matcher_spark.plans.optimize import (
+        choose_similarity_strategy,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("left_embedding"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("right_embedding"),
+    )
+    assert choose_similarity_strategy(left, right, max_exact_pairs=100) == "lsh"
+
+    routed = similarity_join_auto(
+        left, right, threshold=1.2, dedup_pairs=True, max_exact_pairs=100
+    )
+    plan = physical_plan(routed)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan  # not the BLAS route
+
+    exact = similarity_join_auto(left, right, threshold=1.2, dedup_pairs=True)
+    assert "MapInPandas" in physical_plan(exact)  # default: BLAS route
+
+    got = {(r.left_id, r.right_id) for r in routed.collect()}
+    want = {(r.left_id, r.right_id) for r in exact.collect()}
+    assert got <= want          # no false pairs
+    assert len(got) > 0         # buckets do surface near pairs

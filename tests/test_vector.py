@@ -144,3 +144,66 @@ def test_topk_blas_duplicate_vector_tiebreak(spark):
         for r in topk_similarity_blas(corpus, q, k=3).collect()
     )
     assert got == [(0, 0, 0.0), (0, 1, 0.0), (0, 2, 0.0)]
+
+
+def test_blas_large_probe_side_chunked(spark):
+    """A 10k-row probe side must work through the broadcast + chunked
+    path (multiple _PROBE_CHUNK slices) with bounded executor temp
+    memory, and still honor per-query top-k."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        topk_similarity_blas,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    # tile the fixture out to 10k probe rows with distinct ids
+    probes = (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        .crossJoin(spark.range(20).select((F.col("id") * 100000).alias("off")))
+        .select(
+            (F.col("query_id") + F.col("off")).alias("query_id"),
+            "query_embedding",
+        )
+        .limit(10000)
+    )
+    n_probes = probes.count()
+    assert n_probes == 10000
+    out = topk_similarity_blas(corpus, probes, k=1)
+    # exactly one nearest neighbor per probe: a self-match (dist 0) for
+    # every probe that is a tiling of a corpus vector
+    assert out.count() == n_probes
+    assert out.filter(F.col("dist") == 0.0).count() == n_probes
+
+
+def test_blas_probe_ceiling_raises(spark):
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        similarity_join_blas,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("left_id"), F.col("embedding").alias("left_embedding")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("right_id"), F.col("embedding").alias("right_embedding")
+    )
+    import pytest as _pytest
+
+    from resume_jd_matcher_spark.operators import similarity_blas as sb
+
+    old = sb.MAX_PROBE_DRIVER_ROWS
+    try:
+        sb.MAX_PROBE_DRIVER_ROWS = 10
+        with _pytest.raises(ValueError, match="probe side"):
+            similarity_join_blas(left, right, threshold=1.0)
+    finally:
+        sb.MAX_PROBE_DRIVER_ROWS = old
