@@ -28,6 +28,7 @@ from resume_jd_matcher_spark.functions.text import (
     seeded_hash32,
     tokens,
 )
+from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
 # DataFrames persisted by operators in this module (MinHash signatures
 # feed three consumers, so they cache). Long-lived sessions — bench
@@ -73,6 +74,7 @@ def minhash_signatures(
     Long form keeps the whole computation as two narrow shuffles
     (explode → groupBy) instead of a per-row Python loop.
     """
+    df = ensure_parallelism(df)  # small single-file scans = 1 split
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
@@ -169,6 +171,9 @@ def simhash(
     n_bits contributes +1/-1; fingerprint bit = sign of the sum.
     Output: (id, simhash BIGINT).
     """
+    # The per-token md5 below is the CPU hot loop — a small single-file
+    # scan arrives as ONE split, so fan out before the explode.
+    df = ensure_parallelism(df)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hv = toks.select(
         id_col,
@@ -237,6 +242,14 @@ def simhash_neardup(
     hash-partitions it, no crossJoin anywhere. The popcount verify
     inside each bucket makes the result EXACTLY equal to the all-pairs
     spec (pigeonhole guarantees no true pair is missed)."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(n_bits, n_bands)
+    specs, start = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        specs.append((i, start, width))
+        start += width
+
     sh = simhash(df, n_bits, id_col, text_col)
     bands = simhash_bands(sh, max_hamming, n_bits, id_col)
     a = bands.select(
@@ -254,15 +267,24 @@ def simhash_neardup(
     pairs = a.join(b, ["band_id", "band_val"]).filter(
         F.col("left_id") < F.col("right_id")
     )
+    # A close pair can match in several bands. Instead of a distinct()
+    # (a full shuffle of the pair set), keep a pair only in its FIRST
+    # matching band — decidable row-locally since both fingerprints are
+    # in the row: require every earlier band to mismatch.
+    def band_eq(s: int, w: int):
+        m = (1 << w) - 1
+        return F.expr(f"((sh_a >> {s}) & {m}) = ((sh_b >> {s}) & {m})")
+
+    first_match = F.lit(False)  # any earlier band matched?
+    cond = F.lit(True)
+    for i, s, w in specs:
+        cond = F.when(F.col("band_id") == i, ~first_match).otherwise(cond)
+        first_match = first_match | band_eq(s, w)
     return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int")
-        )
+        pairs.filter(cond)
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        # a close pair can match in several bands — dedup the pair, not
-        # the band hit (hamming is a pure function of the pair)
         .select("left_id", "right_id", "hamming")
-        .distinct()
     )
 
 
@@ -286,30 +308,37 @@ def ngram_jaccard_join(
     anyway."""
     from resume_jd_matcher_spark.functions.text import shingles
 
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col),
         shingles(tokens(text_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    # Candidate generation: one row per (doc, distinct shingle); pairs
-    # sharing any shingle meet in the equi-join.
+    # One row per (doc, distinct shingle). Pairs sharing any shingle
+    # meet in the equi-join, and because shingle sets are distinct,
+    # count(*) per pair IS |A ∩ B| — no array_intersect, no join back
+    # to the shingle arrays, just set sizes.
     ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    cand = (
+    inter = (
         ex.select(F.col(id_col).alias("left_id"), "shingle")
         .join(ex.select(F.col(id_col).alias("right_id"), "shingle"), "shingle")
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
-        .distinct()
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_inter"))
     )
-    a = sh.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_b"))
-    pairs = cand.join(a, "left_id").join(b, "right_id")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    pairs = (
+        inter.join(sizes.select(F.col(id_col).alias("left_id"),
+                                F.col("n_sh").alias("n_a")), "left_id")
+        .join(sizes.select(F.col(id_col).alias("right_id"),
+                           F.col("n_sh").alias("n_b")), "right_id")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
         pairs.select(
             "left_id",
             "right_id",
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+            F.round(
+                F.col("n_inter").cast("double") / union.cast("double"), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") > min_jaccard)
     )
