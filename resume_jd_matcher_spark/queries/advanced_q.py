@@ -463,3 +463,64 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     )
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str):
+    """Write orders/customer as bucketed+sorted tables once per
+    (session, sf_dir) — the storage-side lever that makes every later
+    join on the bucket key shuffle-free (tests/test_bucketing.py
+    asserts the no-Exchange plan). Lives in the session warehouse dir;
+    reused on subsequent calls."""
+    import hashlib
+    import shutil
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+    def ensure(table: str, source: str, bucket_col: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # A fresh session's in-memory catalog forgets managed tables,
+        # but their warehouse directories survive — clear the stale
+        # location so saveAsTable can recreate deterministically.
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh.rstrip('/')}/{table}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, source)
+            .write.bucketBy(8, bucket_col)
+            .sortBy(bucket_col)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+    to, tc = f"bkt_orders_{key}", f"bkt_customer_{key}"
+    ensure(to, "orders", "o_custkey")
+    ensure(tc, "customer", "c_custkey")
+    return spark.table(to), spark.table(tc)
+
+
+@register(
+    "bucketed_join",
+    """
+SELECT c.c_nationkey AS nationkey,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 via bucketed storage: both sides pre-bucketed (and sorted)
+    on the join key, so the join needs no shuffle exchange — at scale
+    this is THE repeated-join lever (write once, join shuffle-free
+    forever). Result is identical to the plain join, which is what the
+    oracle checks; the plan shape (SortMergeJoin, zero Exchange) is
+    asserted in tests/test_bucketing.py."""
+    bo, bc = _bucketed_pair(spark, sf_dir)
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -165,3 +165,80 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_media(d), every=64)
+
+
+@register(
+    "stream_late_data",
+    """
+WITH mx AS (
+  SELECT max(ts) AS max_all, max(ts) - INTERVAL 2 DAY AS cutoff FROM events
+), flags AS (
+  SELECT e.event_id, e.event_type, e.value, e.ts,
+         (e.ts <= mx.cutoff AND e.event_id % 5 = 0) AS straggler,
+         date_trunc('day', e.ts) + INTERVAL 1 DAY AS wend,
+         mx.cutoff, mx.max_all
+  FROM events e, mx
+), b1 AS (
+  SELECT max(ts) AS max_b1 FROM flags WHERE ts <= cutoff AND NOT straggler
+), acc AS (
+  SELECT f.* FROM flags f, b1
+  WHERE ((f.ts <= f.cutoff AND NOT f.straggler)
+         OR f.wend > b1.max_b1 - INTERVAL 1 HOUR)
+    AND f.wend <= f.max_all - INTERVAL 1 HOUR
+)
+SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total_value
+FROM acc
+GROUP BY 1, 2
+""",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G batch twin of the WATERMARK-DISCARDS-LATE-ROWS contract.
+
+    Replay model (streaming/events.stage_events_phased): rows up to
+    cutoff = max_ts − 2 days arrive first (minus every 5th event, held
+    back as stragglers); the stream tail + stragglers arrive in a
+    second micro-batch. With a 1 h watermark the first batch leaves
+    the watermark at max(on-time ts) − 1 h, so a replayed straggler is
+    accepted only if its 1-day window is still open; append mode emits
+    exactly the windows the final watermark has closed. This query
+    computes that accept/emit rule deterministically in batch;
+    tests/test_streaming.py asserts the real two-phase checkpointed
+    stream produces IDENTICAL rows."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(
+        F.max("ts").alias("max_all"),
+        (F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("cutoff"),
+    )
+    f = e.crossJoin(F.broadcast(mx))
+    straggler = (F.col("ts") <= F.col("cutoff")) & (F.col("event_id") % 5 == 0)
+    b1 = (
+        f.filter((F.col("ts") <= F.col("cutoff")) & ~straggler)
+        .agg(F.max("ts").alias("max_b1"))
+    )
+    g = f.crossJoin(F.broadcast(b1))
+    wend = F.to_timestamp(F.date_trunc("day", F.col("ts"))) + F.expr(
+        "INTERVAL 1 DAY"
+    )
+    accepted = g.filter(
+        (
+            ((F.col("ts") <= F.col("cutoff")) & ~straggler)
+            | (wend > F.col("max_b1") - F.expr("INTERVAL 1 HOUR"))
+        )
+        & (wend <= F.col("max_all") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        accepted.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -101,6 +101,98 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
 
 
+def stage_events_phased(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: str,
+    cutoff_days: int = 2,
+    straggler_mod: int = 5,
+) -> tuple[str, str]:
+    """Split the events fixture into two replay files modeling late
+    data:
+
+    - ``00_ontime.parquet``: rows with ts ≤ cutoff (= max_ts − 2 days),
+      minus every ``straggler_mod``-th event;
+    - ``01_late.parquet``: everything else — the stream tail PLUS the
+      held-back stragglers, which by then are late by > watermark for
+      all but the most recent closed window.
+
+    Returns the two file paths (raw LONG-nanos schema, ready for
+    EVENTS_SCHEMA readStream)."""
+    import glob
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    cutoff_ns = max_ns - cutoff_days * 86_400 * 10**9
+    straggler = (F.col("ts") <= cutoff_ns) & (
+        F.col("event_id") % straggler_mod == 0
+    )
+    ontime = raw.filter((F.col("ts") <= cutoff_ns) & ~straggler)
+    late = raw.filter((F.col("ts") > cutoff_ns) | straggler)
+
+    os.makedirs(stage, exist_ok=True)
+    paths = []
+    for tag, df, mtime in (("00_ontime", ontime, 1000), ("01_late", late, 2000)):
+        dst = os.path.join(stage, f"{tag}.parquet")
+        if not os.path.exists(dst):
+            tmp = os.path.join(stage, f"_tmp_{tag}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+        paths.append(dst)
+    return paths[0], paths[1]
+
+
+def run_phased_stream(
+    spark: SparkSession,
+    stage: str,
+    transform,
+    out_dir: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Drive ``transform(stream_df)`` over the phased stage dir as TWO
+    sequential availableNow runs sharing one checkpoint + parquet sink:
+    run 1 sees only the on-time file; run 2 picks up the late file with
+    the watermark state restored from the checkpoint — so
+    genuinely-late rows are discarded exactly as they would be on a
+    live stream. Returns the sink read back as a batch DataFrame
+    (append-mode output of both runs)."""
+    import glob
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+    # One stable source dir (the checkpoint pins the source path);
+    # each phase symlinks the next file in before re-running.
+    view = os.path.join(stage, "_view")
+    os.makedirs(view, exist_ok=True)
+    for f in files:
+        link = os.path.join(view, os.path.basename(f))
+        if not os.path.exists(link):
+            os.symlink(f, link)
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .load(view)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = (
+            transform(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -70,3 +70,42 @@ def test_sessionize_matches_native_session_window(spark):
     a = sorted(map(tuple, ours.select("user_id", "n_events").collect()))
     b = sorted(map(tuple, native.collect()))
     assert a == b
+
+
+@pytest.mark.slow
+def test_late_data_stream_equals_batch_twin(spark):
+    """Two availableNow runs sharing a checkpoint: the watermark
+    carried across the restart must discard the replayed stragglers,
+    and the appended output must equal the registered batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from resume_jd_matcher_spark.queries.stream_q import q_stream_late_data
+    from resume_jd_matcher_spark.streaming.events import (
+        run_phased_stream,
+        stage_events_phased,
+        tumbling_counts,
+    )
+
+    root = tempfile.mkdtemp(prefix="late_stream_")
+    try:
+        stage = os.path.join(root, "stage")
+        stage_events_phased(spark, SF, stage)
+        got = run_phased_stream(
+            spark,
+            stage,
+            tumbling_counts,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+        )
+        assert _rows(got) == _rows(q_stream_late_data(spark, SF))
+        # the drop is real: fewer aggregated rows than the full table
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        n_aggregated = got.agg(F.sum("n")).collect()[0][0]
+        assert n_aggregated < load_table(spark, SF, "events").count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
