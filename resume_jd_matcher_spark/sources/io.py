@@ -148,6 +148,59 @@ def format_dispatch(df: DataFrame, path_col: str = "path") -> DataFrame:
     )
 
 
+def decode_documents(df: DataFrame) -> DataFrame:
+    """SRC1/SRC2/SRC3 decode stage: binary rows (from
+    ``scan_binary_files`` + ``format_dispatch``) → extracted text.
+
+    Arrow-batched ``mapInPandas``; per row the route's codec runs
+    (pymupdf/docx2txt when importable, pure-Python fallbacks otherwise
+    — functions/codecs.py). Decode failures become ``decode_error``
+    rows and quarantined formats pass through untouched: at scale one
+    corrupt file must never kill the scan (the reference raised
+    ValueError per bad upload, utils.py:18-19).
+
+    Output: (path, route, text, status ∈ ok|decode_error|quarantine).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from resume_jd_matcher_spark.functions.codecs import CODECS, DecodeError
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("route", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    flat = df.select("path", "route", "content")
+
+    def gen(batches):
+        for pdf in batches:
+            paths, routes, texts, statuses = [], [], [], []
+            for path, route, blob in zip(
+                pdf["path"], pdf["route"], pdf["content"]
+            ):
+                codec = CODECS.get(route)
+                if codec is None:
+                    text, status = None, "quarantine"
+                else:
+                    try:
+                        text, status = codec(bytes(blob)), "ok"
+                    except DecodeError:
+                        text, status = None, "decode_error"
+                paths.append(path)
+                routes.append(route)
+                texts.append(text)
+                statuses.append(status)
+            yield pd.DataFrame(
+                {"path": paths, "route": routes, "text": texts, "status": statuses}
+            )
+
+    return flat.mapInPandas(gen, out_schema)
+
+
 def concat_pages(
     pages: DataFrame,
     doc_col: str = "doc_id",

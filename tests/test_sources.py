@@ -62,3 +62,76 @@ def test_parquet_sink_roundtrip(spark, tmp_path_factory):
     write_parquet(df, d, partition_by=["v"])
     back = spark.read.parquet(d)
     assert sorted(map(tuple, back.select("k", "v").collect())) == [(1, "a"), (2, "b")]
+
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_codecs_golden_bytes():
+    """Pure-codec contract on REAL file bytes (no Spark): the checked-in
+    PDF/DOCX fixtures decode to their known text."""
+    from resume_jd_matcher_spark.functions.codecs import (
+        DecodeError,
+        docx_extract_text,
+        pdf_extract_text,
+        txt_extract_text,
+    )
+
+    pdf = open(os.path.join(FIXTURES, "resume.pdf"), "rb").read()
+    text = pdf_extract_text(pdf)
+    assert "Jane Doe Resume" in text
+    assert "Skills: Apache Spark (PySpark)" in text  # escaped parens
+
+    docx = open(os.path.join(FIXTURES, "resume.docx"), "rb").read()
+    text = docx_extract_text(docx)
+    assert text.splitlines() == [
+        "John Smith Resume",
+        "Skills: SQL & Spark",   # entity decoded
+        "Education: CS degree",
+    ]
+
+    assert txt_extract_text(b"plain\n") == "plain\n"
+
+    import pytest as _pytest
+
+    with _pytest.raises(DecodeError):
+        pdf_extract_text(b"not a pdf")
+    with _pytest.raises(DecodeError):
+        docx_extract_text(b"not a zip")
+
+
+def test_binary_scan_decode_pipeline(spark):
+    """SRC1/SRC2 end-to-end on real bytes: distributed binary scan →
+    extension dispatch → mapInPandas decode; corrupt and unsupported
+    files survive as decode_error/quarantine rows."""
+    import shutil
+    import tempfile
+
+    from resume_jd_matcher_spark.sources.io import (
+        decode_documents,
+        scan_binary_files,
+    )
+
+    work = tempfile.mkdtemp(prefix="codec_scan_")
+    try:
+        for name in ("resume.pdf", "resume.docx", "resume.txt", "malware.xyz"):
+            shutil.copy(os.path.join(FIXTURES, name), work)
+        # a corrupt PDF: right extension, wrong bytes
+        with open(os.path.join(work, "broken.pdf"), "wb") as f:
+            f.write(b"\xde\xad\xbe\xef")
+
+        scanned = format_dispatch(scan_binary_files(spark, work))
+        out = {
+            os.path.basename(r.path): r
+            for r in decode_documents(scanned).collect()
+        }
+        assert "Jane Doe Resume" in out["resume.pdf"].text
+        assert out["resume.pdf"].status == "ok"
+        assert "John Smith Resume" in out["resume.docx"].text
+        assert out["resume.docx"].status == "ok"
+        assert out["resume.txt"].text.startswith("Plain text resume")
+        assert out["malware.xyz"].status == "quarantine"
+        assert out["malware.xyz"].text is None
+        assert out["broken.pdf"].status == "decode_error"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
