@@ -107,15 +107,20 @@ def stage_events_phased(
     stage: str,
     cutoff_days: int = 2,
     straggler_mod: int = 5,
+    mode: str = "holdback",
 ) -> tuple[str, str]:
     """Split the events fixture into two replay files modeling late
-    data:
+    data. ``mode``:
 
-    - ``00_ontime.parquet``: rows with ts ≤ cutoff (= max_ts − 2 days),
-      minus every ``straggler_mod``-th event;
-    - ``01_late.parquet``: everything else — the stream tail PLUS the
-      held-back stragglers, which by then are late by > watermark for
-      all but the most recent closed window.
+    - ``holdback`` (late-aggregation demo): ``00_ontime.parquet`` =
+      rows with ts ≤ cutoff (= max_ts − 2 days) minus every
+      ``straggler_mod``-th event; ``01_late.parquet`` = everything
+      else — the stream tail PLUS the held-back stragglers, late
+      beyond the watermark for all but the most recent open window.
+    - ``duplicate`` (dedup-state demo): ``00_ontime.parquet`` = ALL
+      rows with ts ≤ cutoff; ``01_late.parquet`` = the tail PLUS an
+      exact replay of every ``straggler_mod``-th pre-cutoff event —
+      duplicates whose dedup state may already be watermark-evicted.
 
     Returns the two file paths (raw LONG-nanos schema, ready for
     EVENTS_SCHEMA readStream)."""
@@ -127,11 +132,19 @@ def stage_events_phased(
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     max_ns = raw.agg(F.max("ts")).collect()[0][0]
     cutoff_ns = max_ns - cutoff_days * 86_400 * 10**9
-    straggler = (F.col("ts") <= cutoff_ns) & (
+    replayed = (F.col("ts") <= cutoff_ns) & (
         F.col("event_id") % straggler_mod == 0
     )
-    ontime = raw.filter((F.col("ts") <= cutoff_ns) & ~straggler)
-    late = raw.filter((F.col("ts") > cutoff_ns) | straggler)
+    if mode == "holdback":
+        ontime = raw.filter((F.col("ts") <= cutoff_ns) & ~replayed)
+        late = raw.filter((F.col("ts") > cutoff_ns) | replayed)
+    elif mode == "duplicate":
+        ontime = raw.filter(F.col("ts") <= cutoff_ns)
+        late = raw.filter(F.col("ts") > cutoff_ns).unionByName(
+            raw.filter(replayed)
+        )
+    else:
+        raise ValueError(f"unknown phased-replay mode: {mode!r}")
 
     os.makedirs(stage, exist_ok=True)
     paths = []
