@@ -1,0 +1,121 @@
+"""Cluster resolution for near-duplicate candidate pairs (north-star
+dedup suite, the step after MinHash/SimHash candidate generation).
+
+LSH emits *pairs*; a training-data pipeline needs *clusters* — one
+canonical representative per group of mutual near-duplicates, so the
+keep/drop decision is transitive (A~B and B~C must land A, B, C in one
+cluster even if A,C were never a candidate pair). That is connected
+components over the candidate-pair graph.
+
+The reference deduplicates nothing (every upload re-embeds everything,
+``/root/reference/app.py:145-157``); this operator is the [EXT]
+scale-path completion of V8 in SURVEY.md §2.C.
+
+Implementation: iterative hash-min label propagation on DataFrames —
+``label(v) ← min(label(v), min over neighbours u of label(u))`` until a
+fixpoint. Each round is one shuffle join + one hash aggregate, both on
+the node id, and converges in O(graph diameter) rounds. Near-dup
+graphs are dense blobs with tiny diameters (duplicates of the same
+underlying document), so 3-5 rounds is typical; ``max_iter`` bounds
+pathological chains. For adversarial long-chain graphs at extreme
+scale, the two-phase large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") halves the round count;
+the per-round dataflow below is identical, so it is a drop-in upgrade.
+
+Scale notes:
+- ``localCheckpoint(eager=True)`` after every round truncates lineage —
+  without it the plan doubles per iteration and Catalyst analysis time
+  explodes long before data size matters.
+- The edge list is persisted once and reused every round (it is the
+  join probe side each time).
+- The convergence check is a single ``limit(1).count()`` over the
+  changed-label rows — it short-circuits, no full materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns one row per node: ``(node, cluster_rep)`` where
+    ``cluster_rep`` is the minimum node id reachable from ``node`` —
+    the deterministic canonical representative.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("label").alias("nbr_label")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbr_label").alias("nbr_label"))
+            )
+            nxt = (
+                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+                .select(
+                    "node",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.filter(F.col("label") != F.col("old_label")).limit(1).count()
+            )
+            labels = nxt.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_rep"))
+
+
+def dedup_clusters(
+    candidates: DataFrame,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Candidate pairs → per-document cluster assignment with sizes.
+
+    Output: ``(doc_id, cluster_rep, cluster_size)`` for every document
+    that appears in at least one candidate pair. Downstream keep/drop
+    policy is then a trivial filter (``doc_id = cluster_rep`` keeps one
+    representative per near-dup cluster).
+    """
+    comp = connected_components(candidates, src, dst, max_iter)
+    sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_rep")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_rep",
+            "cluster_size",
+        )
+    )

@@ -120,3 +120,68 @@ def scd2_merge(
     return closed_rows.unionByName(still_open).unionByName(closed_now).unionByName(
         new_versions
     )
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    max_gap_s: int = 300,
+) -> DataFrame:
+    """Scale-safe band join: pairs of rows sharing ``key_col`` whose
+    timestamps are within ``max_gap_s`` seconds of each other.
+
+    The naive plan for ``|t_a - t_b| <= δ`` is a theta join — Spark
+    executes it as BroadcastNestedLoopJoin (O(N·M) comparisons), the
+    classic range-join bottleneck. This operator rewrites it as an
+    EQUI-join Catalyst can hash-partition: bucket time into bins of
+    width δ, explode the left side into its 3 adjacent bins
+    (bin-1, bin, bin+1), join on (key, bin), then refine with the
+    exact band predicate. A matching pair's bins differ by at most 1,
+    so the candidate set is a superset of the answer; each surviving
+    pair matches in EXACTLY one exploded bin (the right row's own),
+    so no dedup pass is needed.
+
+    Cost at scale: shuffle is keyed on (key, bin) — 3× the left input
+    rows, never N·M. Same trick Flink/Trino apply for interval joins.
+
+    Timestamps compare in integer MICROSECONDS (``unix_micros``) so
+    the refine predicate is exact — no float boundary.
+
+    Output: (left_id, right_id, key, gap_us) with left_id < right_id.
+    """
+    delta_us = max_gap_s * 1_000_000
+    a = left.select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.unix_micros(ts_col).alias("us_a"),
+    ).withColumn(
+        "bin",
+        # integer div (no float rounding near bin edges), then ±1
+        F.explode(
+            F.expr(
+                f"array(us_a div {delta_us} - 1,"
+                f" us_a div {delta_us},"
+                f" us_a div {delta_us} + 1)"
+            )
+        ),
+    )
+    b = right.select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("right_id"),
+        F.unix_micros(ts_col).alias("us_b"),
+    ).withColumn("bin", F.expr(f"us_b div {delta_us}"))
+    return (
+        a.join(b, ["k", "bin"])
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= delta_us)
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.col("k").alias("key"),
+            F.abs(F.col("us_a") - F.col("us_b")).alias("gap_us"),
+        )
+    )

@@ -140,3 +140,70 @@ def fingerprints(
 ) -> DataFrame:
     """Document fingerprint (md5 over normalized text)."""
     return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every k-gram of word tokens with the
+    portable hash32, slide a window of ``w`` consecutive gram hashes
+    over the document, keep the minimum of each window, and emit the
+    DISTINCT selected hashes as the document's fingerprint set.
+
+    Guarantees: any shared token run of length ≥ k + w - 1 between two
+    documents contributes at least one common fingerprint — the
+    position-robust containment/overlap detector the flat md5
+    fingerprint (``fingerprints``) cannot provide.
+
+    Long-form dataflow, no nested-lambda array ops: posexplode the
+    tokens once, build each k-gram from ``lead()`` over the per-doc
+    position order, then a bounded ``min() OVER`` for the window
+    minimum — two window functions sharing ONE partition spec, so
+    Spark evaluates them in a single per-doc sort, whole-stage
+    codegen'd end to end. Parallelism is per-document; the only
+    shuffle is the final distinct.
+
+    Output: (id, fp BIGINT) distinct — long form, ready for a
+    fingerprint-equality self-join (candidate generation) or a
+    groupBy(fp) posting list.
+    """
+    from resume_jd_matcher_spark.functions.text import hash32 as _h32
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    # Per-gram md5 is the CPU hot loop; a small single-file scan
+    # arrives as ONE split — fan out before computing gram hashes.
+    df = ensure_parallelism(df)
+
+    tok_pos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("i", "tok")
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("i")
+    gram_parts = [F.col("tok")] + [F.lead("tok", j).over(by_pos) for j in range(1, k)]
+    n_tok = F.count("*").over(Window.partitionBy(id_col))
+    grams = (
+        tok_pos.select(
+            id_col,
+            "i",
+            (n_tok - F.lit(k - 1)).alias("n_grams"),
+            F.concat_ws(" ", *gram_parts).alias("gram"),
+        )
+        # positions past n-k have NULL leads — not real k-grams
+        .filter(F.col("i") < F.col("n_grams"))
+        .withColumn("h", _h32(F.col("gram")))
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("n_grams") - w)
+        .select(id_col, "fp")
+        .distinct()
+    )

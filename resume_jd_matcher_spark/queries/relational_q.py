@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from resume_jd_matcher_spark.operators import relational
 from resume_jd_matcher_spark.queries import register
 from resume_jd_matcher_spark.sources.io import load_table
 
@@ -446,4 +447,99 @@ def q_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return format_dispatch(paths).select(
         "doc_id", "path", "ext", "route", "safe_name"
+    )
+
+
+@register(
+    "range_join_binned",
+    """
+SELECT a.event_id AS left_id,
+       b.event_id AS right_id,
+       a.user_id AS key,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+""",
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 scale path: band join (|t_a - t_b| <= 300 s, same user)
+    rewritten as an equi-join on (user, time-bin) with a 3-bin
+    explode — a hash join Catalyst can partition, instead of the
+    BroadcastNestedLoopJoin the theta predicate (the oracle's plain
+    form) would execute. Integer-microsecond compares; no float
+    boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.binned_interval_join(ev, ev, "user_id", max_gap_s=300)
+
+
+@register(
+    "rollup_timeseries",
+    """
+WITH base AS (
+  SELECT date_trunc('minute', ts) AS m,
+         event_type,
+         floor(value * 1000000)::BIGINT AS v_us
+  FROM events
+), minute AS (
+  SELECT m AS bucket, event_type,
+         count(*)::BIGINT AS n_events, sum(v_us)::BIGINT AS sum_v_us
+  FROM base GROUP BY m, event_type
+), hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         sum(n_events)::BIGINT AS n_events, sum(sum_v_us)::BIGINT AS sum_v_us
+  FROM minute GROUP BY 1, 2
+), day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         sum(n_events)::BIGINT AS n_events, sum(sum_v_us)::BIGINT AS sum_v_us
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, floor(epoch(bucket))::BIGINT AS bucket_epoch,
+       event_type, n_events, sum_v_us FROM minute
+UNION ALL
+SELECT 'hour', floor(epoch(bucket))::BIGINT, event_type, n_events, sum_v_us FROM hour
+UNION ALL
+SELECT 'day', floor(epoch(bucket))::BIGINT, event_type, n_events, sum_v_us FROM day
+""",
+)
+def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: minute aggregate computed
+    once from raw events, then hour REUSES the minute partials and day
+    reuses hour — the continuous-aggregate cascade. At 100 TB the raw
+    table is touched exactly once; each coarser grain re-aggregates
+    ~60× fewer rows. Sums carried as integer micro-units (floor(v*1e6))
+    so the cascade is associative and bit-exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("minute", "ts").alias("bucket"),
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).alias("v_us"),
+    )
+    minute = base.groupBy("bucket", "event_type").agg(
+        F.count("*").alias("n_events"), F.sum("v_us").alias("sum_v_us")
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_v_us").alias("sum_v_us"))
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_v_us").alias("sum_v_us"))
+    )
+
+    def _grain(df: DataFrame, g: str) -> DataFrame:
+        return df.select(
+            F.lit(g).alias("grain"),
+            F.unix_timestamp("bucket").alias("bucket_epoch"),
+            "event_type",
+            "n_events",
+            "sum_v_us",
+        )
+
+    return _grain(minute, "minute").unionByName(_grain(hour, "hour")).unionByName(
+        _grain(day, "day")
     )

@@ -242,3 +242,32 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "stream_attribution_join",
+    """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.ts <= p.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+""",
+)
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G batch twin of streaming/events.stream_stream_join: every
+    purchase joined to the same user's clicks in the preceding 300 s.
+    On a live stream both sides carry watermarks and the time-bound
+    join condition lets Spark evict buffered state; the batch run of
+    the identical dataflow is what the oracle checks
+    (tests/test_streaming.py asserts stream == batch)."""
+    from resume_jd_matcher_spark.streaming.events import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_stream_join(ev, max_gap_s=300)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from resume_jd_matcher_spark.operators import cluster as clusterop
 from resume_jd_matcher_spark.operators import dedup, textstats
 from resume_jd_matcher_spark.queries import register
 from resume_jd_matcher_spark.sources.io import load_table
@@ -289,4 +290,142 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec, which the banded plan must equal exactly."""
     return dedup.simhash_neardup(
         load_table(spark, sf_dir, "documents"), max_hamming=3, n_bits=16
+    )
+
+
+_MINHASH_EST_CTE = f"""
+docs AS (
+  SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({SQL_HASH32.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.left_id, c.right_id,
+         round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.left_id
+  JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+  GROUP BY c.left_id, c.right_id
+)"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_MINHASH_EST_CTE},
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM est WHERE est_jaccard >= 0.95
+  UNION ALL
+  SELECT right_id AS a, left_id AS b FROM est WHERE est_jaccard >= 0.95
+), reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+), labels AS (
+  SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node
+)
+SELECT l.node AS doc_id, l.cluster_rep, c.cluster_size
+FROM labels l
+JOIN (SELECT cluster_rep, count(*) AS cluster_size
+      FROM labels GROUP BY cluster_rep) c USING (cluster_rep)
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 completion: MinHash-LSH candidate pairs → transitive
+    near-dup CLUSTERS via iterative hash-min connected components
+    (operators/cluster.py). The oracle is a DuckDB recursive CTE
+    computing min-reachable-id per node — the same fixpoint the
+    Spark loop converges to. Keep/drop policy downstream is
+    ``doc_id = cluster_rep``."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.95
+    )
+    return clusterop.dedup_clusters(edges)
+
+
+@register(
+    "winnow_fingerprint",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id,
+         len(toks) - 3 AS n_grams,
+         i,
+         {SQL_HASH32.format(c="array_to_string(toks[i:i+3], ' ')")} AS h
+  FROM t, unnest(generate_series(1, len(toks) - 3)) AS s(i)
+  WHERE len(toks) >= 4
+), wmin AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM pos
+)
+SELECT DISTINCT doc_id, fp
+FROM wmin
+WHERE i <= n_grams - 4
+""",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/V8: winnowing (MOSS) fingerprint sets — rolling k-gram
+    hashes, per-window minima, distinct. k=4 tokens, window w=5.
+    Position-robust overlap detection the flat md5 fingerprint
+    can't do. Oracle mirrors the exact window-min semantics."""
+    return textstats.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=4, w=5
+    )
+
+
+@register(
+    "heavy_hitters",
+    f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKS.format(c='text')}) AS token FROM documents
+), tf AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS total FROM tf
+)
+SELECT token, cnt,
+       round(cnt::DOUBLE / total + 1e-12, 8) AS share
+FROM tf, tot
+WHERE cnt >= 50
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 scale op: corpus-wide heavy hitters (tokens with support
+    >= 50) and their corpus share. explode -> hash agg is map-side
+    combined (shuffle carries one row per distinct token per
+    partition); the grand total rides a broadcast scalar, not a
+    single-partition window."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tf.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.filter(F.col("cnt") >= 50)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total") + F.lit(1e-12), 8).alias("share"),
+        )
     )

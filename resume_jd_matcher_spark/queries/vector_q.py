@@ -309,3 +309,92 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=2,
     )
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), p AS (
+  SELECT vec_id, v,
+         list_aggregate(v, 'min') AS mn,
+         list_aggregate(v, 'max') AS mx
+  FROM e
+), q AS (
+  SELECT vec_id, v, mn, mx,
+         CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS scale
+  FROM p
+), err AS (
+  SELECT vec_id, mn, mx, scale,
+         list_transform(
+           v, x -> abs(x - (mn + round((x - mn) / scale + 1e-12) * scale))
+         ) AS errs,
+         len(v) AS d
+  FROM q
+)
+SELECT vec_id,
+       round(mn + 1e-9, 6) AS v_min,
+       round(mx + 1e-9, 6) AS v_max,
+       round(list_aggregate(errs, 'max') + 1e-9, 6) AS max_abs_err,
+       round(list_sum(list_transform(errs, x -> x * x)) / d + 1e-9, 9) AS mse
+FROM err
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] int8 scalar quantization of the embedding column — the
+    memory-side scale lever for ANN (4 bytes -> 1 byte per dim, 4×
+    more vectors per executor). Per-vector (min, max) affine code:
+    q = round((x - mn)/scale), scale = (mx - mn)/255. The query
+    surfaces the reconstruction-error profile (max-abs + MSE per
+    vector) — entirely native array lambdas on both engines, no UDF.
+    Constant vectors take scale=1 so the code degenerates to q=0,
+    err=0 (no div-by-zero)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    p = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    ).withColumn(
+        "scale",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+            (F.col("mx") - F.col("mn")) / F.lit(255.0)
+        ),
+    )
+    err = p.select(
+        "vec_id",
+        "mn",
+        "mx",
+        "scale",
+        F.transform(
+            "v",
+            lambda x: F.abs(
+                x
+                - (
+                    F.col("mn")
+                    + F.round((x - F.col("mn")) / F.col("scale") + F.lit(1e-12), 0)
+                    * F.col("scale")
+                )
+            ),
+        ).alias("errs"),
+        F.size("v").alias("d"),
+    )
+    sum_sq = F.aggregate(
+        F.transform("errs", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    eps = F.lit(1e-9)
+    return err.select(
+        "vec_id",
+        F.round(F.col("mn") + eps, 6).alias("v_min"),
+        F.round(F.col("mx") + eps, 6).alias("v_max"),
+        F.round(F.array_max("errs") + eps, 6).alias("max_abs_err"),
+        F.round(sum_sq / F.col("d") + eps, 9).alias("mse"),
+    )

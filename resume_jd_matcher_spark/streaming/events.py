@@ -221,3 +221,52 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_stream_join(
+    events: DataFrame, max_gap_s: int = 300
+) -> DataFrame:
+    """Stream-stream inner join: each ``purchase`` joined to the
+    ``click`` events of the same user in the preceding ``max_gap_s``
+    seconds (attribution join).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time skew, so Spark can evict buffered state once the
+    watermark passes — unbounded-state-free, the canonical
+    stream-stream join shape. Output: one row per (click, purchase)
+    pair with the integer-microsecond gap.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {max_gap_s} SECONDS
+            """
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )

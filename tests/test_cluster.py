@@ -1,0 +1,109 @@
+"""Connected-components cluster resolution (operators/cluster.py) and
+winnowing fingerprints (operators/textstats.winnow_fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+)
+from resume_jd_matcher_spark.operators.textstats import winnow_fingerprints
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["left_id", "right_id"])
+
+
+def test_cc_triangle_chain_and_pair(spark):
+    # triangle {1,2,3}, chain 10-11-12-13, isolated pair {20,21}
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+    )
+    got = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(e).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    # worst case for hash-min: a path graph; diameter = n-1
+    n = 12
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    rows = connected_components(e, max_iter=n + 2).collect()
+    assert {r["cluster_rep"] for r in rows} == {0}
+    assert len(rows) == n + 1
+
+
+def test_cc_direction_invariant(spark):
+    # (a,b) vs (b,a) must give identical clusters
+    fwd = connected_components(_edges(spark, [(5, 9), (9, 7)])).collect()
+    rev = connected_components(_edges(spark, [(9, 5), (7, 9)])).collect()
+    assert {(r["node"], r["cluster_rep"]) for r in fwd} == {
+        (r["node"], r["cluster_rep"]) for r in rev
+    }
+
+
+def test_dedup_clusters_sizes(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = dedup_clusters(e).collect()
+    by_doc = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"]) for r in rows}
+    assert by_doc == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }
+    # keep-policy filter retains exactly one doc per cluster
+    keep = [r for r in rows if r["doc_id"] == r["cluster_rep"]]
+    assert len(keep) == 2
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    # k=4, w=5: a shared run of >= k+w-1 = 8 tokens guarantees a
+    # common fingerprint (the winnowing coverage guarantee).
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(
+        spark,
+        [
+            f"intro words here {shared} tail one",
+            f"{shared} completely different ending tokens now",
+        ],
+    )
+    fps = winnow_fingerprints(d, k=4, w=5).collect()
+    s0 = {r["fp"] for r in fps if r["doc_id"] == 0}
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    assert s0 & s1
+
+
+def test_winnow_short_doc_empty(spark):
+    # fewer than k + w - 1 tokens -> no full window -> no fingerprints
+    d = _docs(spark, ["only five tokens right here"])
+    assert winnow_fingerprints(d, k=4, w=5).count() == 0
+
+
+def test_winnow_deterministic(spark):
+    d = _docs(spark, ["one two three four five six seven eight nine ten"])
+    a = sorted(r["fp"] for r in winnow_fingerprints(d).collect())
+    b = sorted(r["fp"] for r in winnow_fingerprints(d).collect())
+    assert a == b and a
+
+
+def test_winnow_no_python_in_plan(spark, sf_dir):
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    plan = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

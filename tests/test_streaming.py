@@ -109,3 +109,16 @@ def test_late_data_stream_equals_batch_twin(spark):
         assert n_aggregated < load_table(spark, SF, "events").count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_stream_join_equals_batch(spark):
+    from resume_jd_matcher_spark.queries.stream_q import (
+        q_stream_attribution_join,
+    )
+    from resume_jd_matcher_spark.streaming.events import stream_stream_join
+
+    stream = stream_stream_join(read_events_stream(spark, SF))
+    got = run_stream_to_memory(stream, "t_ssjoin", output_mode="append")
+    want = q_stream_attribution_join(spark, SF)
+    assert _rows(got) == _rows(want)
