@@ -38,7 +38,7 @@ def main() -> None:
     Q._REGISTRY[names[0]].fn(spark, SF_DIR).limit(1).collect()
 
     total = 0.0
-    for name in names:
+    for i, name in enumerate(names):
         fn = Q._REGISTRY[name].fn
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
@@ -50,6 +50,11 @@ def main() -> None:
         # Operators may persist intermediates (MinHash signatures);
         # release them so storage memory doesn't accumulate over the run.
         dedup.release_persisted()
+        # 70+ queries in one JVM accumulate broadcast blocks, codegen
+        # classes, and shuffle state; without a periodic nudge the GC
+        # pauses land inside later queries' timings and inflate them.
+        if (i + 1) % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

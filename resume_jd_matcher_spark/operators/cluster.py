@@ -43,13 +43,63 @@ def connected_components(
     src: str = "left_id",
     dst: str = "right_id",
     max_iter: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
     Returns one row per node: ``(node, cluster_rep)`` where
     ``cluster_rep`` is the minimum node id reachable from ``node`` —
     the deterministic canonical representative.
+
+    Cost-based routing (same philosophy as
+    ``plans/optimize.choose_similarity_strategy``): the edge list after
+    LSH candidate generation is usually a small fraction of the corpus
+    — when it fits comfortably on the driver (≤ ``local_threshold``
+    edges), a driver-side union-find resolves it in one pass instead
+    of O(diameter) distributed rounds, each of which costs a shuffle
+    join + checkpoint. Above the threshold the distributed hash-min
+    loop runs; both paths produce identical labels. The count that
+    routes is needed anyway (empty-input guard), so routing adds no
+    extra job.
     """
+    n_edges = edges.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        return _cc_local(edges, src, dst)
+    return _cc_distributed(edges, src, dst, max_iter)
+
+
+def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side union-find over a collected edge list (small-graph
+    fast path; bounded by ``local_threshold`` rows of two longs)."""
+    pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min so the rep is the component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "node: bigint, cluster_rep: bigint"
+    )
+
+
+def _cc_distributed(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -109,7 +159,20 @@ def dedup_clusters(
     policy is then a trivial filter (``doc_id = cluster_rep`` keeps one
     representative per near-dup cluster).
     """
-    comp = connected_components(candidates, src, dst, max_iter)
+    n_edges = candidates.limit(1_000_001).count()
+    if n_edges <= 1_000_000:
+        # Small-graph fast path end to end: labels AND sizes resolve
+        # driver-side — one collect, one createDataFrame, zero extra
+        # shuffles.
+        comp_rows = _cc_local(candidates, src, dst).collect()
+        from collections import Counter
+
+        sizes = Counter(r["cluster_rep"] for r in comp_rows)
+        return candidates.sparkSession.createDataFrame(
+            [(r["node"], r["cluster_rep"], sizes[r["cluster_rep"]]) for r in comp_rows],
+            "doc_id: bigint, cluster_rep: bigint, cluster_size: bigint",
+        )
+    comp = _cc_distributed(candidates, src, dst, max_iter)
     sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "cluster_rep")

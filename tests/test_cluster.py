@@ -42,6 +42,17 @@ def test_cc_long_chain_converges(spark):
     assert len(rows) == n + 1
 
 
+def test_cc_local_equals_distributed(spark):
+    # both routes must produce identical labels
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21), (3, 30)]
+    e = _edges(spark, pairs)
+    local = connected_components(e)  # small graph -> union-find path
+    dist = connected_components(e, local_threshold=0)  # force hash-min loop
+    assert {(r["node"], r["cluster_rep"]) for r in local.collect()} == {
+        (r["node"], r["cluster_rep"]) for r in dist.collect()
+    }
+
+
 def test_cc_direction_invariant(spark):
     # (a,b) vs (b,a) must give identical clusters
     fwd = connected_components(_edges(spark, [(5, 9), (9, 7)])).collect()

@@ -100,3 +100,32 @@ def test_similarity_join_auto_routes_to_lsh(spark):
     want = {(r.left_id, r.right_id) for r in exact.collect()}
     assert got <= want          # no false pairs
     assert len(got) > 0         # buckets do surface near pairs
+
+
+def test_range_join_binned_is_hash_join(spark):
+    """The binned rewrite must execute as a hash/sort-merge equi-join —
+    never the BroadcastNestedLoopJoin a raw theta band predicate gets."""
+    from resume_jd_matcher_spark.queries.relational_q import q_range_join_binned
+
+    plan = physical_plan(q_range_join_binned(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_single_window_sort(spark):
+    """lead() k-gram assembly and the window-min share one partition
+    spec -> exactly one Window node spanning both (one per-doc sort)."""
+    from resume_jd_matcher_spark.operators.textstats import winnow_fingerprints
+
+    plan = physical_plan(
+        winnow_fingerprints(load_table(spark, SF, "documents"))
+    )
+    assert plan.count("Window") <= 2  # lead + min may fuse; never more
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_broadcasts_total(spark):
+    from resume_jd_matcher_spark.queries.text_q import q_heavy_hitters
+
+    plan = physical_plan(q_heavy_hitters(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
