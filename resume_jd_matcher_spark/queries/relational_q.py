@@ -543,3 +543,35 @@ def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grain(minute, "minute").unionByName(_grain(hour, "hour")).unionByName(
         _grain(day, "day")
     )
+
+
+@register(
+    "skew_salted_agg",
+    """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)::BIGINT AS n_rows,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 skew path: 3 group keys over the whole lineitem table is the
+    textbook hot-key aggregate — one reducer per key owns ~200k rows.
+    ``salted_aggregate`` spreads each key over 16 salts (phase 1) and
+    merges partials (phase 2); algebraic aggregates decompose exactly,
+    so the result equals the plain group-by the oracle runs."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = relational.salted_aggregate(
+        l,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count", "l_extendedprice": "max"},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("count_l_orderkey").alias("n_rows"),
+        F.round("max_l_extendedprice", 2).alias("max_price"),
+    )

@@ -201,3 +201,35 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").alias("total_tokens"),
         F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
     )
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({SQL_HASH32.format(c="doc_id::VARCHAR")}) % 1000 <
+      CASE lang
+        WHEN 'en' THEN 600 WHEN 'de' THEN 400 WHEN 'es' THEN 300
+        WHEN 'fr' THEN 200 ELSE 100 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic stratified sampling: per-language keep
+    fraction applied via the portable hash32 of the doc id — the
+    reproducible, cluster-stable analog of ``sampleBy`` (no RNG, no
+    row-order dependence; re-runs and retries select the same rows).
+    Pure filter on the scan: no shuffle at all."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    frac = (
+        F.when(F.col("lang") == "en", 600)
+        .when(F.col("lang") == "de", 400)
+        .when(F.col("lang") == "es", 300)
+        .when(F.col("lang") == "fr", 200)
+        .otherwise(100)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        (hash32(F.col("doc_id").cast("string")) % 1000) < frac
+    ).select("doc_id", "lang")

@@ -271,3 +271,61 @@ def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stream_stream_join(ev, max_gap_s=300)
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_click_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.first_view_us
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.first_click_us
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view_us, c.first_click_us, p.first_purchase_us
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis (view → click-after-view →
+    purchase-after-click): each stage is a conditional min chained on
+    the previous stage's timestamp. Every aggregate and join keys on
+    user_id, so one hash partitioning serves the whole chain
+    (Exchange reuse) — three logical shuffles, one physical
+    partitioning at scale. Timestamps exposed as integer
+    microseconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "first_view_us", "first_click_us", "first_purchase_us"
+    )

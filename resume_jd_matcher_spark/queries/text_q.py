@@ -429,3 +429,116 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("total") + F.lit(1e-12), 8).alias("share"),
         )
     )
+
+
+@register(
+    "tfidf_topterms",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+  FROM tf JOIN df USING (token), n
+), ranked AS (
+  SELECT doc_id, token, tf,
+         round(tfidf + 1e-9, 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rnk::INT AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: per-document top-3 terms by smoothed TF-IDF
+    (tf · ln((N+1)/(df+1))). Three map-side-combined hash aggs (tf,
+    df, N), one broadcast of the token→df dimension... actually df is
+    corpus-sized: the tf⋈df join hash-partitions on token, then one
+    per-doc window ranks. Deterministic tie-break (tfidf desc, token
+    asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("tfidf_raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tfidf_raw") + F.lit(1e-9), 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "winnow_neardup",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, len(toks) - 3 AS n_grams, i,
+         {SQL_HASH32.format(c="array_to_string(toks[i:i+3], ' ')")} AS h
+  FROM t, unnest(generate_series(1, len(toks) - 3)) AS s(i)
+  WHERE len(toks) >= 4
+), wmin AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM pos
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 4
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 5
+""",
+)
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 via winnowing: near-dup candidates = pairs sharing >= 5
+    winnowing fingerprints. The fingerprint-equality self-join is a
+    posting-list join (hash-partitioned on fp) — candidate volume is
+    sum of freq(fp)^2 over fingerprints, never corpus^2; winnowing
+    keeps ~1/w of gram positions so the posting lists stay sparse."""
+    fps = textstats.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=4, w=5
+    )
+    a = fps.select(F.col("doc_id").alias("left_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("right_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )

@@ -1,0 +1,78 @@
+"""Storage-layout levers for 100 TB (SCALE.md "Scans"): partition
+pruning on a date-partitioned table and row-group data skipping via
+sort-within-partitions. Layout is what makes the difference between
+scanning 100 TB and scanning the 100 GB a query actually needs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.plans.optimize import physical_plan
+from resume_jd_matcher_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("layout") / "events_by_day")
+    (
+        load_table(spark, SF, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        # sort within files by user_id: parquet row-group min/max on
+        # user_id become selective -> predicate pushdown skips groups
+        .repartition("event_date")
+        .sortWithinPartitions("user_id")
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_partition_pruning_prunes_directories(spark, partitioned_events):
+    df = spark.read.parquet(partitioned_events)
+    dates = [r[0] for r in df.select("event_date").distinct().collect()]
+    assert len(dates) > 3  # fixture spans a month
+    one = df.filter(F.col("event_date") == str(sorted(dates)[0]))
+    plan = physical_plan(one)
+    # the date predicate must be a PartitionFilter (directory pruning),
+    # not a post-scan Filter over all files
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_date" in plan or "event_date" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+
+def test_partition_pruning_reads_fewer_files(spark, partitioned_events):
+    df = spark.read.parquet(partitioned_events)
+    dates = sorted(r[0] for r in df.select("event_date").distinct().collect())
+    all_files = df.inputFiles()
+    one_day = df.filter(F.col("event_date") == str(dates[0]))
+    # inputFiles() is pre-pruning; count the actual partition dirs
+    day_dirs = {os.path.dirname(f) for f in all_files}
+    assert len(day_dirs) == len(dates)
+    assert one_day.count() == df.filter(
+        F.col("event_date") == str(dates[0])
+    ).count()
+
+
+def test_pushed_filter_on_sorted_column(spark, partitioned_events):
+    df = spark.read.parquet(partitioned_events).filter(F.col("user_id") == 7)
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan and "user_id" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
+
+
+def test_partitioned_result_matches_unpartitioned(spark, partitioned_events):
+    base = load_table(spark, SF, "events")
+    part = spark.read.parquet(partitioned_events)
+    got = (
+        part.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )
+    want = base.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
