@@ -163,10 +163,10 @@ def winnow_fingerprints(
     Long-form dataflow, no nested-lambda array ops: posexplode the
     tokens once, build each k-gram from ``lead()`` over the per-doc
     position order, then a bounded ``min() OVER`` for the window
-    minimum — two window functions sharing ONE partition spec, so
-    Spark evaluates them in a single per-doc sort, whole-stage
-    codegen'd end to end. Parallelism is per-document; the only
-    shuffle is the final distinct.
+    minimum. Exactly TWO Window nodes sharing one (doc, position)
+    sort — gram-completeness and window-completeness come from
+    lead() null-ness instead of a third count() window. Parallelism
+    is per-document; the only shuffle is the final distinct.
 
     Output: (id, fp BIGINT) distinct — long form, ready for a
     fingerprint-equality self-join (candidate generation) or a
@@ -184,18 +184,18 @@ def winnow_fingerprints(
     )
     by_pos = Window.partitionBy(id_col).orderBy("i")
     gram_parts = [F.col("tok")] + [F.lead("tok", j).over(by_pos) for j in range(1, k)]
-    n_tok = F.count("*").over(Window.partitionBy(id_col))
-    grams = (
-        tok_pos.select(
-            id_col,
-            "i",
-            (n_tok - F.lit(k - 1)).alias("n_grams"),
-            F.concat_ws(" ", *gram_parts).alias("gram"),
-        )
-        # positions past n-k have NULL leads — not real k-grams
-        .filter(F.col("i") < F.col("n_grams"))
-        .withColumn("h", _h32(F.col("gram")))
-    )
+    grams = tok_pos.select(
+        id_col,
+        "i",
+        F.concat_ws(" ", *gram_parts).alias("gram"),
+        # a position starts a full k-gram iff the (k-1)-th lead exists;
+        # it starts a full winnow window iff the last gram of that
+        # window (w-1 grams later, spanning k-1 more tokens) exists.
+        # Both ride the SAME window spec as the leads above — no extra
+        # Window node, no count() pass.
+        F.lead("tok", k - 1).over(by_pos).isNotNull().alias("is_gram"),
+        F.lead("tok", w + k - 2).over(by_pos).isNotNull().alias("full_win"),
+    ).filter(F.col("is_gram")).withColumn("h", _h32(F.col("gram")))
     win = (
         Window.partitionBy(id_col)
         .orderBy("i")
@@ -203,7 +203,7 @@ def winnow_fingerprints(
     )
     return (
         grams.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("i") <= F.col("n_grams") - w)
+        .filter(F.col("full_win"))
         .select(id_col, "fp")
         .distinct()
     )

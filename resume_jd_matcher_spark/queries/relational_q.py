@@ -575,3 +575,63 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_l_orderkey").alias("n_rows"),
         F.round("max_l_extendedprice", 2).alias("max_price"),
     )
+
+
+@register(
+    "scd2_merge",
+    """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal,
+         1672531200 AS effective_ts, CAST(NULL AS BIGINT) AS end_ts
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal
+              ELSE c_acctbal + 100.0 END AS new_bal,
+         1704067200 AS ts
+  FROM customer WHERE c_custkey % 5 = 0
+), j AS (
+  SELECT cur.c_custkey, cur.c_acctbal, cur.effective_ts, cur.end_ts,
+         upd.new_bal, upd.ts
+  FROM cur LEFT JOIN upd USING (c_custkey)
+)
+SELECT c_custkey, c_acctbal, effective_ts, end_ts
+FROM j WHERE ts IS NULL OR new_bal = c_acctbal
+UNION ALL
+SELECT c_custkey, c_acctbal, effective_ts, ts AS end_ts
+FROM j WHERE ts IS NOT NULL AND new_bal <> c_acctbal
+UNION ALL
+SELECT c_custkey, new_bal AS c_acctbal, ts AS effective_ts,
+       CAST(NULL AS BIGINT) AS end_ts
+FROM j WHERE ts IS NOT NULL AND new_bal <> c_acctbal
+""",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SCD2 merge on the oracle surface: customer balances as the
+    slowly-changing dimension. Updates arrive for every 5th key
+    (every 10th is a no-op refresh — must NOT open a new version);
+    changed keys close the open row at the update timestamp and append
+    the new version. One shuffle on the key; the oracle is the
+    relational expansion of the same merge. Epoch-second BIGINT
+    timestamps; no float rounding anywhere (the +100.0 shift is exact
+    on both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1672531200).cast("bigint").alias("effective_ts"),
+        F.lit(None).cast("bigint").alias("end_ts"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal"))
+            .otherwise(F.col("c_acctbal") + F.lit(100.0))
+            .alias("c_acctbal"),
+            F.lit(1704067200).cast("bigint").alias("effective_ts"),
+        )
+    )
+    return relational.scd2_merge(
+        current, updates, "c_custkey", ["c_acctbal"], ts_col="effective_ts"
+    )

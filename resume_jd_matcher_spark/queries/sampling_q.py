@@ -233,3 +233,111 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         (hash32(F.col("doc_id").cast("string")) % 1000) < frac
     ).select("doc_id", "lang")
+
+
+@register(
+    "chunk_sliding",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), chunks AS (
+  SELECT doc_id,
+         ((i - 1) / 96)::INT AS chunk_id,
+         array_to_string(toks[i : i + 127], ' ') AS chunk_text,
+         least(len(toks) - i + 1, 128)::INT AS n_tokens
+  FROM t, unnest(generate_series(1, len(toks), 96)) AS s(i)
+  WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks
+""",
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] context-window chunking for training: fixed 128-token
+    windows with stride 96 (32-token overlap so no span is split
+    across a boundary unseen). Entirely native sequence/slice
+    expressions — per-doc narrow work, zero shuffle; the 100 TB shape
+    is embarrassingly parallel map work."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(96))
+    return (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_toks"),
+            F.explode(starts).alias("i"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("i") - 1) / 96).cast("int")).alias("chunk_id"),
+            F.concat_ws(" ", F.slice("toks", F.col("i"), 128)).alias("chunk_text"),
+            F.least(F.col("n_toks") - F.col("i") + 1, F.lit(128))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+from resume_jd_matcher_spark.queries.text_q import _MINHASH_EST_CTE  # noqa: E402
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+WITH RECURSIVE {_MINHASH_EST_CTE},
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM est WHERE est_jaccard >= 0.95
+  UNION ALL
+  SELECT right_id AS a, left_id AS b FROM est WHERE est_jaccard >= 0.95
+), reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+), labels AS (
+  SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node
+), base AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+), keyed AS (
+  SELECT b.doc_id, coalesce(l.cluster_rep, b.doc_id) AS group_key
+  FROM base b LEFT JOIN labels l ON l.node = b.doc_id
+)
+SELECT doc_id, group_key,
+       CASE WHEN {SQL_HASH32.format(c="group_key::VARCHAR")} % 10 < 8 THEN 'train'
+            WHEN {SQL_HASH32.format(c="group_key::VARCHAR")} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] near-dup-leakage-safe train/val/test split: the split key
+    is the near-dup CLUSTER representative, not the doc id — every
+    member of a near-duplicate cluster lands in the same split, so the
+    eval set can never contain a near-copy of a training document (the
+    classic contamination bug a naive per-doc split causes). Docs with
+    no near-dup candidate split by their own id. Composition:
+    MinHash-LSH candidates → connected components → hash-stable split
+    on the cluster key."""
+    from resume_jd_matcher_spark.functions.text import hash32
+    from resume_jd_matcher_spark.operators import cluster as clusterop
+    from resume_jd_matcher_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.95
+    )
+    clusters = clusterop.dedup_clusters(edges).select(
+        F.col("doc_id").alias("c_doc_id"), "cluster_rep"
+    )
+    keyed = d.select("doc_id").join(
+        clusters, F.col("doc_id") == F.col("c_doc_id"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_rep", "doc_id").alias("group_key"),
+    )
+    h = hash32(F.col("group_key").cast("string")) % 10
+    return keyed.select(
+        "doc_id",
+        "group_key",
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias("split"),
+    )

@@ -22,6 +22,12 @@ def get_spark(app_name: str = "resume_jd_matcher_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory target size when coalescing instead of
+        # defaulting to max parallelism — Spark's own production
+        # recommendation; kills tiny-partition task overhead after
+        # selective filters at any scale.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -45,5 +51,8 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark

@@ -114,13 +114,16 @@ def test_range_join_binned_is_hash_join(spark):
 
 def test_winnow_single_window_sort(spark):
     """lead() k-gram assembly and the window-min share one partition
-    spec -> exactly one Window node spanning both (one per-doc sort)."""
+    spec: two Window nodes, ONE per-doc sort, no extra count() pass."""
+    import re
+
     from resume_jd_matcher_spark.operators.textstats import winnow_fingerprints
 
     plan = physical_plan(
         winnow_fingerprints(load_table(spark, SF, "documents"))
     )
-    assert plan.count("Window") <= 2  # lead + min may fuse; never more
+    assert len(re.findall(r"\bWindow \[", plan)) == 2
+    assert len(re.findall(r"\bSort \[", plan)) == 1
     assert "BatchEvalPython" not in plan
 
 
