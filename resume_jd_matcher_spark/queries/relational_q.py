@@ -635,3 +635,42 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scd2_merge(
         current, updates, "c_custkey", ["c_acctbal"], ts_col="effective_ts"
     )
+
+
+@register(
+    "mad_stats",
+    """
+WITH med AS (
+  SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(any_value(m.med) + 1e-9, 6) AS median_value,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+             + 1e-9, 6) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 robust statistics: per-group median and median-absolute-
+    deviation — the outlier-resistant scale estimate a quality
+    pipeline uses to clip anomalous feature values. Two exact
+    percentile passes (median, then median of |x − median| via a
+    broadcast of the 5-row median dim). At 100 TB swap in
+    approx_percentile (approx_stats is the registered sketch twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    eps = F.lit(1e-9)
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med") + eps, 6).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)") + eps, 6
+            ).alias("mad"),
+        )
+    )

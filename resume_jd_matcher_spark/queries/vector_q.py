@@ -398,3 +398,57 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("errs") + eps, 6).alias("max_abs_err"),
         F.round(sum_sq / F.col("d") + eps, 9).alias("mse"),
     )
+
+
+@register(
+    "label_centroids",
+    """
+WITH e AS (
+  SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), dims AS (
+  SELECT label, i AS dim, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+), c AS (
+  SELECT label, dim, avg(x) AS m, count(*)::BIGINT AS n
+  FROM dims GROUP BY label, dim
+)
+SELECT label,
+       n AS n_vectors,
+       round(sum(m * m) + 1e-9, 6) AS centroid_sq_norm,
+       round(min(m) + 1e-9, 6) AS min_dim_mean,
+       round(max(m) + 1e-9, 6) AS max_dim_mean
+FROM c
+GROUP BY label, n
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/IVF support op: per-label embedding centroid (element-wise
+    mean) — the partition-centroid computation IVF routing relies on,
+    expressed as one long-form explode → (label, dim) hash agg
+    (map-side combined; shuffle = labels × dims compact rows, never
+    vectors). Exposed as per-label centroid summary stats so the
+    oracle compares scalars, not float arrays."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = e.select("label", F.posexplode("v").alias("dim0", "x"))
+    c = dims.groupBy("label", "dim0").agg(
+        F.avg("x").alias("m"), F.count("*").alias("n")
+    )
+    eps = F.lit(1e-9)
+    return (
+        c.groupBy("label", F.col("n").alias("n_vectors"))
+        .agg(
+            F.round(F.sum(F.col("m") * F.col("m")) + eps, 6).alias(
+                "centroid_sq_norm"
+            ),
+            F.round(F.min("m") + eps, 6).alias("min_dim_mean"),
+            F.round(F.max("m") + eps, 6).alias("max_dim_mean"),
+        )
+        .select(
+            "label", "n_vectors", "centroid_sq_norm", "min_dim_mean", "max_dim_mean"
+        )
+    )
