@@ -58,43 +58,48 @@ def connected_components(
     edges), a driver-side union-find resolves it in one pass instead
     of O(diameter) distributed rounds, each of which costs a shuffle
     join + checkpoint. Above the threshold the distributed hash-min
-    loop runs; both paths produce identical labels. The count that
-    routes is needed anyway (empty-input guard), so routing adds no
-    extra job.
+    loop runs; both paths produce identical labels. Routing uses a
+    bounded ``take()`` that doubles as the fetch, so the small path
+    materializes the edge list exactly once.
     """
-    n_edges = edges.limit(local_threshold + 1).count()
-    if n_edges <= local_threshold:
-        return _cc_local(edges, src, dst)
+    # take() both sizes AND fetches in one materialization: at most
+    # threshold+1 rows of two longs transit the driver.
+    probe = edges.select(src, dst).take(local_threshold + 1)
+    if len(probe) <= local_threshold:
+        return _cc_local_df(edges.sparkSession, [(r[0], r[1]) for r in probe])
     return _cc_distributed(edges, src, dst, max_iter)
 
 
-def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Driver-side union-find over a collected edge list (small-graph
-    fast path; bounded by ``local_threshold`` rows of two longs)."""
-    pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
-    parent: dict = {}
+def _cc_local_df(spark, pairs) -> DataFrame:
+    parent = _union_find(pairs)
+    rows = [(n, _uf_find(parent, n)) for n in parent]
+    return spark.createDataFrame(rows, "node: bigint, cluster_rep: bigint")
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+
+def _uf_find(parent: dict, x):
+    root = x
+    while parent[root] != root:
+        root = parent[root]
+    while parent[x] != root:  # path compression
+        parent[x], x = root, parent[x]
+    return root
+
+
+def _union_find(pairs) -> dict:
+    """Driver-side union-find over an edge list (small-graph fast
+    path; bounded by ``local_threshold`` rows of two longs)."""
+    parent: dict = {}
 
     for a, b in pairs:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
+        ra, rb = _uf_find(parent, a), _uf_find(parent, b)
         if ra != rb:  # union by min so the rep is the component min
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    rows = [(n, find(n)) for n in parent]
-    return edges.sparkSession.createDataFrame(
-        rows, "node: bigint, cluster_rep: bigint"
-    )
+    return parent
 
 
 def _cc_distributed(
@@ -159,17 +164,18 @@ def dedup_clusters(
     policy is then a trivial filter (``doc_id = cluster_rep`` keeps one
     representative per near-dup cluster).
     """
-    n_edges = candidates.limit(1_000_001).count()
-    if n_edges <= 1_000_000:
-        # Small-graph fast path end to end: labels AND sizes resolve
-        # driver-side — one collect, one createDataFrame, zero extra
-        # shuffles.
-        comp_rows = _cc_local(candidates, src, dst).collect()
+    probe = candidates.select(src, dst).take(1_000_001)
+    if len(probe) <= 1_000_000:
+        # Small-graph fast path end to end: ONE materialization of the
+        # candidate pairs; labels AND sizes resolve driver-side, zero
+        # extra shuffles.
         from collections import Counter
 
-        sizes = Counter(r["cluster_rep"] for r in comp_rows)
+        parent = _union_find([(r[0], r[1]) for r in probe])
+        labels = {n: _uf_find(parent, n) for n in parent}
+        sizes = Counter(labels.values())
         return candidates.sparkSession.createDataFrame(
-            [(r["node"], r["cluster_rep"], sizes[r["cluster_rep"]]) for r in comp_rows],
+            [(n, rep, sizes[rep]) for n, rep in labels.items()],
             "doc_id: bigint, cluster_rep: bigint, cluster_size: bigint",
         )
     comp = _cc_distributed(candidates, src, dst, max_iter)
