@@ -452,3 +452,37 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "n_vectors", "centroid_sq_norm", "min_dim_mean", "max_dim_mean"
         )
     )
+
+
+@register(
+    "incremental_append",
+    """
+WITH existing AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id < 400
+), incoming AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id >= 300
+), fresh AS (
+  SELECT i.vec_id, i.label FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.vec_id = i.vec_id)
+)
+SELECT vec_id, label, 0 AS is_new FROM existing
+UNION ALL
+SELECT vec_id, label, 1 AS is_new FROM fresh
+""",
+)
+def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] incremental embedding-state append: the engine fix for the
+    reference's per-request full re-embed (app.py:86,160) — embed
+    once, persist, append only unseen keys (left-anti join). The
+    overlapping id range (300-399 on both sides) is the idempotency
+    case: re-delivered rows must NOT duplicate."""
+    from resume_jd_matcher_spark.operators.relational import incremental_append
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    existing = emb.filter(F.col("vec_id") < 400).withColumn(
+        "is_new", F.lit(0)
+    )
+    incoming = emb.filter(F.col("vec_id") >= 300).withColumn(
+        "is_new", F.lit(1)
+    )
+    return incremental_append(existing, incoming, "vec_id")

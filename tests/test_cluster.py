@@ -118,3 +118,72 @@ def test_winnow_no_python_in_plan(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_union_find_matches_bfs_closure():
+    """Property: driver-side union-find labels == brute-force BFS
+    components, across random edge lists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from resume_jd_matcher_spark.operators.cluster import (
+        _uf_find,
+        _union_find,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(pairs):
+        parent = _union_find(pairs)
+        got = {n: _uf_find(parent, n) for n in parent}
+        # brute force: BFS from every node over the undirected graph
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for start in adj:
+            seen, todo = {start}, [start]
+            while todo:
+                cur = todo.pop()
+                for nxt in adj[cur]:
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        todo.append(nxt)
+            want[start] = min(seen)
+        assert got == want
+
+    check()
+
+
+def test_winnow_guarantee_property(spark):
+    """Property: ANY two docs sharing a token run of length >= k+w-1
+    share at least one winnowing fingerprint (the MOSS guarantee),
+    regardless of surrounding text."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for trial in range(10):
+        shared = " ".join(rng.choices(vocab, k=8))  # k+w-1 = 8
+        pre_a = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        post_a = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        pre_b = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        post_b = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        rows.append((trial * 2, f"{pre_a} {shared} {post_a}".strip()))
+        rows.append((trial * 2 + 1, f"{pre_b} {shared} {post_b}".strip()))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(d, k=4, w=5).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for trial in range(10):
+        a, b = by_doc.get(trial * 2, set()), by_doc.get(trial * 2 + 1, set())
+        assert a & b, f"trial {trial}: no shared fingerprint"
