@@ -181,3 +181,27 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, partition_col, F.round("dist", 4).alias("dist"))
     )
+
+
+def kmeans_partition(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "_kpart",
+    seed: int = 42,
+) -> DataFrame:
+    """Learned IVF coarse quantizer: MLlib KMeans cluster ids as the
+    routing partition (the production replacement for the fixture's
+    label column in ``ivf_topk``). Fixed seed → reproducible
+    assignment; the fit itself is Spark's scalable KMeans|| — at
+    100 TB, fit on a sample, ``transform`` streams the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feat = corpus.withColumn("_features", array_to_vector(F.col(vec_col)))
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol=out_col
+    )
+    model = km.fit(feat)
+    return model.transform(feat).drop("_features")

@@ -486,3 +486,25 @@ def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.lit(1)
     )
     return incremental_append(existing, incoming, "vec_id")
+
+
+@register("kmeans_ivf_topk", None)
+def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/ANN with a LEARNED coarse quantizer (rows-only: KMeans||
+    centroids are MLlib-internal): cluster the corpus with seeded
+    KMeans, then IVF-route queries to the n_probe nearest learned
+    centroids and exact-rank only inside those clusters. Recall floor
+    vs brute force pinned in tests/test_vector.py."""
+    from resume_jd_matcher_spark.operators.ann import ivf_topk, kmeans_partition
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parted = kmeans_partition(emb, n_clusters=8).select(
+        "vec_id", "embedding", "_kpart"
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return ivf_topk(
+        parted, q, k=5, partition_col="_kpart", n_probe=2
+    )

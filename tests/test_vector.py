@@ -207,3 +207,35 @@ def test_blas_probe_ceiling_raises(spark):
             similarity_join_blas(left, right, threshold=1.0)
     finally:
         sb.MAX_PROBE_DRIVER_ROWS = old
+
+
+def test_kmeans_ivf_recall_floor(spark):
+    """Learned-quantizer IVF vs brute force: the KMeans routing must
+    clear the same recall floor as the label-routed path."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.ann import ivf_topk, kmeans_partition
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        topk_similarity_blas,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_similarity_blas(
+            emb.select("vec_id", "embedding"), q, k=5
+        ).collect()
+    }
+    parted = kmeans_partition(emb, n_clusters=8).select(
+        "vec_id", "embedding", "_kpart"
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(parted, q, k=5, partition_col="_kpart", n_probe=2).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.2
