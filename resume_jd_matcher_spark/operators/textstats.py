@@ -40,16 +40,21 @@ def text_quality(
     blended 0-1 quality score (weights arbitrary but fixed)."""
     toks = tokens(text_col)
     n_tokens = F.size(toks)
+    # nullif guards: empty/whitespace docs have zero chars — ANSI mode
+    # makes x/0 a task-killing error, and a 100 TB corpus WILL contain
+    # empty documents. Ratios degrade to NULL instead (oracle mirrors).
     n_chars = F.length(F.col(text_col))
-    avg_tok = n_chars.cast("double") / n_tokens.cast("double")
-    stop_ratio = _count_in(toks, STOPWORDS).cast("double") / n_tokens.cast("double")
+    safe_chars = F.nullif(n_chars.cast("double"), F.lit(0.0))
+    safe_tokens = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    avg_tok = n_chars.cast("double") / safe_tokens
+    stop_ratio = _count_in(toks, STOPWORDS).cast("double") / safe_tokens
     punct_ratio = (
         F.regexp_count(F.col(text_col), F.lit(r"[,.!?;:]")).cast("double")
-        / n_chars.cast("double")
+        / safe_chars
     )
     digit_ratio = (
         F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).cast("double")
-        / n_chars.cast("double")
+        / safe_chars
     )
     quality = (
         F.lit(0.5) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))

@@ -133,8 +133,8 @@ WITH t AS (
   SELECT doc_id, lang, fp,
          len(toks) AS ntok,
          len(list_filter(toks, x -> x IN ('a','the','and','of','to','in','is')))::DOUBLE
-           / len(toks) AS stop_r,
-         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nc AS digit_r
+           / nullif(len(toks), 0) AS stop_r,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nullif(nc, 0) AS digit_r
   FROM t
 ), quality AS (
   SELECT doc_id, lang, fp, ntok,
@@ -171,10 +171,10 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(toks)
     stop_r = F.size(
         F.filter(toks, lambda t: t.isin("a", "the", "and", "of", "to", "in", "is"))
-    ).cast("double") / ntok.cast("double")
-    digit_r = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("double") / F.length(
-        "text"
-    ).cast("double")
+    ).cast("double") / F.nullif(ntok.cast("double"), F.lit(0.0))
+    digit_r = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("double") / F.nullif(
+        F.length("text").cast("double"), F.lit(0.0)
+    )
     q = (
         F.lit(0.5) * F.least(ntok.cast("double") / 100.0, F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(stop_r * 2.0, F.lit(1.0)))

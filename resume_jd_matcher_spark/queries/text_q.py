@@ -35,10 +35,10 @@ WITH t AS (
   SELECT doc_id,
          len(toks) AS ntok,
          nc,
-         nc::DOUBLE / len(toks) AS avg_tok,
-         len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks) AS stop_r,
-         len(regexp_extract_all(text, '[,.!?;:]'))::DOUBLE / nc AS punct_r,
-         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nc AS digit_r
+         nc::DOUBLE / nullif(len(toks), 0) AS avg_tok,
+         len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / nullif(len(toks), 0) AS stop_r,
+         len(regexp_extract_all(text, '[,.!?;:]'))::DOUBLE / nullif(nc, 0) AS punct_r,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nullif(nc, 0) AS digit_r
   FROM t
 )
 SELECT doc_id,

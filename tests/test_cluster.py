@@ -187,3 +187,27 @@ def test_winnow_guarantee_property(spark):
     for trial in range(10):
         a, b = by_doc.get(trial * 2, set()), by_doc.get(trial * 2 + 1, set())
         assert a & b, f"trial {trial}: no shared fingerprint"
+
+
+def test_text_ops_survive_degenerate_docs(spark):
+    """Empty / whitespace / NULL / single-token docs must not kill
+    tasks (ANSI mode turns x/0 into an executor error): ratios degrade
+    to NULL, fingerprints to empty sets."""
+    from resume_jd_matcher_spark.operators import dedup, textstats
+
+    d = spark.createDataFrame(
+        [
+            (0, "normal text with several tokens here"),
+            (1, ""),
+            (2, "   "),
+            (3, None),
+            (4, "one"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    tq = {r["doc_id"]: r for r in textstats.text_quality(d).collect()}
+    assert tq[0]["punct_ratio"] is not None
+    assert tq[1]["punct_ratio"] is None  # 0 chars -> NULL, not crash
+    assert winnow_fingerprints(d).count() == 0  # no doc has >= 8 tokens
+    assert textstats.token_counts(d).count() == 5
+    assert dedup.simhash(d).count() >= 4  # null text contributes nothing
