@@ -135,3 +135,33 @@ def test_binary_scan_decode_pipeline(spark):
         assert out["broken.pdf"].status == "decode_error"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sql_api_views_share_plan_space(spark, sf_dir):
+    """SQL front-end parity: registered views answer spark.sql with
+    the same results and the same optimizations (pushdown) as the
+    DataFrame API."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.api import register_tables
+    from resume_jd_matcher_spark.plans.optimize import physical_plan
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    names = register_tables(spark, sf_dir)
+    assert "documents" in names and len(names) == 10
+    got = spark.sql(
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+    ).collect()
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    plan = physical_plan(
+        spark.sql("SELECT doc_id FROM documents WHERE doc_id < 10")
+    )
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
