@@ -11,7 +11,10 @@ The reference deduplicates nothing (every upload re-embeds everything,
 ``/root/reference/app.py:145-157``); this operator is the [EXT]
 scale-path completion of V8 in SURVEY.md §2.C.
 
-Implementation: iterative hash-min label propagation on DataFrames —
+Implementation: cost-routed. Small candidate graphs (the common case —
+LSH pairs are a sliver of the corpus) collapse to a driver-side
+union-find in one bounded ``take()``; large graphs run iterative
+hash-min label propagation on DataFrames —
 ``label(v) ← min(label(v), min over neighbours u of label(u))`` until a
 fixpoint. Each round is one shuffle join + one hash aggregate, both on
 the node id, and converges in O(graph diameter) rounds. Near-dup

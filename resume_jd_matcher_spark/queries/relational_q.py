@@ -674,3 +674,52 @@ def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+@register(
+    "star_join_revenue",
+    """
+SELECT r.r_name AS region,
+       n.n_name AS nation,
+       count(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at benchmark shape (TPC-H Q5 family): 5-way star join —
+    region/nation broadcast, customer⋈orders⋈lineitem hash joins with
+    the date filter PUSHED to the orders scan and the returnflag
+    filter pushed to lineitem (Catalyst reorders and prunes; nothing
+    hand-scheduled). The plan the optimizer picks here — selective
+    scans first, dims broadcast — is exactly the 100 TB plan."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
