@@ -165,3 +165,37 @@ def test_sql_api_views_share_plan_space(spark, sf_dir):
     assert "PushedFilters: [" in plan and "doc_id" in plan.split(
         "PushedFilters:"
     )[1].split("]")[0]
+
+
+def test_synthdocs_source_deterministic_and_parallel(spark):
+    """Spark 4 Python DataSource: the synthetic corpus source yields
+    identical rows regardless of partition count (rows are functions
+    of (seed, doc_id)), generates in parallel, and feeds the dedup
+    operators real near-dup structure."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators import dedup
+    from resume_jd_matcher_spark.sources.synthdocs import register
+
+    register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthdocs")
+            .option("n", 500)
+            .option("partitions", parts)
+            .option("seed", 7)
+            .load()
+        )
+
+    a, b = load(4), load(9)
+    assert a.rdd.getNumPartitions() == 4
+    assert a.count() == 500
+    ha = a.agg(F.sum(F.crc32("text")).alias("h")).collect()[0]["h"]
+    hb = b.agg(F.sum(F.crc32("text")).alias("h")).collect()[0]["h"]
+    assert ha == hb  # partition-count invariant
+
+    # near-dup structure is real: MinHash finds the planted pairs
+    cand = dedup.minhash_lsh_candidates(a).filter(F.col("est_jaccard") >= 0.5)
+    planted = {(r["left_id"], r["right_id"]) for r in cand.collect()}
+    assert any(r - l == 1 and r % 10 == 9 for l, r in planted)
