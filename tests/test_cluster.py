@@ -3,6 +3,7 @@ winnowing fingerprints (operators/textstats.winnow_fingerprints)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.operators.cluster import (
@@ -211,3 +212,38 @@ def test_text_ops_survive_degenerate_docs(spark):
     assert winnow_fingerprints(d).count() == 0  # no doc has >= 8 tokens
     assert textstats.token_counts(d).count() == 5
     assert dedup.simhash(d).count() >= 4  # null text contributes nothing
+
+
+@pytest.mark.slow
+def test_dedup_pipeline_at_scale_smoke(spark):
+    """Scale smoke: 20k generated docs (40x the sf0.01 fixture)
+    through MinHash-LSH candidates -> DISTRIBUTED connected
+    components (local route disabled). Verifies the planted near-dup
+    pairs are recovered and clusters stay transitive at a size where
+    driver-side shortcuts are off."""
+    from resume_jd_matcher_spark.operators import dedup
+    from resume_jd_matcher_spark.sources.synthdocs import register
+
+    register(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n", 20000)
+        .option("partitions", 32)
+        .option("seed", 11)
+        .load()
+    )
+    edges = dedup.minhash_lsh_candidates(docs, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    comp = connected_components(edges, local_threshold=0, max_iter=20)
+    labels = {r["node"]: r["cluster_rep"] for r in comp.collect()}
+    dedup.release_persisted()
+    # planted structure: (id-1, id) for id % 10 == 9 must co-cluster
+    planted_hits = sum(
+        1
+        for node, rep in labels.items()
+        if node % 10 == 9 and labels.get(node - 1) == rep
+    )
+    assert planted_hits > 1000  # ~2000 planted; LSH @ 0.9 recovers most
+    # transitivity: every member points at a rep that is its own rep
+    assert all(labels[rep] == rep for rep in set(labels.values()))
