@@ -308,10 +308,16 @@ def ngram_jaccard_join(
     anyway."""
     from resume_jd_matcher_spark.functions.text import shingles
 
-    sh = ensure_parallelism(df).select(
-        F.col(id_col),
-        shingles(tokens(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    # Materialize the token array in its own projection BEFORE the
+    # shingle transform: element_at() inside the lambda would otherwise
+    # inline (and re-evaluate) the full split() per gram element —
+    # O(tokens²) splitting per document.
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles(F.col("_toks"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     # One row per (doc, distinct shingle). Pairs sharing any shingle
     # meet in the equi-join, and because shingle sets are distinct,
     # count(*) per pair IS |A ∩ B| — no array_intersect, no join back
