@@ -723,3 +723,64 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "dq_checks",
+    """
+SELECT 'documents_id_unique' AS check_name,
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1
+        ))::BIGINT AS n_violations
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+UNION ALL
+SELECT 'embeddings_dim_64',
+       (SELECT count(*) FROM embeddings WHERE len(embedding) <> 64)::BIGINT
+UNION ALL
+SELECT 'events_value_nonnegative',
+       (SELECT count(*) FROM events WHERE value < 0)::BIGINT
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] declarative data-quality gate (the dbt-test / Deequ shape
+    a production pipeline runs before training): uniqueness,
+    referential integrity (left-anti joins), and schema invariants,
+    each reduced to a violation count. Anti joins broadcast the
+    parent key set where small; every check is a scan + one
+    aggregation — embarrassingly scalable."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+
+    def count_df(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    dup_docs = (
+        docs.groupBy("doc_id").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    )
+    orders_fk = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    lineitem_fk = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+    bad_dim = emb.filter(F.size("embedding") != 64)
+    neg_val = ev.filter(F.col("value") < 0)
+
+    return (
+        count_df("documents_id_unique", dup_docs)
+        .unionByName(count_df("orders_custkey_fk", orders_fk))
+        .unionByName(count_df("lineitem_orderkey_fk", lineitem_fk))
+        .unionByName(count_df("embeddings_dim_64", bad_dim))
+        .unionByName(count_df("events_value_nonnegative", neg_val))
+    )
