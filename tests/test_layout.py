@@ -76,3 +76,28 @@ def test_partitioned_result_matches_unpartitioned(spark, partitioned_events):
     )
     want = base.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Corpus schemas evolve (new metadata columns appear mid-crawl):
+    mergeSchema reads the union schema, old files surface NULLs, and
+    filters still push down on columns present in every file."""
+    out = str(tmp_path / "evolving")
+    v1 = load_table(spark, SF, "documents").select("doc_id", "text")
+    v2 = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    v1.write.parquet(out + "/batch=1")
+    v2.write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) >= {"doc_id", "text", "lang"}
+    assert merged.count() == v1.count() + v2.count()
+    # old files: evolved column is NULL, not an error
+    old = merged.filter(F.col("doc_id") < 100000)
+    assert old.filter(F.col("lang").isNull()).count() == old.count()
+    plan = physical_plan(merged.filter(F.col("doc_id") == 5).select("doc_id"))
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
