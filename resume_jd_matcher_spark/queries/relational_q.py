@@ -784,3 +784,50 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_df("embeddings_dim_64", bad_dim))
         .unionByName(count_df("events_value_nonnegative", neg_val))
     )
+
+
+@register(
+    "shipping_priority",
+    """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       floor(epoch(o.o_orderdate))::BIGINT AS orderdate_epoch,
+       o.o_orderpriority
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/J2 at benchmark shape (TPC-H Q3 family): unshipped-order
+    revenue ranking. Both filters push to their scans BEFORE the join,
+    the aggregate is partial+final, and the top-10 is
+    TakeOrderedAndProject (per-partition partial top-N, never a global
+    sort). Deterministic tie-break on orderkey."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15"
+    )
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )

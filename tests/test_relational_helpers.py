@@ -50,3 +50,27 @@ def test_incremental_append_embeds_only_delta(spark, tmp_path_factory):
     # idempotent: appending the same delta again adds nothing
     again = incremental_append(merged, incoming, "doc_id")
     assert again.count() == 400
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """Production jobs need row counts / quality metrics WITHOUT a
+    second scan: Observation attaches aggregates to the one pass the
+    job already makes (vs .count() + .agg() re-scans)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.textstats import text_quality
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    obs = Observation("clean_metrics")
+    scored = text_quality(load_table(spark, sf_dir, "documents")).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("quality").alias("mean_quality"),
+        F.sum(F.col("quality").isNull().cast("int")).alias("null_quality"),
+    )
+    scored.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_docs"] == 500
+    assert 0.0 < m["mean_quality"] <= 1.0
+    assert m["null_quality"] == 0
