@@ -524,3 +524,62 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "pipeline_e2e",
+    f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS ntok
+  FROM documents
+), reps AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM scored WHERE ntok BETWEEN 20 AND 1000
+), kept AS (
+  SELECT doc_id, text FROM reps WHERE rn = 1
+), corpus AS (
+  SELECT doc_id, {_SQL_EMBED.format(t='text')} AS ce FROM kept
+), q AS (
+  SELECT 0::BIGINT AS query_id, {_SQL_EMBED.format(t=f"'{JD_TEXT}'")} AS qe
+), d AS (
+  SELECT query_id, doc_id, {_SQL_SQL2_D.format(a='qe', b='ce')} AS dist
+  FROM corpus, q
+), r AS (
+  SELECT query_id, doc_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn
+  FROM d
+)
+SELECT query_id, doc_id, round(dist, 4) AS dist,
+       round(10.0/(1.0+dist), 2) AS score
+FROM r WHERE rn <= 10
+""",
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data lifecycle in one declarative plan:
+    exact dedup (keep lowest id per md5 fingerprint) → length gate →
+    embed survivors (V1 hash backend, in-flight) → top-10 vs the JD
+    with normalized scores (V5+T5+W1). One scan; dedup is one window,
+    the match is the partial-top-k BLAS path — the full
+    ingest→clean→match chain a 100 TB deployment runs nightly."""
+    from pyspark.sql import Window
+
+    from resume_jd_matcher_spark.functions.text import fingerprint_md5, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    kept = (
+        d.select("doc_id", "text", fingerprint_md5("text").alias("fp"))
+        .filter(ntok.between(20, 1000))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    corpus = embed_documents(kept, backend="hash", dim=8)
+    q = embed_query(spark, JD_TEXT, backend="hash", dim=8)
+    return topk_similarity_blas(
+        corpus, q, k=10, id_col="doc_id", query_id_col="query_id"
+    )
