@@ -61,11 +61,19 @@ def lsh_bucket_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     query_vec_col: str = "query_embedding",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Top-k per query among same-LSH-bucket candidates (exact squared
     L2 re-rank inside the bucket). Recall < 1.0 by construction; pair
-    with brute force when ground truth is required."""
-    c = corpus.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    with brute force when ground truth is required.
+
+    ``bucket_col``: name of a PRECOMPUTED bucket column on ``corpus``
+    (the persisted-index probe path — V3's "index build" materialized
+    as a table); None recomputes the signature in-flight."""
+    if bucket_col is not None:
+        c = corpus.withColumnRenamed(bucket_col, "bucket")
+    else:
+        c = corpus.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
     q = queries.withColumn("qbucket", lsh_signature(F.col(query_vec_col), n_planes))
     cand = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
     d = squared_l2(F.col(vec_col), F.col(query_vec_col))

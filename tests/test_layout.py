@@ -101,3 +101,57 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert "PushedFilters: [" in plan and "doc_id" in plan.split(
         "PushedFilters:"
     )[1].split("]")[0]
+
+
+def test_range_partitioned_sorted_write(spark, tmp_path):
+    """Globally-sorted output layout: repartitionByRange + sortWithin
+    Partitions writes files whose key ranges don't overlap — the
+    layout that makes downstream merge reads and range pruning cheap."""
+    out = str(tmp_path / "sorted_events")
+    ev = load_table(spark, SF, "events")
+    (
+        ev.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # per-file min/max user_id ranges must not overlap (global sort)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in back.inputFiles():
+        t = pq.read_table(f.replace("file:", ""), columns=["user_id"])
+        vals = t.column("user_id").to_pylist()
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_lsh_index_persist_and_probe(spark, tmp_path):
+    """V3 'index build' the Spark-native way: persist the LSH bucket
+    assignment as a table once, probe it later without recomputing
+    signatures — probe results equal the direct in-flight path."""
+    from resume_jd_matcher_spark.operators.ann import lsh_bucket_topk, lsh_signature
+
+    out = str(tmp_path / "lsh_index")
+    emb = load_table(spark, SF, "embeddings")
+    emb.withColumn("bucket", lsh_signature(F.col("embedding"), 8)).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    direct = lsh_bucket_topk(emb.select("vec_id", "embedding"), q, k=5)
+    idx = spark.read.parquet(out)
+    probed = lsh_bucket_topk(
+        idx.select("vec_id", "embedding", "bucket"), q, k=5, bucket_col="bucket"
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
