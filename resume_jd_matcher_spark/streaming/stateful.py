@@ -77,3 +77,25 @@ def foreach_batch_scorer(docs_stream: DataFrame, jd_text: str, sink: list) -> An
         .trigger(availableNow=True)
         .start()
     )
+
+
+def idempotent_batch_sink(out_dir: str):
+    """Exactly-once foreachBatch sink: write each micro-batch into a
+    ``batch_id=N`` partition with DYNAMIC partition overwrite. A
+    replayed batch (failure → checkpoint replay) overwrites ITS OWN
+    partition instead of appending duplicates — Spark's documented
+    recipe for idempotent file sinks under at-least-once foreachBatch
+    delivery. Returns the (batch_df, batch_id) -> None writer.
+    """
+    from pyspark.sql import functions as F
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return write

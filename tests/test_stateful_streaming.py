@@ -70,3 +70,25 @@ def test_foreach_batch_scorer(spark):
     assert len(sink) == 5  # top-5 of the single micro-batch
     assert all(0.0 <= r.score <= 10.0 for r in sink)
     assert [r.dist for r in sink] == sorted(r.dist for r in sink)
+
+
+@pytest.mark.slow
+def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once delivery after failure)
+    must not duplicate rows: the batch_id-partitioned dynamic
+    overwrite rewrites the replayed batch's own partition."""
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.stateful import idempotent_batch_sink
+
+    out = str(tmp_path / "sink")
+    write = idempotent_batch_sink(out)
+    batch = load_table(spark, SF, "events").limit(100)
+
+    write(batch, 0)
+    first = spark.read.parquet(out).count()
+    write(batch, 0)  # replay of the SAME batch id
+    replayed = spark.read.parquet(out).count()
+    assert first == replayed == 100
+
+    write(batch, 1)  # a genuinely new batch appends its own partition
+    assert spark.read.parquet(out).count() == 200
