@@ -542,3 +542,63 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+@register(
+    "decontaminate",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         {SQL_HASH32.format(c="array_to_string(toks[i:i+7], ' ')")} AS g
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+  WHERE len(toks) >= 8
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id >= 400 AND doc_id < 480
+), train AS (
+  SELECT doc_id, g FROM grams WHERE doc_id < 400
+)
+SELECT tr.doc_id, count(DISTINCT tr.g)::BIGINT AS n_hits
+FROM train tr JOIN bench b ON tr.g = b.g
+GROUP BY tr.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] benchmark decontamination (the GPT-3/C4 n-gram collision
+    method): flag training documents sharing any 8-token gram with the
+    held-out benchmark set (docs >= 480 stand in for the benchmark).
+    Gram hashes meet in an equi-join against the DISTINCT benchmark
+    gram set — at scale the benchmark side is small and broadcasts;
+    candidate volume is posting-list bound, never corpus x benchmark
+    text. Output: flagged doc_id + distinct colliding gram count."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_pos = d.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("i", "tok")
+    )
+    from pyspark.sql import Window
+
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    by_pos = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(by_pos) for j in range(1, 8)]
+    grams = (
+        tok_pos.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", 7).over(by_pos).isNotNull().alias("full"),
+        )
+        .filter(F.col("full"))
+        .select("doc_id", hash32(F.col("gram")).alias("g"))
+    )
+    bench = (
+        grams.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480))
+        .select("g")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") < 400)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
