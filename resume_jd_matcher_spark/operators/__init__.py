@@ -5,6 +5,7 @@ wrappers around Spark's API — SURVEY.md §7)."""
 from resume_jd_matcher_spark.operators import (  # noqa: F401
     ann,
     asof,
+    cluster,
     dedup,
     embedding,
     multimodal,
@@ -20,6 +21,7 @@ from resume_jd_matcher_spark.operators import (  # noqa: F401
 __all__ = [
     "ann",
     "asof",
+    "cluster",
     "dedup",
     "embedding",
     "multimodal",

