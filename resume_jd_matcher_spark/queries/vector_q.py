@@ -508,3 +508,61 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         parted, q, k=5, partition_col="_kpart", n_probe=2
     )
+
+
+@register(
+    "embedding_drift",
+    """
+WITH e AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id < 250 THEN 'a' ELSE 'b' END AS half,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), dims AS (
+  SELECT label, half, i AS dim, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+), c AS (
+  SELECT label, half, dim, avg(x) AS m FROM dims GROUP BY label, half, dim
+), w AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 'a' AND b.half = 'b'
+)
+SELECT label,
+       round(sqrt(sum((ma - mb) * (ma - mb))) + 1e-9, 6) AS centroid_shift,
+       round(sum(abs(ma - mb)) / count(*) + 1e-9, 6) AS mean_abs_dim_shift
+FROM w GROUP BY label
+""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] embedding drift monitor: per-label centroid shift between
+    two corpus slices (old vs new embedding batches) — the check that
+    catches a silently-changed embedding model before it poisons the
+    ANN index. Long-form (label, half, dim) hash agg, then a
+    self-join on (label, dim): all map-side-combined, shuffle carries
+    labels × dims rows, never vectors."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(F.col("vec_id") < 250, "a").otherwise("b").alias("half"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = e.select("label", "half", F.posexplode("v").alias("dim", "x"))
+    c = dims.groupBy("label", "half", "dim").agg(F.avg("x").alias("m"))
+    a = c.filter(F.col("half") == "a").select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = c.filter(F.col("half") == "b").select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    eps = F.lit(1e-9)
+    diff = F.col("ma") - F.col("mb")
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(diff * diff)) + eps, 6).alias("centroid_shift"),
+            F.round(F.sum(F.abs(diff)) / F.count("*") + eps, 6).alias(
+                "mean_abs_dim_shift"
+            ),
+        )
+    )

@@ -99,3 +99,65 @@ def idempotent_batch_sink(out_dir: str):
         )
 
     return write
+
+
+def sessionize_stateful(events: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Custom stateful sessionizer (the applyInPandasWithState analog
+    of ``session_window``): per-user state holds the OPEN session
+    (start, last_ts, n, total); a gap > ``gap_s`` closes it and emits
+    the closed session. An event-time timeout (watermark-driven)
+    flushes sessions idle past the gap, so state stays bounded by
+    active users — the hand-rolled shape for session logic
+    ``session_window`` can't express (custom close conditions,
+    side outputs, per-session enrichments).
+
+    Emits CLOSED sessions only; the session still open at end of
+    input remains in state (on a live stream the timeout eventually
+    flushes it).
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.withWatermark("ts", "1 hour").select("user_id", "ts", "value")
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        out: list[tuple[int, int, int, float]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            out.append((key[0], start_us, n, total))
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values("ts")
+            ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
+            vals = rows["value"].tolist()
+            if state.exists:
+                start_us, last_us, n, total = state.get
+            else:
+                start_us, last_us, n, total = ts_us[0], ts_us[0], 0, 0.0
+            for t, v in zip(ts_us, vals):
+                if t - last_us > gap_s * 1_000_000:
+                    out.append((key[0], start_us, n, total))
+                    start_us, n, total = t, 0, 0.0
+                last_us = t
+                n += 1
+                total += float(v)
+            state.update((start_us, last_us, n, float(total)))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start_us", "n_events", "total_value"],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id LONG, session_start_us LONG, n_events LONG, total_value DOUBLE"
+        ),
+        stateStructType="start_us LONG, last_us LONG, n LONG, total DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -92,3 +93,64 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
 
     write(batch, 1)  # a genuinely new batch appends its own partition
     assert spark.read.parquet(out).count() == 200
+
+
+@pytest.mark.slow
+def test_stateful_sessionizer_matches_batch_closed_sessions(spark):
+    """The applyInPandasWithState sessionizer equals the batch
+    sessionizer: gap-closed sessions emit on detection, and the
+    event-time timeout flushes each user's final session when the
+    watermark passes end-of-input — so the streamed output covers ALL
+    sessions."""
+    from resume_jd_matcher_spark.queries.stream_q import q_sessionize
+    from resume_jd_matcher_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from resume_jd_matcher_spark.streaming.stateful import sessionize_stateful
+
+    stream = sessionize_stateful(read_events_stream(spark, SF), gap_s=3600)
+    got = run_stream_to_memory(stream, "t_sess_state", output_mode="append")
+    got_rows = {
+        (r["user_id"], r["session_start_us"] // 1_000_000, r["n_events"],
+         round(r["total_value"], 2))
+        for r in got.collect()
+    }
+
+    batch = q_sessionize(spark, SF)
+    want_rows = {
+        (r["user_id"], r["session_start"], r["n_events"],
+         round(r["total_value"], 2))
+        for r in batch.collect()
+    }
+    # Sessions whose last event lies within watermark(1h) + gap(1h) of
+    # end-of-input cannot time out before the stream finishes — they
+    # correctly stay in state. Everything else must match exactly.
+    ev = load_table(spark, SF, "events")
+    max_ts = ev.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w2).cast("long")
+    sess_last = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sid", F.sum("is_new").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            F.max(F.col("ts").cast("long")).alias("last_ts"),
+        )
+    )
+    unflushable = {
+        (r["user_id"], r["session_start"])
+        for r in sess_last.filter(
+            F.col("last_ts") > max_ts - 2 * 3600
+        ).collect()
+    }
+    missing = want_rows - got_rows
+    assert got_rows <= want_rows
+    assert all((u, st) in unflushable for (u, st, _, _) in missing)
+    assert got_rows  # and the bulk of sessions did stream out
