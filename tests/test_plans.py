@@ -132,3 +132,45 @@ def test_heavy_hitters_broadcasts_total(spark):
 
     plan = physical_plan(q_heavy_hitters(spark, SF))
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_registry_wide_no_cartesian_products(spark):
+    """Sweep EVERY registered query's physical plan: a CartesianProduct
+    (both sides non-broadcast) is never acceptable; a
+    BroadcastNestedLoopJoin is acceptable only where the design
+    broadcasts a bounded side (similarity crossJoins, single-row
+    totals) — pinned by whitelist so an accidental theta join in a new
+    query fails here."""
+    from resume_jd_matcher_spark import queries as Q
+
+    bnlj_by_design = {
+        # bounded broadcast side by construction:
+        "topk_similarity", "cosine_topk", "similarity_join", "knn_per_label",
+        "shortlist_e2e", "neardup_embedding", "ann_lsh_topk", "ann_ivf_topk",
+        "mllib_lsh_join", "kmeans_ivf_topk", "pipeline_e2e",
+        # single-row broadcast scalars:
+        "heavy_hitters", "tfidf_topterms", "scalar_suite", "scoring_e2e",
+        "llm_feedback", "llm_explain", "prompt_assembly", "mean_score",
+        "score_parse", "sections_map", "section_chunk", "header_canon",
+        "embed_documents", "stats_moments",
+        # distinct-value all-pairs over a ~5-row dim (typo-dedup):
+        "fuzzy_match",
+        # single-row scalar CTEs (max-ts, watermark cutoff) crossed in:
+        "stream_late_data",
+    }
+    offenders, bnlj_unexpected = [], []
+    for name, qd in sorted(Q._REGISTRY.items()):
+        try:
+            plan = physical_plan(qd.fn(spark, SF))
+        except Exception as e:  # noqa: BLE001
+            offenders.append(f"{name}: PLAN_ERROR {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
+            bnlj_unexpected.append(name)
+    assert not offenders, offenders
+    assert not bnlj_unexpected, (
+        f"unexpected BroadcastNestedLoopJoin in {bnlj_unexpected}; "
+        "broadcast a bounded side or rewrite as an equi-join"
+    )
