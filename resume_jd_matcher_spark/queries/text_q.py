@@ -602,3 +602,82 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hits"))
     )
+
+
+@register(
+    "ensemble_neardup",
+    f"""
+WITH {_MINHASH_EST_CTE},
+mh_pairs AS (
+  SELECT left_id, right_id FROM est WHERE est_jaccard >= 0.7
+), stok AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok
+  FROM documents WHERE doc_id < 200
+), sh_h AS (
+  SELECT doc_id, {SQL_HASH32.format(c='tok')} AS hv FROM stok
+), sh_b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM sh_h, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+  GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM sh_b GROUP BY doc_id
+), sh_pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+), fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents WHERE doc_id < 200
+), fp_pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+), votes AS (
+  SELECT left_id, right_id, 'minhash' AS sig FROM mh_pairs
+  UNION ALL SELECT left_id, right_id, 'simhash' FROM sh_pairs
+  UNION ALL SELECT left_id, right_id, 'exact' FROM fp_pairs
+)
+SELECT left_id, right_id, count(*)::BIGINT AS n_votes
+FROM votes GROUP BY left_id, right_id
+HAVING count(*) >= 2
+""",
+)
+def q_ensemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 ensemble: near-dup pairs confirmed by >= 2 independent
+    signals — MinHash-LSH (token-set Jaccard), SimHash (frequency-
+    weighted bit fingerprint), exact normalized-md5. Each signal is
+    its own scale-safe candidate path (banded equi-joins); the vote is
+    one union + hash agg. Ensembling kills each method's
+    false-positive mode (LSH band collisions, SimHash short-doc
+    noise) without an O(N²) verify pass."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mh = (
+        dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("left_id", "right_id")
+    )
+    sh = dedup.simhash_neardup(d, max_hamming=3, n_bits=16).select(
+        "left_id", "right_id"
+    )
+    fp_pairs = (
+        d.select("doc_id", dedup.fingerprint_md5("text").alias("f"))
+        .alias("a")
+        .join(
+            d.select(F.col("doc_id").alias("rid"), dedup.fingerprint_md5("text").alias("f")).alias("b"),
+            "f",
+        )
+        .filter(F.col("doc_id") < F.col("rid"))
+        .select(F.col("doc_id").alias("left_id"), F.col("rid").alias("right_id"))
+    )
+    votes = (
+        mh.withColumn("sig", F.lit("minhash"))
+        .unionByName(sh.withColumn("sig", F.lit("simhash")))
+        .unionByName(fp_pairs.withColumn("sig", F.lit("exact")))
+    )
+    return (
+        votes.groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_votes"))
+        .filter(F.col("n_votes") >= 2)
+    )

@@ -155,3 +155,37 @@ def test_lsh_index_persist_and_probe(spark, tmp_path):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, probed.collect())
     )
+
+
+def test_incremental_daily_processing_equals_full_batch(
+    spark, partitioned_events, tmp_path
+):
+    """The incremental-batch pattern: process one day-partition at a
+    time (partition-pruned read), append each day's aggregate to a
+    results table — the accumulated result equals the full-batch
+    answer. This is how a 100 TB pipeline processes only the new day,
+    not the whole history."""
+    out = str(tmp_path / "daily_agg")
+    df = spark.read.parquet(partitioned_events)
+    dates = sorted(r[0] for r in df.select("event_date").distinct().collect())
+    for d in dates:  # each iteration reads ONE pruned partition
+        (
+            df.filter(F.col("event_date") == str(d))
+            .groupBy("event_date", "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+            .write.mode("append")
+            .parquet(out)
+        )
+    got = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
