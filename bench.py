@@ -64,6 +64,11 @@ def main() -> None:
     # wall time stays capped.
     for name in [n for n, t in timings.items() if t > 1.5]:
         timings[name] = min(timings[name], run_once(name))
+        # a still-extreme number after the warm re-run means the host
+        # was contended for BOTH samples — one more attempt bounds the
+        # damage without unbounded retries
+        if timings[name] > 8.0:
+            timings[name] = min(timings[name], run_once(name))
 
     total = 0.0
     for name in names:
