@@ -566,3 +566,71 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "chunk_embed_pool",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         array_to_string(toks[i : i + 127], ' ') AS chunk_text
+  FROM t, unnest(generate_series(1, len(toks), 96)) AS s(i)
+  WHERE len(toks) > 0
+), ce AS (
+  SELECT doc_id, d AS dim,
+         round((('0x' || substr(md5(chunk_text || '#dim' || d), 1, 8))::BIGINT
+          / 4294967296.0) * 2.0 - 1.0, 6) AS v
+  FROM chunks, (SELECT unnest(generate_series(0, 7)) AS d) dims
+), pooled AS (
+  SELECT doc_id, dim, avg(v) AS pv, count(*)::BIGINT AS n_chunks
+  FROM ce GROUP BY doc_id, dim
+)
+SELECT doc_id,
+       any_value(n_chunks) AS n_chunks,
+       round(sqrt(sum(pv * pv)) + 1e-9, 6) AS pooled_norm,
+       round(min(pv) + 1e-9, 6) AS min_dim,
+       round(max(pv) + 1e-9, 6) AS max_dim
+FROM pooled GROUP BY doc_id
+""",
+)
+def q_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hierarchical long-document embedding: chunk each doc into
+    128-token/96-stride windows, embed each chunk (hash backend), MEAN-POOL
+    chunk vectors back to one doc vector — the standard recipe when a
+    document exceeds the encoder's context window. Pooling is a
+    long-form (doc, dim) hash agg; chunking and embedding stay inside
+    one narrow map stage. Output: per-doc pooled-vector summary."""
+    from resume_jd_matcher_spark.operators.embedding import embed_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(96))
+    chunks = (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.explode(starts).alias("i"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", F.col("i"), 128)).alias("text"),
+        )
+    )
+    ce = embed_documents(chunks, backend="hash", dim=8)  # (doc_id, embedding)
+    dims = ce.select("doc_id", F.posexplode("embedding").alias("dim", "v"))
+    pooled = dims.groupBy("doc_id", "dim").agg(
+        F.avg("v").alias("pv"), F.count("*").alias("n_chunks")
+    )
+    eps = F.lit(1e-9)
+    return pooled.groupBy("doc_id").agg(
+        F.first("n_chunks").alias("n_chunks"),
+        F.round(F.sqrt(F.sum(F.col("pv") * F.col("pv"))) + eps, 6).alias(
+            "pooled_norm"
+        ),
+        F.round(F.min("pv") + eps, 6).alias("min_dim"),
+        F.round(F.max("pv") + eps, 6).alias("max_dim"),
+    )
