@@ -831,3 +831,46 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "column_profile",
+    """
+SELECT 'user_id' AS col,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       round(min(user_id), 4) AS min_v,
+       round(max(user_id), 4) AS max_v
+FROM events
+UNION ALL
+SELECT 'value', count(*)::BIGINT,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT value)::BIGINT, round(min(value), 4), round(max(value), 4)
+FROM events
+UNION ALL
+SELECT 'event_id', count(*)::BIGINT,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT event_id)::BIGINT,
+       round(min(event_id), 4), round(max(event_id), 4)
+FROM events
+""",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] data profiling (the dbt-docs / Deequ profile): per-column
+    rows, nulls, exact distinct count, min/max — driven off the schema
+    so the same operator profiles ANY table. Each column's profile is
+    one scan aggregate; Spark shares the scan across the union."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def prof(c: str) -> DataFrame:
+        col = F.col(c).cast("double")
+        return ev.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(col), 4).alias("min_v"),
+            F.round(F.max(col), 4).alias("max_v"),
+        ).select(F.lit(c).alias("col"), "*")
+
+    return prof("user_id").unionByName(prof("value")).unionByName(prof("event_id"))

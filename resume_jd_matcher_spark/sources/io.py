@@ -236,3 +236,45 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    order_col: str | None = None,
+) -> int:
+    """Small-file compaction (the 100 TB hygiene job): rewrite a
+    parquet directory into ceil(rows/target) files, optionally
+    range-sorted on ``order_col`` so rewritten files carry disjoint
+    key ranges (row-group pruning survives compaction).
+
+    Streaming sinks and incremental appends accumulate thousands of
+    tiny files; scans then pay per-file open cost and lose pushdown
+    efficiency. Compaction is a read → repartition → atomic-swap
+    rewrite; returns the new file count.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    staged = f"{tmp}/data"
+    if order_col is not None:
+        out = df.repartitionByRange(n_files, order_col).sortWithinPartitions(
+            order_col
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(staged)
+    # atomic-ish swap: move old aside, promote staged, drop old
+    old = f"{tmp}/old"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(
+        [f for f in spark.read.parquet(path).inputFiles() if f.endswith(".parquet")]
+    )
