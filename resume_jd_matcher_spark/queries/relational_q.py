@@ -874,3 +874,45 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(c).alias("col"), "*")
 
     return prof("user_id").unionByName(prof("value")).unionByName(prof("event_id"))
+
+
+@register(
+    "cdc_compact",
+    """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value,
+       floor(epoch(ts))::BIGINT AS last_ts_epoch
+FROM ranked WHERE rn = 1
+""",
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CDC read-side compaction: materialize the LATEST state
+    per key from an append-only change stream (keep-last by event
+    time, deterministic event_id tie-break) — the upsert view every
+    log-structured table derives. One window per key; at scale this is
+    the compaction job behind merge-on-read tables."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 4).alias("last_value"),
+            F.unix_timestamp("ts").alias("last_ts_epoch"),
+        )
+    )

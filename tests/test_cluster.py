@@ -273,3 +273,33 @@ def test_chunk_sliding_total_coverage(spark):
         overlap = set(a["chunk"]) & set(b["chunk"])
         if len(a["chunk"]) == 128:
             assert len(overlap) == 32  # width - stride
+
+
+@pytest.mark.slow
+def test_winnow_neardup_at_scale_smoke(spark):
+    """Winnowing at 40x fixture scale: 20k generated docs through
+    fingerprinting + the posting-list self-join; the planted near-dup
+    pairs (id, id+1 with id % 10 == 9) must surface as candidates."""
+    from resume_jd_matcher_spark.sources.synthdocs import register
+
+    register(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n", 20000)
+        .option("partitions", 32)
+        .option("seed", 23)
+        .load()
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    a = fps.select(F.col("doc_id").alias("left_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("right_id"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    planted_hits = sum(1 for l, r in got if r - l == 1 and r % 10 == 9)
+    assert planted_hits > 1200  # ~2000 planted; drop-out noise loses some
