@@ -681,3 +681,80 @@ def q_ensemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_votes"))
         .filter(F.col("n_votes") >= 2)
     )
+
+
+@register(
+    "rolling_fingerprint",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         {SQL_TOKS.format(c='text')} AS toks,
+         {SQL_TOKS.format(c='text')} AS toks2
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(toks, tok -> {SQL_HASH32.format(c='tok')})),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647
+       ) AS rh,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_sort(toks2), tok -> {SQL_HASH32.format(c='tok')})),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647
+       ) AS rh_sorted
+FROM t
+""",
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: ORDER-SENSITIVE document fingerprint — polynomial rolling
+    hash folded over the token stream (functions/text.rolling_hash).
+    The companion column hashes the SORTED token stream: rh equal but
+    rh_sorted equal too means same bag of words; rh different with
+    rh_sorted equal isolates pure reorderings — the signal the md5
+    normalization fingerprint can't see. Pure fold, zero shuffle."""
+    from resume_jd_matcher_spark.functions.text import hash32, rolling_hash, tokens as tokfn
+
+    d = load_table(spark, sf_dir, "documents")
+    sorted_fold = F.aggregate(
+        F.array_sort(tokfn("text")),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1000003 + hash32(t)) % (2**31 - 1),
+    )
+    return d.select(
+        "doc_id",
+        rolling_hash("text").alias("rh"),
+        sorted_fold.alias("rh_sorted"),
+    )
+
+
+@register(
+    "lang_confusion",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, toks,
+         greatest(
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['de'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['en'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['es'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['fr'])!r})),
+           len(list_filter(toks, x -> x IN {tuple(textstats.LANG_MARKERS['zh'])!r}))
+         ) AS best
+  FROM t
+), p AS (
+  SELECT lang AS labeled_lang, CASE {_LANG_CASE} END AS predicted_lang FROM s
+)
+SELECT labeled_lang, predicted_lang, count(*)::BIGINT AS n
+FROM p GROUP BY labeled_lang, predicted_lang
+""",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: language-ID confusion matrix (labeled × predicted counts) —
+    the classifier-evaluation view of the marker heuristic; one hash
+    agg over the per-doc predictions."""
+    pred = textstats.language_id(load_table(spark, sf_dir, "documents"))
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
