@@ -33,8 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return _q.queries()
+    """One entry per implemented operator from SURVEY.md §2. Each
+    callable applies the engine's runtime session defaults (UTC, AQE)
+    to the driver-provided session before building its plan."""
+
+    def _tuned(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(tune(spark), sf_dir)
+
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _tuned(fn) for name, fn in _q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
