@@ -76,17 +76,20 @@ def main() -> None:
         total += timings[name]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    # Stdout tail-capture truncated BENCH_r03 (lost the total + 22 query
+    # timings); the file copy is the durable artifact.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(result + "\n")
+    print(result)
     spark.stop()
 
 

@@ -8,10 +8,12 @@ Preference order per format:
    in this environment, so the import gate normally falls through;
 2. a dependency-free pure-Python fallback good enough for the golden
    fixtures and simple machine-generated documents:
-   - PDF: text operators (``Tj`` / ``TJ``) inside UNCOMPRESSED content
-     streams — covers text-first PDFs like the checked-in fixture;
-     compressed streams return '' (route such corpora through the real
-     codec);
+   - PDF: text operators (``Tj`` / ``TJ``) inside content streams;
+     Flate-compressed streams (the common case in the wild) are
+     inflated with stdlib ``zlib`` first, so both the uncompressed and
+     the FlateDecode golden fixtures decode without pymupdf. Other
+     filters (LZW, DCT, ...) still yield no text — route such corpora
+     through the real codec;
    - DOCX: stdlib ``zipfile`` + tag-strip of ``word/document.xml``
      (a DOCX *is* a zip; paragraphs become lines).
 
@@ -60,8 +62,18 @@ def pdf_extract_text(blob: bytes) -> str:
             return "\n".join(page.get_text() for page in doc)
     except ImportError:
         pass
+    import zlib
+
     lines: list[str] = []
     for stream in _STREAM_RE.findall(blob):
+        # FlateDecode is by far the most common stream filter; inflate
+        # when the bytes cooperate, otherwise scan the raw stream
+        # (uncompressed PDFs). Non-Flate filters fail both ways and
+        # contribute no text — same contract as before.
+        try:
+            stream = zlib.decompress(stream)
+        except zlib.error:
+            pass
         for op in _TJ_RE.findall(stream):
             parts = [_unescape_pdf(p) for p in _PAREN_RE.findall(op)]
             if parts:

@@ -157,14 +157,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "query_embedding",
     n_probe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its n_probe nearest centroids,
     then exact-rank only within those partitions. With P partitions and
     balanced data, each query scans ~n_probe/P of the corpus; the
     routing join is an equi-join on the partition id, so the big side
     shuffles once on a low-cardinality key (AQE handles imbalance).
-    """
-    cents = ivf_centroids(corpus, partition_col, vec_col)
+
+    ``centroids``: optional precomputed routing table
+    (partition_col, centroid) — e.g. the final Lloyd centroids from
+    ``lloyd_kmeans_partition`` — skipping the per-partition mean
+    recompute; None derives them from the corpus partitions."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, partition_col, vec_col)
+    )
     qc = F.broadcast(queries).crossJoin(F.broadcast(cents))
     qdist = squared_l2(F.col(query_vec_col), F.col("centroid"))
     ranked = qc.select(
@@ -189,6 +198,77 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, partition_col, F.round("dist", 4).alias("dist"))
     )
+
+
+def lloyd_kmeans_partition(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "_kpart",
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Oracle-checkable learned coarse quantizer: fixed-iteration Lloyd
+    k-means with deterministic seeds (the ``n_clusters`` lowest-id
+    vectors) and per-iteration centroid rounding to ``round_dp``
+    decimals, which quantizes away cross-engine float-summation-order
+    noise so the whole trajectory is reproducible in ANSI SQL — the
+    twin of the MLlib KMeans|| path (``kmeans_partition``), trading
+    convergence quality for bit-stability. Returns
+    (assigned corpus + out_col, final centroids (out_col, centroid)).
+
+    Each iteration is a broadcast of the ≤n_clusters centroids, a
+    codegen'd argmin (min(struct(dist, cid))), and a map-side-combined
+    per-dim mean — two narrow shuffles, no driver collection; the tiny
+    centroid table is localCheckpoint'ed per iteration so the lineage
+    stays flat (same discipline as operators/cluster.py label
+    propagation). At 100 TB: fit on a sample, assign the full corpus —
+    identical shape, sample-bounded iteration cost."""
+    v = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seed_w = Window.orderBy(id_col)
+    cents = (
+        v.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(seed_w) - 1).alias("_cid"),
+            F.transform("_v", lambda x: F.round(x, round_dp)).alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        cand = v.crossJoin(F.broadcast(cents_df))
+        d = squared_l2(F.col("_v"), F.col("centroid"))
+        return (
+            cand.select(F.col(id_col), F.col("_cid"), d.alias("_d"))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("_d", "_cid")).alias("_m"))
+            .select(F.col(id_col), F.col("_m._cid").alias("_cid"))
+        )
+
+    for _ in range(n_iter):
+        a = assign(cents).join(v, id_col)
+        long = a.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
+        per_dim = long.groupBy("_cid", "_dim").agg(F.avg("_x").alias("_cv"))
+        cents = (
+            per_dim.groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
+                    lambda s: F.round(s["_cv"], round_dp),
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+
+    assigned = corpus.join(
+        assign(cents).withColumnRenamed("_cid", out_col), id_col
+    )
+    return assigned, cents.withColumnRenamed("_cid", out_col)
 
 
 def kmeans_partition(

@@ -294,6 +294,7 @@ def ngram_jaccard_join(
     min_jaccard: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard (id1 < id2) — the ground-truth
     near-dup measure MinHash approximates. Output: (left_id, right_id,
@@ -302,10 +303,17 @@ def ngram_jaccard_join(
     Scale shape: any pair with jaccard > 0 shares ≥ 1 shingle, so
     candidates come from an equi-join on the exploded shingle — never
     an all-pairs crossJoin. Candidate volume is Σ_s freq(s)², driven by
-    shingle frequency, not corpus²; AQE's skew-join splitting handles
-    ultra-common shingles. The result is EXACTLY the all-pairs answer
-    because zero-overlap pairs can't clear the jaccard > 0 filter
-    anyway."""
+    shingle frequency, not corpus². One ultra-common shingle still
+    contributes freq² pairs, and AQE skew-splitting only spreads that
+    cost — ``max_df`` shrinks it: shingles appearing in more than
+    ``max_df`` documents (boilerplate; no near-dup signal, the IDF
+    argument) are dropped from the shingle space on BOTH the posting
+    list and the set sizes, so the result is still the exact Jaccard —
+    over the df-capped shingle universe. ``max_df=None`` keeps the raw
+    all-pairs semantics (EXACTLY the all-pairs answer, because
+    zero-overlap pairs can't clear the jaccard > 0 filter anyway);
+    with a cap, worst-case candidate volume is bounded by
+    |shingles|·max_df²."""
     from resume_jd_matcher_spark.functions.text import shingles
 
     # Materialize the token array in its own projection BEFORE the
@@ -323,6 +331,26 @@ def ngram_jaccard_join(
     # count(*) per pair IS |A ∩ B| — no array_intersect, no join back
     # to the shingle arrays, just set sizes.
     ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        # The posting list now feeds four consumers (df computation,
+        # both self-join sides, capped sizes); persist so the
+        # tokenize→shingle→explode pipeline runs once, not 4×.
+        ex = ex.persist()
+        _PERSISTED.append(ex)
+        # The blocked set (df > max_df) is tiny by construction —
+        # broadcast anti-join keeps the posting-list filter cheap.
+        blocked = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(blocked), "shingle", "left_anti")
+        # Set sizes must live in the same capped universe as the
+        # intersections, or the Jaccard denominator is inconsistent.
+        sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inter = (
         ex.select(F.col(id_col).alias("left_id"), "shingle")
         .join(ex.select(F.col(id_col).alias("right_id"), "shingle"), "shingle")
@@ -330,7 +358,6 @@ def ngram_jaccard_join(
         .groupBy("left_id", "right_id")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     pairs = (
         inter.join(sizes.select(F.col(id_col).alias("left_id"),
                                 F.col("n_sh").alias("n_a")), "left_id")

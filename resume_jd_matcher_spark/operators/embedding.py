@@ -58,7 +58,41 @@ def _make_st_backend(model_name: str) -> Callable[[pd.Series], pd.Series]:
     return embed
 
 
-def embedder_udf(backend: str = "hash", dim: int = DEFAULT_DIM):
+def _make_http_backend(url: str, model_name: str) -> Callable[[pd.Series], pd.Series]:
+    """Ollama-protocol embedding client (POST {url}/api/embeddings with
+    {model, prompt} → {"embedding": [...]}) — the serving shape behind
+    the reference's model (vectorDB.py:7; an Ollama/TEI endpoint at
+    constants.py:3's localhost:11434). stdlib urllib only; constructed
+    once per worker like every other backend, rows posted sequentially
+    within the Arrow batch. Contract-tested against a fake server in
+    tests/test_llm_http.py."""
+    import json
+    import urllib.request
+
+    def embed(texts: pd.Series) -> pd.Series:
+        def call(text: str) -> list[float]:
+            body = json.dumps(
+                {"model": model_name, "prompt": text if text is not None else ""}
+            ).encode("utf-8")
+            req = urllib.request.Request(
+                f"{url.rstrip('/')}/api/embeddings",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return [float(x) for x in json.loads(resp.read().decode("utf-8"))["embedding"]]
+
+        return texts.map(call)
+
+    return embed
+
+
+def embedder_udf(
+    backend: str = "hash",
+    dim: int = DEFAULT_DIM,
+    backend_url: str = "http://localhost:11434",
+    model_name: str = "all-minilm",
+):
     """Iterator pandas_udf: TEXT → ARRAY<DOUBLE>. The backend is
     constructed once per worker, amortized over all batches."""
 
@@ -68,6 +102,8 @@ def embedder_udf(backend: str = "hash", dim: int = DEFAULT_DIM):
             fn = _make_hash_backend(dim)
         elif backend == "sentence-transformers":
             fn = _make_st_backend("sentence-transformers/all-MiniLM-L6-v2")
+        elif backend == "http":
+            fn = _make_http_backend(backend_url, model_name)
         else:
             raise ValueError(f"unknown embedding backend: {backend}")
         for texts in batches:
@@ -82,19 +118,34 @@ def embed_documents(
     text_col: str = "text",
     backend: str = "hash",
     dim: int = DEFAULT_DIM,
+    backend_url: str = "http://localhost:11434",
+    model_name: str = "all-minilm",
 ) -> DataFrame:
     """V1: corpus embedding → (id, embedding ARRAY<DOUBLE>). Persist the
     result (parquet) rather than recomputing per query — the engine fix
     for the reference's per-request re-embedding (app.py:86,160)."""
     return df.select(
-        F.col(id_col), embedder_udf(backend, dim)(F.col(text_col)).alias("embedding")
+        F.col(id_col),
+        embedder_udf(backend, dim, backend_url, model_name)(
+            F.col(text_col)
+        ).alias("embedding"),
     )
 
 
-def embed_query(spark, jd_text: str, backend: str = "hash", dim: int = DEFAULT_DIM) -> DataFrame:
+def embed_query(
+    spark,
+    jd_text: str,
+    backend: str = "hash",
+    dim: int = DEFAULT_DIM,
+    backend_url: str = "http://localhost:11434",
+    model_name: str = "all-minilm",
+) -> DataFrame:
     """V2: embed one query string (the JD) as a 1-row DataFrame, ready
     to broadcast against a corpus (reference rag_model.py:47-56)."""
     one = spark.createDataFrame([(0, jd_text)], ["query_id", "jd_text"])
     return one.select(
-        "query_id", embedder_udf(backend, dim)(F.col("jd_text")).alias("query_embedding")
+        "query_id",
+        embedder_udf(backend, dim, backend_url, model_name)(
+            F.col("jd_text")
+        ).alias("query_embedding"),
     )

@@ -119,23 +119,79 @@ def _stub_backend(task: str) -> Callable[[pd.DataFrame], pd.Series]:
     return generate
 
 
+def _task_prompt(task: str, row: pd.Series) -> str:
+    """Prompt text a real model sees for each task. ``score_prompt``
+    rows carry the fully-assembled T3 prompt; the other tasks get the
+    reference's ask re-stated over the row's raw fields
+    (rag_model.py:100-114, rag_model_mass.py:50-63)."""
+    if task == "score_prompt":
+        return row["prompt"]
+    if task == "feedback":
+        return (
+            "Suggest resume improvements as '- ' bullets.\n"
+            f"RESUME:\n{row['resume_text']}\n\nJOB DESCRIPTION:\n{row['jd_text']}"
+        )
+    if task == "explain":
+        return (
+            "Explain this match in exactly 5 '- ' bullets.\n"
+            f"RESUME:\n{row['resume_text']}\n\nJOB DESCRIPTION:\n{row['jd_text']}"
+        )
+    raise ValueError(f"unknown http task: {task}")
+
+
+def _http_backend(
+    task: str, url: str, model: str
+) -> Callable[[pd.DataFrame], pd.Series]:
+    """Ollama-protocol generation client (POST {url}/api/generate with
+    {model, prompt, stream: false} → {"response": ...}) — the protocol
+    the reference speaks through langchain-ollama (rag_model.py:15,81;
+    constants.py:3 localhost:11434). stdlib-only so the seam works in
+    any environment; one urllib opener per worker, rows posted
+    sequentially within the Arrow batch (Ollama serializes generation
+    per model anyway)."""
+    import json
+    import urllib.request
+
+    def generate(pdf: pd.DataFrame) -> pd.Series:
+        def call(row: pd.Series) -> str:
+            body = json.dumps(
+                {"model": model, "prompt": _task_prompt(task, row), "stream": False}
+            ).encode("utf-8")
+            req = urllib.request.Request(
+                f"{url.rstrip('/')}/api/generate",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return json.loads(resp.read().decode("utf-8"))["response"]
+
+        return pdf.apply(call, axis=1)
+
+    return generate
+
+
 def llm_transform(
     df: DataFrame,
     task: str,
     out_col: str = "response",
     backend: str = "stub",
     id_col: str = "doc_id",
+    backend_url: str = "http://localhost:11434",
+    model: str = "gemma3:1b",
 ) -> DataFrame:
     """Batch LLM inference harness: (id, resume_text, jd_text) →
     (id, response). mapInPandas so the backend/client is constructed
     once per worker and sees whole Arrow batches.
 
-    ``backend='stub'`` is deterministic; an Ollama/OpenAI-compatible
-    backend plugs in here without touching the operator DAG."""
-    if backend != "stub":
+    ``backend='stub'`` is deterministic (CI / oracle path);
+    ``backend='http'`` speaks the Ollama /api/generate protocol to
+    ``backend_url`` (reference default localhost:11434, constants.py:3)
+    — same DAG, same schema, contract-tested against a fake server in
+    tests/test_llm_http.py."""
+    if backend not in ("stub", "http"):
         raise NotImplementedError(
-            "only the deterministic stub backend ships in this environment; "
-            "model-backed generation is a pluggable seam by design"
+            "backends: 'stub' (deterministic) or 'http' (Ollama protocol); "
+            f"got {backend!r}"
         )
 
     schema = T.StructType(
@@ -146,7 +202,11 @@ def llm_transform(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = _stub_backend(task)
+        fn = (
+            _stub_backend(task)
+            if backend == "stub"
+            else _http_backend(task, backend_url, model)
+        )
         for pdf in batches:
             if not len(pdf):
                 continue

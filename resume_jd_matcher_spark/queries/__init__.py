@@ -51,7 +51,8 @@ def oracle_sql() -> dict[str, str]:
     return {name: qd.oracle for name, qd in _REGISTRY.items() if qd.oracle is not None}
 
 
-# Import order = registration order; each module registers its queries.
+# Each module registers its queries on import; _DRIVER_PRIORITY below
+# then fixes the order the driver sees (it samples the first 50).
 from resume_jd_matcher_spark.queries import vector_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import relational_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import text_q  # noqa: E402,F401
@@ -59,6 +60,82 @@ from resume_jd_matcher_spark.queries import scoring_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import stream_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import advanced_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
+
+# The driver records correctness for the first 50 registered queries
+# per round. Rounds 1+3 both covered registration slots 0-49, so the
+# 32 queries below (green in full local driver_sim runs) had never
+# appeared in a CORRECTNESS file. Promote them into the first-50
+# window, anchored by topk_similarity (entry() flagship) and a spread
+# of already-driver-green queries from every module, including the two
+# whose plans changed this round (kmeans_ivf_topk, ngram_jaccard).
+_DRIVER_PRIORITY = [
+    "topk_similarity",
+    # -- the 32 never-driver-checked queries (locally oracle-green) --
+    "heavy_hitters",
+    "tfidf_topterms",
+    "winnow_neardup",
+    "decontaminate",
+    "ensemble_neardup",
+    "rolling_fingerprint",
+    "lang_confusion",
+    "stream_late_data",
+    "stream_attribution_join",
+    "funnel_conversion",
+    "array_ops",
+    "pivot_unpivot",
+    "approx_stats",
+    "mllib_lsh_join",
+    "top_orders_global",
+    "agg_grouping_sets",
+    "exact_percentiles",
+    "fuzzy_match",
+    "window_stats",
+    "date_arithmetic",
+    "json_struct",
+    "stats_moments",
+    "bucketed_join",
+    "pipeline_e2e",
+    "train_test_split",
+    "cap_per_source",
+    "pack_token_budget",
+    "pii_redact",
+    "corpus_clean_pipeline",
+    "stratified_sample",
+    "chunk_sliding",
+    "leakage_safe_split",
+    # -- queries whose plans/oracles changed this round --
+    "kmeans_ivf_topk",
+    "ngram_jaccard",
+    # -- already-driver-green anchors across modules --
+    "knn_per_label",
+    "similarity_join",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "minhash_lsh",
+    "simhash_neardup",
+    "dedup_clusters",
+    "pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "scalar_suite",
+    "format_dispatch",
+    "scd2_merge",
+    "text_quality",
+    "dedup_exact",
+]
+
+
+def _apply_driver_order() -> None:
+    missing = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY}
+    ordered.update((n, qd) for n, qd in _REGISTRY.items() if n not in ordered)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_apply_driver_order()
 
 # Flagship entry point re-export (used by __spark_entry__.entry()).
 from resume_jd_matcher_spark.queries.vector_q import q_topk_similarity  # noqa: E402,F401

@@ -301,15 +301,93 @@ GROUP BY l_returnflag
 """,
 )
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: exact interpolated percentiles per group (both engines use
-    linear interpolation — verified identical; the approximate sketch
-    variant is the rows-only approx_stats query)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("round(percentile(l_extendedprice, 0.25), 4)").alias("p25"),
-        F.expr("round(percentile(l_extendedprice, 0.50), 4)").alias("p50"),
-        F.expr("round(percentile(l_extendedprice, 0.95), 4)").alias("p95"),
+    """A4: exact interpolated percentiles per group via the classic
+    two-scan histogram plan. ``percentile()`` is an ObjectHashAggregate
+    that buffers every group value in executor memory — with 3 groups
+    over lineitem that's ~20M doubles per buffer at sf10 and an OOM at
+    100 TB. Instead:
+
+    - scan 1 builds a bounded histogram on integer buckets
+      ``floor(value)`` (map-side combined; histogram size is capped by
+      the value domain, ~100k buckets here — for unbounded domains
+      widen to ``floor(value/width)``), then a tiny per-group
+      cumulative-count window over buckets locates, for each percentile
+      target rank t = p*(n-1)+1, the bucket holding ranks floor(t) and
+      ceil(t) plus the rank offset inside that bucket;
+    - scan 2 broadcast-semi-joins lineitem down to just those ≤6
+      buckets per group, ranks the handful of surviving rows, and picks
+      the bracketing values; interpolation is quantile_cont semantics
+      (v = v_lo + frac*(v_hi - v_lo)).
+
+    No stage ever holds a group's raw values: peak state is the bucket
+    histogram (bounded) and the ≤6-bucket row slice. When interpolated
+    exactness isn't required at full scale, the sketch-based
+    approx_stats query is the documented cutover."""
+    from pyspark.sql import Window
+
+    pcts = (("p25", 0.25), ("p50", 0.50), ("p95", 0.95))
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", F.floor("l_extendedprice").alias("b")
     )
+    hist = l.groupBy("l_returnflag", "b").agg(F.count("*").alias("cnt"))
+    totals = hist.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    wb = Window.partitionBy("l_returnflag").orderBy("b")
+    whist = hist.join(F.broadcast(totals), "l_returnflag").withColumn(
+        "cum", F.sum("cnt").over(wb)
+    )
+    targets = spark.createDataFrame(
+        [(tag, p, kind) for tag, p in pcts for kind in ("lo", "hi")],
+        "tag string, p double, kind string",
+    )
+    # Bucket with cumulative count `cum` covers integer ranks
+    # (cum-cnt, cum]; rank k lives in it iff cum >= k > cum-cnt.
+    spec = (
+        whist.crossJoin(F.broadcast(targets))
+        .withColumn("t", F.col("p") * (F.col("n") - 1) + 1)
+        .withColumn(
+            "k", F.when(F.col("kind") == "lo", F.floor("t")).otherwise(F.ceil("t"))
+        )
+        .filter((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")))
+        .select(
+            "l_returnflag",
+            "b",
+            (F.col("k") - F.col("cum") + F.col("cnt")).alias("kb"),
+            F.concat("tag", F.lit("_"), "kind").alias("slot"),
+        )
+        # ≤18 rows; persisted so the two broadcast consumers below don't
+        # each re-run the histogram job (and its lineitem scan).
+        .persist()
+    )
+    buckets = spec.select("l_returnflag", "b").distinct()
+    wr = Window.partitionBy("l_returnflag", "b").orderBy("l_extendedprice")
+    picked = (
+        l.join(F.broadcast(buckets), ["l_returnflag", "b"])
+        .withColumn("rn", F.row_number().over(wr))
+        .join(
+            F.broadcast(spec).withColumnRenamed("kb", "rn"),
+            ["l_returnflag", "b", "rn"],
+        )
+    )
+    slot_aggs = [
+        F.max(F.when(F.col("slot") == f"{tag}_{kind}", F.col("l_extendedprice"))).alias(
+            f"{tag}_{kind}"
+        )
+        for tag, _ in pcts
+        for kind in ("lo", "hi")
+    ]
+    out = picked.groupBy("l_returnflag").agg(*slot_aggs).join(
+        F.broadcast(totals), "l_returnflag"
+    )
+    out_cols = [F.col("l_returnflag")]
+    for tag, p in pcts:
+        t = F.lit(p) * (F.col("n") - 1) + 1
+        frac = t - F.floor(t)
+        out_cols.append(
+            F.round(
+                F.col(f"{tag}_lo") + frac * (F.col(f"{tag}_hi") - F.col(f"{tag}_lo")), 4
+            ).alias(tag)
+        )
+    return out.select(*out_cols)
 
 
 @register(

@@ -488,25 +488,108 @@ def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_append(existing, incoming, "vec_id")
 
 
-@register("kmeans_ivf_topk", None)
+def _lloyd_sql(n_clusters: int = 8, n_iter: int = 2, dp: int = 6) -> str:
+    """Unrolled Lloyd-iteration CTE chain mirroring
+    operators/ann.py lloyd_kmeans_partition: seeds = lowest-id vectors
+    rounded to dp, then n_iter × (argmin assignment → per-dim mean
+    rounded to dp). Rounding each iteration's centroids on BOTH engines
+    quantizes away float-summation-order noise, so the trajectories are
+    identical."""
+    assign = """a{k} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT e0.vec_id, e0.e, s.cid,
+           row_number() OVER (PARTITION BY e0.vec_id
+                              ORDER BY {dist}, s.cid) AS rn
+    FROM e0, {cents} s
+  ) WHERE rn = 1
+)"""
+    update = """c{k} AS (
+  SELECT cid, list(round(cv, {dp}) ORDER BY dim) AS c
+  FROM (
+    SELECT a.cid, d.dim, avg(a.e[d.dim]) AS cv
+    FROM a{k} a, (SELECT unnest(generate_series(1, 64)) AS dim) d(dim)
+    GROUP BY a.cid, d.dim
+  ) GROUP BY cid
+)"""
+    ctes = [
+        f"""e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(e, x -> round(x, {dp})) AS c
+  FROM (SELECT * FROM e0 ORDER BY vec_id LIMIT {n_clusters})
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            assign.format(
+                k=i, cents=f"c{i-1}", dist=SQL_SQL2.format(a="e0.e", b="s.c")
+            )
+        )
+        ctes.append(update.format(k=i, dp=dp))
+    # final assignment against the last centroids
+    ctes.append(
+        assign.format(
+            k="f", cents=f"c{n_iter}", dist=SQL_SQL2.format(a="e0.e", b="s.c")
+        )
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+@register(
+    "kmeans_ivf_topk",
+    f"""
+{_lloyd_sql(n_clusters=8, n_iter=2)},
+q AS (
+  SELECT vec_id AS query_id, e AS qe FROM e0 WHERE vec_id < 3
+), routed AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.query_id, q.qe, s.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {SQL_SQL2.format(a='q.qe', b='s.c')}, s.cid) AS crn
+    FROM q, c2 s
+  ) WHERE crn <= 2
+), d AS (
+  SELECT r.query_id, a.vec_id, a.cid,
+         {SQL_SQL2.format(a='r.qe', b='a.e')} AS dist
+  FROM routed r JOIN af a ON a.cid = r.cid
+), ranked AS (
+  SELECT query_id, vec_id, cid, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, cid::INT AS cid, round(dist, 4) AS dist
+FROM ranked WHERE rn <= 5
+""",
+)
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V3/ANN with a LEARNED coarse quantizer (rows-only: KMeans||
-    centroids are MLlib-internal): cluster the corpus with seeded
-    KMeans, then IVF-route queries to the n_probe nearest learned
-    centroids and exact-rank only inside those clusters. Recall floor
-    vs brute force pinned in tests/test_vector.py."""
-    from resume_jd_matcher_spark.operators.ann import ivf_topk, kmeans_partition
+    """V3/ANN with a LEARNED coarse quantizer: fixed-iteration
+    deterministically-seeded Lloyd k-means clusters the corpus, then
+    IVF-routes queries to the 2 nearest learned centroids and
+    exact-ranks only inside those clusters. Per-iteration centroid
+    rounding makes the learned quantizer itself oracle-checkable — the
+    DuckDB twin replays the identical Lloyd trajectory as unrolled
+    CTEs (flipped from rows-only in r03). The MLlib KMeans|| variant
+    of the same shape keeps its recall-floor pytest
+    (tests/test_vector.py)."""
+    from resume_jd_matcher_spark.operators.ann import (
+        ivf_topk,
+        lloyd_kmeans_partition,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    parted = kmeans_partition(emb, n_clusters=8).select(
-        "vec_id", "embedding", "_kpart"
-    )
-    q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_embedding"),
+    parted, cents = lloyd_kmeans_partition(
+        emb.select("vec_id", "embedding"), n_clusters=8, n_iter=2, out_col="cid"
     )
     return ivf_topk(
-        parted, q, k=5, partition_col="_kpart", n_probe=2
+        parted,
+        _emb_queries(spark, sf_dir),
+        k=5,
+        partition_col="cid",
+        n_probe=2,
+        centroids=cents,
     )
 
 

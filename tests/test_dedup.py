@@ -106,3 +106,49 @@ def test_ngram_jaccard_pruned_no_crossjoin(spark):
     plan = physical_plan(dedup.ngram_jaccard_join(d, n=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_df_cap_shrinks_candidates_keeps_recall(spark):
+    """A df-capped shingle universe must kill the freq² candidate
+    blow-up from boilerplate shingles without losing real near-dups.
+    40 docs share one boilerplate sentence (df=40 shingles → 780
+    all-pairs candidates); one genuine near-dup pair shares only rare
+    shingles (df=2)."""
+    boiler = "standard corporate disclaimer applies to every document in this corpus"
+    rows = [
+        (i, f"{boiler} unique{i} filler{i} content{i} words{i} tail{i}")
+        for i in range(40)
+    ]
+    near = "wildly specific shared passage about spark shuffle partition tuning"
+    rows += [(100, near + " alpha"), (101, near + " beta")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = dedup.ngram_jaccard_join(d, n=3).count()
+    capped_rows = dedup.ngram_jaccard_join(d, n=3, max_df=10).collect()
+    capped = {(r.left_id, r.right_id): r.jaccard for r in capped_rows}
+
+    # boilerplate-only pairs are gone: candidate volume collapses
+    assert uncapped >= 780  # every boilerplate pair shares >= 1 shingle
+    assert len(capped) < uncapped / 10
+    # ...but the genuine near-dup pair survives with its exact jaccard
+    # (its shingles are all below the cap, so the value is unchanged)
+    full = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup.ngram_jaccard_join(d, n=3).collect()
+    }
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == full[(100, 101)] >= 0.5
+
+
+def test_ngram_jaccard_cap_inactive_equals_uncapped(crafted):
+    """When no shingle exceeds the cap, capped == uncapped exactly
+    (the registered query's regime at test scale factors)."""
+    want = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup.ngram_jaccard_join(crafted, n=3).collect()
+    }
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup.ngram_jaccard_join(crafted, n=3, max_df=50).collect()
+    }
+    assert got == want and len(want) > 0

@@ -155,6 +155,9 @@ def test_registry_wide_no_cartesian_products(spark):
         "embed_documents", "stats_moments",
         # distinct-value all-pairs over a ~5-row dim (typo-dedup):
         "fuzzy_match",
+        # 6-row literal percentile-target table crossed into the
+        # bucket histogram:
+        "exact_percentiles",
         # single-row scalar CTEs (max-ts, watermark cutoff) crossed in:
         "stream_late_data",
     }

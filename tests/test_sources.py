@@ -100,6 +100,21 @@ def test_codecs_golden_bytes():
         docx_extract_text(b"not a zip")
 
 
+def test_pdf_flate_compressed_stream_decodes():
+    """FlateDecode content streams (the common case in real PDFs) must
+    decode via the stdlib zlib pass — no pymupdf in this environment
+    (reference uses PyMuPDF, utils.py:12-13)."""
+    from resume_jd_matcher_spark.functions.codecs import pdf_extract_text
+
+    blob = open(os.path.join(FIXTURES, "resume_flate.pdf"), "rb").read()
+    assert b"/FlateDecode" in blob
+    assert b"Jane Doe Resume" not in blob  # genuinely compressed
+    text = pdf_extract_text(blob)
+    assert "Jane Doe Resume" in text
+    assert "Skills: Apache Spark (PySpark)" in text
+    assert "Experience: data engineering" in text
+
+
 def test_binary_scan_decode_pipeline(spark):
     """SRC1/SRC2 end-to-end on real bytes: distributed binary scan →
     extension dispatch → mapInPandas decode; corrupt and unsupported
