@@ -69,7 +69,14 @@ def lsh_bucket_topk(
 
     ``bucket_col``: name of a PRECOMPUTED bucket column on ``corpus``
     (the persisted-index probe path — V3's "index build" materialized
-    as a table); None recomputes the signature in-flight."""
+    as a table); None recomputes the signature in-flight.
+
+    INVARIANT: a precomputed ``bucket_col`` must have been produced by
+    ``lsh_signature(vec, n_planes)`` with the SAME ``n_planes`` as this
+    call — query-side signatures are always recomputed with
+    ``n_planes``, so a mismatched index silently yields empty or
+    low-recall joins. ``build_lsh_index``/``probe_lsh_index`` persist
+    the parameter next to the index and validate it for you."""
     if bucket_col is not None:
         c = corpus.withColumnRenamed(bucket_col, "bucket")
     else:
@@ -85,6 +92,75 @@ def lsh_bucket_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "bucket", F.round("dist", 4).alias("dist"))
+    )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """V3 index build: persist LSH bucket assignments as parquet plus a
+    ``_lsh_meta.json`` sidecar recording ``n_planes`` (underscore
+    prefix → ignored by parquet readers, like _SUCCESS), so probes can
+    validate the signature parameter instead of trusting the caller."""
+    import json
+    import os
+
+    corpus.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    with open(os.path.join(local, "_lsh_meta.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "vec_col": vec_col}, f)
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Probe a ``build_lsh_index`` table: raises ValueError when the
+    caller's ``n_planes`` disagrees with the persisted index's —
+    the failure mode the bare ``bucket_col`` path can't detect."""
+    import json
+    import os
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    meta_path = os.path.join(local, "_lsh_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"{path} has no _lsh_meta.json — not a build_lsh_index table; "
+            "pass its bucket column to lsh_bucket_topk(bucket_col=...) only "
+            "if you can vouch for its n_planes"
+        ) from e
+    if meta["n_planes"] != n_planes:
+        raise ValueError(
+            f"index at {path} was built with n_planes={meta['n_planes']}, "
+            f"probe requested {n_planes}; mismatched signatures silently "
+            "return empty/low-recall joins"
+        )
+    idx = spark.read.parquet(path)
+    return lsh_bucket_topk(
+        idx,
+        queries,
+        k=k,
+        n_planes=n_planes,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+        bucket_col="bucket",
     )
 
 

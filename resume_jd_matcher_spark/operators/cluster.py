@@ -46,7 +46,7 @@ def connected_components(
     src: str = "left_id",
     dst: str = "right_id",
     max_iter: int = 20,
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -64,9 +64,15 @@ def connected_components(
     loop runs; both paths produce identical labels. Routing uses a
     bounded ``take()`` that doubles as the fetch, so the small path
     materializes the edge list exactly once.
+
+    The 100k default is sized to the real driver cost: take() yields
+    Python Row objects (~100+ bytes each, not 16 raw bytes of two
+    longs) and union-find builds dicts over both endpoints — ~100 MB
+    of driver heap at the threshold. Raise it only with driver memory
+    to spare.
     """
     # take() both sizes AND fetches in one materialization: at most
-    # threshold+1 rows of two longs transit the driver.
+    # threshold+1 Row objects transit the driver.
     probe = edges.select(src, dst).take(local_threshold + 1)
     if len(probe) <= local_threshold:
         return _cc_local_df(edges.sparkSession, [(r[0], r[1]) for r in probe])
@@ -120,6 +126,7 @@ def _cc_distributed(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -148,9 +155,25 @@ def _cc_distributed(
             )
             labels = nxt.select("node", "label")
             if changed == 0:
+                converged = True
                 break
     finally:
         sym.unpersist()
+    if not converged:
+        # A graph with diameter > max_iter exits here with labels that
+        # are NOT transitive (two nodes of one component can still
+        # carry different reps). Near-dup blobs converge in a handful
+        # of rounds, so this signals a pathological chain — surface it
+        # instead of returning silently-wrong clusters.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: hash-min did not converge within "
+            f"max_iter={max_iter} rounds; labels may be non-transitive. "
+            "Raise max_iter or switch to the large-star/small-star variant.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("cluster_rep"))
 
 
@@ -167,8 +190,8 @@ def dedup_clusters(
     policy is then a trivial filter (``doc_id = cluster_rep`` keeps one
     representative per near-dup cluster).
     """
-    probe = candidates.select(src, dst).take(1_000_001)
-    if len(probe) <= 1_000_000:
+    probe = candidates.select(src, dst).take(100_001)
+    if len(probe) <= 100_000:
         # Small-graph fast path end to end: ONE materialization of the
         # candidate pairs; labels AND sizes resolve driver-side, zero
         # extra shuffles.

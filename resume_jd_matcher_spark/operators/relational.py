@@ -123,14 +123,18 @@ def scd2_merge(
 
 
 def binned_interval_join(
-    left: DataFrame,
-    right: DataFrame,
+    df: DataFrame,
     key_col: str,
     ts_col: str = "ts",
     max_gap_s: int = 300,
+    id_col: str = "event_id",
 ) -> DataFrame:
-    """Scale-safe band join: pairs of rows sharing ``key_col`` whose
-    timestamps are within ``max_gap_s`` seconds of each other.
+    """Scale-safe band SELF-join: unordered pairs of ``df`` rows
+    sharing ``key_col`` whose timestamps are within ``max_gap_s``
+    seconds of each other. (Self-join by construction — the
+    ``left_id < right_id`` pair-dedup only makes sense over one id
+    space; a two-table variant would drop this filter and take both
+    inputs.)
 
     The naive plan for ``|t_a - t_b| <= δ`` is a theta join — Spark
     executes it as BroadcastNestedLoopJoin (O(N·M) comparisons), the
@@ -152,9 +156,9 @@ def binned_interval_join(
     Output: (left_id, right_id, key, gap_us) with left_id < right_id.
     """
     delta_us = max_gap_s * 1_000_000
-    a = left.select(
+    a = df.select(
         F.col(key_col).alias("k"),
-        F.col("event_id").alias("left_id"),
+        F.col(id_col).alias("left_id"),
         F.unix_micros(ts_col).alias("us_a"),
     ).withColumn(
         "bin",
@@ -167,9 +171,9 @@ def binned_interval_join(
             )
         ),
     )
-    b = right.select(
+    b = df.select(
         F.col(key_col).alias("k"),
-        F.col("event_id").alias("right_id"),
+        F.col(id_col).alias("right_id"),
         F.unix_micros(ts_col).alias("us_b"),
     ).withColumn("bin", F.expr(f"us_b div {delta_us}"))
     return (

@@ -472,7 +472,7 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     form) would execute. Integer-microsecond compares; no float
     boundary."""
     ev = load_table(spark, sf_dir, "events")
-    return relational.binned_interval_join(ev, ev, "user_id", max_gap_s=300)
+    return relational.binned_interval_join(ev, "user_id", max_gap_s=300)
 
 
 @register(

@@ -546,9 +546,14 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list join (hash-partitioned on fp) — candidate volume is
     sum of freq(fp)^2 over fingerprints, never corpus^2; winnowing
     keeps ~1/w of gram positions so the posting lists stay sparse."""
+    # Persist: both self-join sides consume the fingerprint pipeline
+    # (two Window passes + per-gram hash — the dominant cost); without
+    # the cache it runs twice. Tracked in dedup._PERSISTED so bench /
+    # long-lived sessions release it after materializing.
     fps = textstats.winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=4, w=5
-    )
+    ).persist()
+    dedup._PERSISTED.append(fps)
     a = fps.select(F.col("doc_id").alias("left_id"), "fp")
     b = fps.select(F.col("doc_id").alias("right_id"), "fp")
     return (
@@ -583,7 +588,8 @@ GROUP BY tr.doc_id
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] benchmark decontamination (the GPT-3/C4 n-gram collision
     method): flag training documents sharing any 8-token gram with the
-    held-out benchmark set (docs >= 480 stand in for the benchmark).
+    held-out benchmark set (docs 400-479 stand in for the benchmark;
+    docs < 400 are the train slice).
     Gram hashes meet in an equi-join against the DISTINCT benchmark
     gram set — at scale the benchmark side is small and broadcasts;
     candidate volume is posting-list bound, never corpus x benchmark

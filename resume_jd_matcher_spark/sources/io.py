@@ -251,18 +251,43 @@ def compact_small_files(
 
     Streaming sinks and incremental appends accumulate thousands of
     tiny files; scans then pay per-file open cost and lose pushdown
-    efficiency. Compaction is a read → repartition → atomic-swap
-    rewrite; returns the new file count.
+    efficiency. Compaction is a read → repartition → same-filesystem
+    rename swap; returns the new file count.
+
+    LOCAL-FILESYSTEM ONLY: the swap relies on same-device os.rename
+    (atomic on POSIX) between sibling directories, which has no analog
+    on object stores — on S3/HDFS run compaction through a table
+    format (Delta/Iceberg rewrite + catalog swap) instead. Crash
+    safety: the staged rewrite is verified readable (row count equals
+    the source) before any rename; the original directory is renamed
+    aside — never deleted — until the promoted copy is verified, so
+    every failure point leaves a complete copy of the data on disk
+    under either ``path``, ``path.compact_old``, or both.
     """
     import math
+    import os
     import shutil
-    import tempfile
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "compact_small_files swaps directories with os.rename and is "
+            f"local-filesystem-only; got {path!r}. On object stores use a "
+            "table-format rewrite (Delta/Iceberg) with a catalog swap."
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    local = local.rstrip("/")
+    staged = f"{local}.compact_staged"  # sibling → same filesystem
+    old = f"{local}.compact_old"
+    for leftover in (staged, old):
+        if os.path.exists(leftover):
+            raise ValueError(
+                f"{leftover} exists — a previous compaction crashed mid-swap; "
+                "recover (promote or remove) it before compacting again"
+            )
 
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    tmp = tempfile.mkdtemp(prefix="compact_")
-    staged = f"{tmp}/data"
     if order_col is not None:
         out = df.repartitionByRange(n_files, order_col).sortWithinPartitions(
             order_col
@@ -270,11 +295,13 @@ def compact_small_files(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(staged)
-    # atomic-ish swap: move old aside, promote staged, drop old
-    old = f"{tmp}/old"
-    shutil.move(path, old)
-    shutil.move(staged, path)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return len(
+    if spark.read.parquet(staged).count() != n_rows:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise RuntimeError("staged compaction row count mismatch; source kept")
+    os.rename(local, old)
+    os.rename(staged, local)
+    n_out = len(
         [f for f in spark.read.parquet(path).inputFiles() if f.endswith(".parquet")]
     )
+    shutil.rmtree(old)  # promoted copy verified readable — drop the original
+    return n_out

@@ -46,13 +46,33 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_scorer(docs_stream: DataFrame, jd_text: str, sink: list) -> Any:
-    """foreachBatch: embed each arriving micro-batch of documents and
-    score it against the static JD (stub embedder), appending scored
-    rows to ``sink`` (a real deployment writes a table / serves top-k).
+def list_sink(sink: list):
+    """TEST-ONLY writer: collects scored rows to a driver-side list.
+    Never use on a data path — the collect() pulls every scored row to
+    the driver. Exists so assertions can see small fixture batches."""
 
-    Returns the started StreamingQuery.
-    """
+    def write(scored_df: DataFrame, batch_id: int) -> None:
+        sink.extend(scored_df.collect())
+
+    return write
+
+
+def foreach_batch_scorer(
+    docs_stream: DataFrame,
+    jd_text: str,
+    writer=None,
+    out_dir: str | None = None,
+) -> Any:
+    """foreachBatch: embed each arriving micro-batch of documents and
+    score it against the static JD (stub embedder), handing the scored
+    top-k DataFrame to ``writer(scored_df, batch_id)``.
+
+    The default writer is the production-shaped exactly-once parquet
+    sink (``idempotent_batch_sink(out_dir)`` — batch_id-partitioned
+    dynamic overwrite, so checkpoint replays rewrite their own
+    partition); pass ``list_sink(some_list)`` in tests when the
+    assertion needs driver-side rows. Returns the started
+    StreamingQuery."""
     from resume_jd_matcher_spark.operators.embedding import (
         embed_documents,
         embed_query,
@@ -60,6 +80,11 @@ def foreach_batch_scorer(docs_stream: DataFrame, jd_text: str, sink: list) -> An
     from resume_jd_matcher_spark.operators.similarity_blas import (
         topk_similarity_blas,
     )
+
+    if writer is None:
+        if out_dir is None:
+            raise ValueError("provide writer= or out_dir= for the default sink")
+        writer = idempotent_batch_sink(out_dir)
 
     def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
@@ -70,7 +95,7 @@ def foreach_batch_scorer(docs_stream: DataFrame, jd_text: str, sink: list) -> An
         topk = topk_similarity_blas(
             corpus, q, k=5, id_col="doc_id", query_id_col="query_id"
         )
-        sink.extend(topk.collect())
+        writer(topk, epoch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(score_batch)

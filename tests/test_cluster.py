@@ -303,3 +303,22 @@ def test_winnow_neardup_at_scale_smoke(spark):
     got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
     planted_hits = sum(1 for l, r in got if r - l == 1 and r % 10 == 9)
     assert planted_hits > 1200  # ~2000 planted; drop-out noise loses some
+
+
+def test_connected_components_warns_without_convergence(spark):
+    """A chain longer than max_iter must not silently return
+    non-transitive labels — the hash-min loop warns when it exits on
+    the iteration cap."""
+    import warnings
+
+    from resume_jd_matcher_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["left_id", "right_id"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(
+            chain, max_iter=2, local_threshold=0
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)

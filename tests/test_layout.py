@@ -133,28 +133,36 @@ def test_range_partitioned_sorted_write(spark, tmp_path):
 
 def test_lsh_index_persist_and_probe(spark, tmp_path):
     """V3 'index build' the Spark-native way: persist the LSH bucket
-    assignment as a table once, probe it later without recomputing
-    signatures — probe results equal the direct in-flight path."""
-    from resume_jd_matcher_spark.operators.ann import lsh_bucket_topk, lsh_signature
+    assignment (with its n_planes metadata) once, probe it later
+    without recomputing signatures — probe results equal the direct
+    in-flight path, and a mismatched n_planes probe is rejected
+    instead of silently returning an empty join."""
+    import pytest as _pytest
+
+    from resume_jd_matcher_spark.operators.ann import (
+        build_lsh_index,
+        lsh_bucket_topk,
+        probe_lsh_index,
+    )
 
     out = str(tmp_path / "lsh_index")
     emb = load_table(spark, SF, "embeddings")
-    emb.withColumn("bucket", lsh_signature(F.col("embedding"), 8)).write.mode(
-        "overwrite"
-    ).parquet(out)
+    build_lsh_index(emb.select("vec_id", "embedding"), out, n_planes=8)
 
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
     direct = lsh_bucket_topk(emb.select("vec_id", "embedding"), q, k=5)
-    idx = spark.read.parquet(out)
-    probed = lsh_bucket_topk(
-        idx.select("vec_id", "embedding", "bucket"), q, k=5, bucket_col="bucket"
-    )
+    probed = probe_lsh_index(spark, out, q, k=5, n_planes=8)
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, probed.collect())
     )
+
+    with _pytest.raises(ValueError, match="n_planes=8"):
+        probe_lsh_index(spark, out, q, k=5, n_planes=16)
+    with _pytest.raises(ValueError, match="_lsh_meta"):
+        probe_lsh_index(spark, str(tmp_path / "nope"), q, k=5)
 
 
 def test_incremental_daily_processing_equals_full_batch(
@@ -221,3 +229,24 @@ def test_compact_small_files(spark, tmp_path):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_compact_small_files_guards(spark, tmp_path):
+    """Object-store URIs are rejected (the rename swap is local-FS
+    only), and a leftover half-swap directory blocks a new compaction
+    instead of being silently clobbered."""
+    import pytest as _pytest
+
+    from resume_jd_matcher_spark.sources.io import compact_small_files
+
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_small_files(spark, "s3://bucket/table")
+
+    out = str(tmp_path / "data")
+    load_table(spark, SF, "events").limit(10).write.parquet(out)
+    leftover = f"{out}.compact_old"
+    import os
+
+    os.mkdir(leftover)
+    with _pytest.raises(ValueError, match="crashed mid-swap"):
+        compact_small_files(spark, out)

@@ -65,12 +65,40 @@ def test_foreach_batch_scorer(spark):
     os.symlink(f"{SF}/documents.parquet", f"{docs_dir}/documents.parquet")
     stream = spark.readStream.schema(docs_schema).format("parquet").load(docs_dir)
 
+    from resume_jd_matcher_spark.streaming.stateful import list_sink
+
     sink: list = []
-    q = foreach_batch_scorer(stream, "spark table data query", sink)
+    q = foreach_batch_scorer(stream, "spark table data query", list_sink(sink))
     q.awaitTermination()
     assert len(sink) == 5  # top-5 of the single micro-batch
     assert all(0.0 <= r.score <= 10.0 for r in sink)
     assert [r.dist for r in sink] == sorted(r.dist for r in sink)
+
+
+@pytest.mark.slow
+def test_foreach_batch_scorer_default_parquet_sink(spark, tmp_path):
+    """With no writer, the scorer lands scored batches in the
+    exactly-once batch_id-partitioned parquet sink — no driver-side
+    collect anywhere on the default path."""
+    docs_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    os.symlink(f"{SF}/documents.parquet", f"{docs_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_schema).format("parquet").load(docs_dir)
+
+    out = str(tmp_path / "scored")
+    q = foreach_batch_scorer(stream, "spark table data query", out_dir=out)
+    q.awaitTermination()
+    scored = spark.read.parquet(out)
+    assert scored.count() == 5
+    assert {"batch_id", "score", "dist"} <= set(scored.columns)
 
 
 @pytest.mark.slow
