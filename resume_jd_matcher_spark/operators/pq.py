@@ -1,0 +1,156 @@
+"""Product quantization (PQ) for embedding columns — the memory-side
+ANN scale path beyond scalar int8 quantization (Jégou et al., TPAMI
+2011; the FAISS ``IVF,PQ`` compression half).
+
+Splits each d-dim vector into ``m`` subvectors, learns a tiny
+codebook per subspace (here: the deterministic fixed-iteration Lloyd
+twin from ``operators/ann.py``, so the whole trajectory is
+oracle-reproducible), and stores each vector as ``m`` small codes —
+64 dims × 4 bytes → 4 codes ≈ 64× compression. Query-time ranking is
+asymmetric distance computation (ADC): the query precomputes its
+distance to every subspace centroid (an m × k lookup table, broadcast
+— it IS the query's representation), and a vector's approximate
+distance is the sum of ``m`` table lookups on its codes. No
+full-width vector ever moves through the ranking join.
+
+Scale shape: codebook fit is sample-bounded (fit on a sample, encode
+the full corpus — same discipline as ``lloyd_kmeans_partition``);
+encoding is m broadcast-argmin passes; ADC ranking is a broadcast
+equi-join on (subspace, code) followed by a map-side-combined sum —
+never a crossJoin against raw vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.functions.vector import squared_l2
+from resume_jd_matcher_spark.operators.ann import lloyd_kmeans_partition
+
+
+def pq_fit_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit ``m`` subspace codebooks and encode the corpus.
+
+    Returns (codes, codebooks):
+    - codes: (id, code_0..code_{m-1}) — one small int per subspace;
+    - codebooks: (subspace, code, centroid) — m × k rows, broadcast-
+      sized by construction.
+
+    Subspace s covers dims [s·d/m, (s+1)·d/m); each codebook is the
+    deterministic Lloyd twin (lowest-id seeds, per-iteration rounding
+    to ``round_dp``) run on that slice, so a SQL oracle can replay the
+    exact trajectory per subspace.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    codes = corpus.select(id_col)
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col), F.slice(vec_col, s * sub + 1, sub).alias("_sv")
+        )
+        assigned, cents = lloyd_kmeans_partition(
+            sliced,
+            n_clusters=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col="_sv",
+            out_col=f"code_{s}",
+            round_dp=round_dp,
+        )
+        codes = codes.join(assigned.select(id_col, f"code_{s}"), id_col)
+        books.append(
+            cents.select(
+                F.lit(s).alias("subspace"),
+                F.col(f"code_{s}").alias("code"),
+                F.col("centroid"),
+            )
+        )
+    codebooks = books[0]
+    for b in books[1:]:
+        codebooks = codebooks.unionByName(b)
+    return codes, codebooks
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k_top: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k: rank encoded vectors against raw queries.
+
+    Builds the per-query distance table (query × subspace × code —
+    |Q| · m · k rows, broadcast), then one equi-join per subspace on
+    the vector's code and a row-local sum. Approximate by
+    construction (quantization error), deterministic given the
+    codebooks; ``dist ≈ Σ_s ||q_s − c_s(code_s)||²`` with the same
+    rounding contract as the codebook fit.
+
+    Output: (query_id, id, dist, rn) — ``rn`` the dense top-k rank
+    with (dist, id) tie-break.
+    """
+    dim_expr = F.size(query_vec_col)
+    # distance table: query sliced per subspace vs every centroid
+    q_sub = queries.select(
+        query_id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        F.col(query_vec_col).alias("_qv"),
+        (dim_expr / m).cast("int").alias("_sub"),
+    ).select(
+        query_id_col,
+        "subspace",
+        F.slice(
+            "_qv", F.col("subspace") * F.col("_sub") + 1, F.col("_sub")
+        ).alias("_qs"),
+    )
+    dtab = q_sub.join(F.broadcast(codebooks), "subspace").select(
+        query_id_col,
+        "subspace",
+        "code",
+        F.round(squared_l2(F.col("_qs"), F.col("centroid")), round_dp).alias(
+            "_d"
+        ),
+    )
+    # long-form codes: (id, subspace, code) — the join is (subspace,
+    # code) equi against the broadcast distance table, then a
+    # map-side-combined per-(query, id) sum. Nothing vector-width
+    # survives past this point.
+    long_codes = codes.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(0), F.lit(m - 1)).alias("subspace"),
+                F.array(*[F.col(f"code_{s}") for s in range(m)]).alias("code"),
+            )
+        ).alias("_sc"),
+    ).select(id_col, F.col("_sc.subspace").alias("subspace"), F.col("_sc.code").alias("code"))
+    summed = (
+        long_codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_d"), round_dp).alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+    return (
+        summed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_top)
+        .select(query_id_col, id_col, "dist", F.col("rn").cast("int").alias("rn"))
+    )

@@ -60,6 +60,7 @@ from resume_jd_matcher_spark.queries import scoring_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import stream_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import advanced_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rounds 1+3 both covered registration slots 0-49, so the

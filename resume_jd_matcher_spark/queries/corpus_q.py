@@ -1,0 +1,213 @@
+"""Corpus-hygiene and layout queries (round 4): Gopher repetition
+filters, Z-order multi-dim layout, product-quantization ANN.
+
+Same oracle contract as every module: identical aliases, in-query
+rounding with the 1e-9 boundary nudge, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import quality
+from resume_jd_matcher_spark.plans.layout import zvalue, zvalue_sql
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.queries.text_q import SQL_TOKS
+from resume_jd_matcher_spark.queries.vector_q import SQL_SQL2
+from resume_jd_matcher_spark.sources.io import load_table
+
+
+@register(
+    "repetition_filter",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS ntok, toks FROM t
+), g2 AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM base, unnest(generate_series(1, ntok - 1)) s(i)
+  WHERE ntok >= 2
+), c2 AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g
+), m2 AS (
+  SELECT doc_id, max(cnt) AS top2 FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+  FROM base, unnest(generate_series(1, ntok - 2)) s(i)
+  WHERE ntok >= 3
+), c3 AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g
+), d3 AS (
+  SELECT doc_id, sum(cnt * 3) AS dup3 FROM c3 WHERE cnt >= 2 GROUP BY doc_id
+), r AS (
+  SELECT b.doc_id,
+         b.ntok,
+         coalesce(m2.top2, 0) AS top2,
+         round(coalesce(m2.top2, 0) * 2 / nullif(b.ntok::DOUBLE, 0) + 1e-9, 4)
+           AS top_frac,
+         round(coalesce(d3.dup3, 0) / nullif(b.ntok::DOUBLE, 0) + 1e-9, 4)
+           AS dup_frac
+  FROM base b
+  LEFT JOIN m2 ON b.doc_id = m2.doc_id
+  LEFT JOIN d3 ON b.doc_id = d3.doc_id
+)
+SELECT doc_id,
+       ntok::INT AS n_tokens,
+       top2::INT AS top_bigram_cnt,
+       top_frac AS top_bigram_frac,
+       dup_frac AS dup_trigram_frac,
+       (top_frac <= {quality.TOP_BIGRAM_MAX}
+        AND dup_frac <= {quality.DUP_TRIGRAM_MAX})::INT AS keep
+FROM r
+""",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher/MassiveText intra-document repetition filter (Rae
+    et al. 2021 §A1.1): per-doc top-bigram coverage and duplicated-
+    trigram coverage with keep/drop thresholds — the quality rule that
+    catches keyword-stuffed/templated documents exact and near dedup
+    both miss (repetition is intra-doc, dedup is inter-doc)."""
+    return quality.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "zorder_curve",
+    f"""
+SELECT event_id,
+       {zvalue_sql('user_id', 'floor(value)')} AS zval
+FROM events
+""",
+)
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Z-order (Morton) clustering key over (user_id,
+    floor(value)) — the Delta/Iceberg ZORDER BY primitive that makes
+    parquet min/max stats prune on BOTH dimensions of a selective
+    scan (plans/layout.py; the layout write itself is pytest-verified
+    for two-dim pruning in tests/test_zorder.py). One codegen'd
+    integer expression per row; the bit interleave is generated from
+    the same term list on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", zvalue(F.col("user_id"), F.floor("value")).alias("zval")
+    )
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    dp: int = 6,
+    n_q: int = 3,
+    k_top: int = 5,
+) -> str:
+    """PQ fit + encode + ADC rank as one unrolled CTE chain — the
+    subspace-sliced generalization of vector_q._lloyd_sql. Per
+    subspace: deterministic Lloyd (lowest-id seeds, per-iteration
+    round to ``dp``); then each query's subspace-distance table joins
+    the final codes and sums."""
+    sub = dim // m
+    ctes = [
+        "e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        " AS e FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"s{s}e AS (SELECT vec_id, e[{lo}:{hi}] AS v FROM e0)")
+        ctes.append(
+            f"""s{s}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> round(x, {dp})) AS c
+  FROM (SELECT * FROM s{s}e ORDER BY vec_id LIMIT {k}))"""
+        )
+        dist = SQL_SQL2.format(a="t.v", b="s.c")
+        for i in range(1, n_iter + 1):
+            ctes.append(
+                f"""s{s}a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT t.vec_id, t.v, s.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist}, s.cid) AS rn
+    FROM s{s}e t, s{s}c{i - 1} s) WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""s{s}c{i} AS (
+  SELECT cid, list(round(cv, {dp}) ORDER BY dim) AS c
+  FROM (
+    SELECT a.cid, d.dim, avg(a.v[d.dim]) AS cv
+    FROM s{s}a{i} a, (SELECT unnest(generate_series(1, {sub})) AS dim) d(dim)
+    GROUP BY a.cid, d.dim
+  ) GROUP BY cid)"""
+            )
+        ctes.append(
+            f"""s{s}af AS (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, s.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {dist}, s.cid) AS rn
+    FROM s{s}e t, s{s}c{n_iter} s) WHERE rn = 1)"""
+        )
+    # ADC: per-query per-subspace distance table over the FINAL
+    # centroids, joined to the final codes, summed across subspaces.
+    dtabs = ",\n".join(
+        f"""d{s} AS (
+  SELECT q.vec_id AS query_id, s.cid,
+         round({SQL_SQL2.format(a=f"q.e[{s * sub + 1}:{(s + 1) * sub}]", b="s.c")}, {dp}) AS d
+  FROM (SELECT vec_id, e FROM e0 WHERE vec_id < {n_q}) q, s{s}c{n_iter} s)"""
+        for s in range(m)
+    )
+    pair_sums = "\n  UNION ALL\n".join(
+        f"""  SELECT d{s}.query_id, a.vec_id, d{s}.d
+  FROM s{s}af a JOIN d{s} ON d{s}.cid = a.cid"""
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ",\n"
+        + dtabs
+        + f""",
+parts AS (
+{pair_sums}
+), summed AS (
+  SELECT query_id, vec_id, round(sum(d), {dp}) AS dist6
+  FROM parts GROUP BY query_id, vec_id
+), ranked AS (
+  SELECT query_id, vec_id, dist6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist6, vec_id) AS rn
+  FROM summed
+)
+SELECT query_id, vec_id,
+       round(dist6 + 1e-9, 4) AS dist,
+       rn::INT AS rn
+FROM ranked WHERE rn <= {k_top}
+"""
+    )
+
+
+@register("pq_topk", _pq_sql())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] product-quantization ANN (Jégou et al. 2011; the FAISS
+    PQ compression half): 64-dim vectors → 4 subspace codes from
+    deterministic per-subspace Lloyd codebooks, queries ranked by
+    asymmetric distance (broadcast m×k lookup table + code join —
+    no raw vector ever crosses the ranking join). operators/pq.py;
+    64× vector-memory compression at serving time."""
+    from resume_jd_matcher_spark.operators.pq import pq_adc_topk, pq_fit_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit_encode(emb, m=4, k=4, n_iter=2)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    topk = pq_adc_topk(codes, books, qs, k_top=5, m=4)
+    return topk.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("dist") + F.lit(1e-9), 4).alias("dist"),
+        "rn",
+    )

@@ -1,0 +1,91 @@
+"""Repetition-based quality filters (operators/quality.py) and
+product quantization (operators/pq.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.quality import repetition_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_planted_spam_dropped(spark):
+    """A doc that is one bigram repeated must trip the top-bigram
+    rule; a doc of all-distinct tokens must pass both rules."""
+    d = _docs(
+        spark,
+        [
+            (1, "buy now " * 20),            # top bigram covers ~all tokens
+            (2, " ".join(f"w{i}" for i in range(40))),  # zero repetition
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert got[1]["keep"] == 0
+    assert got[1]["top_bigram_frac"] > 0.5
+    assert got[2]["keep"] == 1
+    assert got[2]["top_bigram_frac"] < 0.1
+    assert got[2]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_dup_trigram_rule(spark):
+    """Duplicated-trigram coverage fires even when no single bigram
+    dominates: two different trigrams, each repeated, in a long
+    unique-token tail."""
+    tail = " ".join(f"u{i}" for i in range(60))
+    d = _docs(spark, [(1, "a b c " * 3 + "x y z " * 3 + tail)])
+    row = repetition_stats(d).collect()[0]
+    # 18 of 78 tokens sit in repeated bigrams -> under the 0.20 top-
+    # bigram cap; but trigram duplicates cover well over 0.18.
+    assert row["dup_trigram_frac"] > 0.18
+    assert row["keep"] == 0
+
+
+def test_repetition_empty_and_short_docs(spark):
+    """Empty text -> NULL ratios (never a div-by-zero task kill);
+    a one-token doc has no bigrams and keeps cleanly."""
+    d = _docs(spark, [(1, ""), (2, "hello")])
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    # "" trims/splits to [''] in both engines -> 1 token, no bigrams.
+    assert got[1]["top_bigram_cnt"] == 0
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["keep"] == 1
+    assert got[2]["top_bigram_frac"] == 0.0
+
+
+def test_pq_determinism_and_recall(spark):
+    """PQ codes are bit-stable across runs (deterministic Lloyd), the
+    codebook is m x k, and ADC top-5 finds the query's own vector at
+    rank 1 (dist to self ~ quantization error, far below other
+    vectors') for most queries."""
+    from resume_jd_matcher_spark.operators.pq import pq_adc_topk, pq_fit_encode
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    codes1, books1 = pq_fit_encode(emb, m=4, k=4, n_iter=2)
+    codes2, _ = pq_fit_encode(emb, m=4, k=4, n_iter=2)
+    assert sorted(map(tuple, codes1.collect())) == sorted(
+        map(tuple, codes2.collect())
+    )
+    assert books1.count() == 16  # 4 subspaces x 4 codes
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    topk = pq_adc_topk(codes1, books1, qs, k_top=5, m=4).collect()
+    assert len(topk) == 50
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # with 4^4=256 possible codes over 50 vectors, a query's own code
+    # cell is tiny -> self should usually win rank 1
+    self_hits = sum(
+        1
+        for q, rows in by_q.items()
+        if any(r["vec_id"] == q and r["rn"] == 1 for r in rows)
+    )
+    assert self_hits >= 6  # of 10; quantization can merge close pairs
