@@ -83,7 +83,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         e = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The fixture generator has written ts as TIMESTAMP(NANOS) in
+        # some rounds and TIMESTAMP(MICROS) in others — branch on the
+        # scanned type, not the round.
+        ts_type = e.schema["ts"].dataType.typeName()
+        if ts_type == "long":  # nanos-as-long -> truncate to micros
+            df = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # session tz is UTC: lossless
+            df = e.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            df = e
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if _SCAN_CACHE_ENABLED:
