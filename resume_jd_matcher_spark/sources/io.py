@@ -83,22 +83,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         e = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # The fixture generator has written ts as TIMESTAMP(NANOS) in
-        # some rounds and TIMESTAMP(MICROS) in others — branch on the
-        # scanned type, not the round.
-        ts_type = e.schema["ts"].dataType.typeName()
-        if ts_type == "long":  # nanos-as-long -> truncate to micros
-            df = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":  # session tz is UTC: lossless
-            df = e.withColumn("ts", F.col("ts").cast("timestamp"))
-        else:
-            df = e
+        df = normalize_events_ts(e)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if _SCAN_CACHE_ENABLED:
         df = df.persist()
         _SCAN_CACHE[key] = df
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events fixture's ``ts`` to TimestampType.
+
+    The fixture generator has written ts as TIMESTAMP(NANOS) in some
+    rounds and TIMESTAMP(MICROS) in others — branch on the SCANNED
+    type, not the round, so both the batch and streaming paths survive
+    any physical representation (assumes nanosAsLong is set on the
+    session for the NANOS case). Shared by ``load_table`` and every
+    streaming stager so a drift can never split the two paths again.
+
+    Any other scanned type (e.g. millis-as-long from a future fixture)
+    fails LOUDLY here rather than flowing a mis-scaled timestamp into
+    oracle comparison.
+    """
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "long":  # nanos-as-long -> truncate to micros
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":  # session tz is UTC: lossless
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type == "timestamp":
+        return df
+    raise TypeError(
+        f"events.ts scanned as unsupported type {ts_type!r}; expected "
+        "long (nanos), timestamp_ntz, or timestamp — update "
+        "normalize_events_ts for the new fixture representation"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP_NS)
+        T.StructField("ts", T.TimestampType()),  # normalized by staging
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,33 +32,52 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _stage_normalized_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events fixture ONCE per (tmpdir, sf_dir) as
+    TIMESTAMP_MICROS parquet, ts normalized through the same
+    ``normalize_events_ts`` branch the batch scan uses — so the stream
+    source sees one stable representation regardless of the fixture's
+    physical ts type (the round-4 drift broke the symlink-raw-file
+    approach). Returns the staged directory, safe for a schema'd
+    readStream."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    # Stable digest (not Python's salted hash()) so every run of the
+    # same fixture reuses ONE staging dir instead of leaking a new
+    # /tmp/events_stream_* per process.
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_ts_{digest}")
+    done = os.path.join(stage, "_NORMALIZED")
+    if os.path.exists(done):
+        return stage
+    if os.path.isdir(stage):  # half-written leftover from a crashed run
+        shutil.rmtree(stage, ignore_errors=True)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    tmp = f"{stage}_tmp_{os.getpid()}"
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(tmp)
+    open(os.path.join(tmp, "_NORMALIZED"), "w").close()
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent stager won
+    return stage
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events fixture (one parquet = one
     micro-batch; real deployments swap in kafka here).
 
     The file stream source requires a *directory*, and the fixture dir
-    mixes all tables — so the events file is staged (symlinked) into a
-    scratch directory once per (session, sf_dir).
+    mixes all tables — so a ts-normalized copy of the events table is
+    staged into a scratch directory once per (session, sf_dir).
     """
-    import hashlib
-    import os
-    import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Stable digest (not Python's salted hash()) so every run of the
-    # same fixture reuses ONE staging dir instead of leaking a new
-    # /tmp/events_stream_* per process.
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-        except FileExistsError:
-            pass  # concurrent stager won the race — same target
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stage = _stage_normalized_events(spark, sf_dir)
+    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
@@ -122,30 +141,33 @@ def stage_events_phased(
       exact replay of every ``straggler_mod``-th pre-cutoff event —
       duplicates whose dedup state may already be watermark-evicted.
 
-    Returns the two file paths (raw LONG-nanos schema, ready for
-    EVENTS_SCHEMA readStream)."""
+    Returns the two file paths (ts-normalized TIMESTAMP_MICROS schema,
+    ready for EVENTS_SCHEMA readStream)."""
+    import datetime
     import glob
     import os
     import shutil
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
-    cutoff_ns = max_ns - cutoff_days * 86_400 * 10**9
-    replayed = (F.col("ts") <= cutoff_ns) & (
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    raw = load_table(spark, sf_dir, "events")
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts - datetime.timedelta(days=cutoff_days))
+    replayed = (F.col("ts") <= cutoff) & (
         F.col("event_id") % straggler_mod == 0
     )
     if mode == "holdback":
-        ontime = raw.filter((F.col("ts") <= cutoff_ns) & ~replayed)
-        late = raw.filter((F.col("ts") > cutoff_ns) | replayed)
+        ontime = raw.filter((F.col("ts") <= cutoff) & ~replayed)
+        late = raw.filter((F.col("ts") > cutoff) | replayed)
     elif mode == "duplicate":
-        ontime = raw.filter(F.col("ts") <= cutoff_ns)
-        late = raw.filter(F.col("ts") > cutoff_ns).unionByName(
+        ontime = raw.filter(F.col("ts") <= cutoff)
+        late = raw.filter(F.col("ts") > cutoff).unionByName(
             raw.filter(replayed)
         )
     else:
         raise ValueError(f"unknown phased-replay mode: {mode!r}")
 
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     os.makedirs(stage, exist_ok=True)
     paths = []
     for tag, df, mtime in (("00_ontime", ontime, 1000), ("01_late", late, 2000)):
@@ -177,7 +199,6 @@ def run_phased_stream(
     import glob
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
     # One stable source dir (the checkpoint pins the source path);
     # each phase symlinks the next file in before re-running.
@@ -191,7 +212,6 @@ def run_phased_stream(
             spark.readStream.schema(EVENTS_SCHEMA)
             .format("parquet")
             .load(view)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
         q = (
             transform(src)
