@@ -347,6 +347,37 @@ def lloyd_kmeans_partition(
     return assigned, cents.withColumnRenamed("_cid", out_col)
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "_cid",
+) -> DataFrame:
+    """Broadcast-argmin encode: assign every vector to its nearest
+    centroid — the standalone twin of the Lloyd fit's assign step
+    (same double cast, same squared-L2, same (dist, cid) struct-min
+    tie-break), so a sample-fit + full-corpus encode is trajectory-
+    identical to a full-corpus fit whenever the sample covers the
+    corpus. One broadcast of the ≤k-row centroid table, a codegen'd
+    min(struct) hash agg — the only shuffle is the slim (id, cid)
+    combine. Output: (id_col, cid_col)."""
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cand = v.crossJoin(
+        F.broadcast(cents.select(F.col(cid_col).alias("__cid"), "centroid"))
+    )
+    d = squared_l2(F.col("_v"), F.col("centroid"))
+    return (
+        cand.select(F.col(id_col), F.col("__cid"), d.alias("_d"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_d", "__cid")).alias("_m"))
+        .select(F.col(id_col), F.col("_m.__cid").alias(cid_col))
+    )
+
+
 def kmeans_partition(
     corpus: DataFrame,
     n_clusters: int = 8,

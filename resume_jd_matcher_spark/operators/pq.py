@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.functions.vector import squared_l2
-from resume_jd_matcher_spark.operators.ann import lloyd_kmeans_partition
+from resume_jd_matcher_spark.operators.ann import (
+    assign_to_centroids,
+    lloyd_kmeans_partition,
+)
 
 
 def pq_fit_encode(
@@ -37,8 +40,10 @@ def pq_fit_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    fit_sample_rows: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
-    """Fit ``m`` subspace codebooks and encode the corpus.
+    """Fit ``m`` subspace codebooks on a bounded sample, encode the
+    full corpus.
 
     Returns (codes, codebooks):
     - codes: (id, code_0..code_{m-1}) — one small int per subspace;
@@ -49,19 +54,27 @@ def pq_fit_encode(
     deterministic Lloyd twin (lowest-id seeds, per-iteration rounding
     to ``round_dp``) run on that slice, so a SQL oracle can replay the
     exact trajectory per subspace.
+
+    The fit scans only the ``fit_sample_rows`` lowest-id vectors (a
+    deterministic prefix sample — the Lloyd seeds are the lowest ids
+    anyway, so whenever the corpus fits inside the cap the trajectory
+    is bit-identical to a full-corpus fit and the SQL oracle needs no
+    sample clause). Encoding the full corpus is m broadcast-argmin
+    passes against the fitted ≤m×k centroids
+    (``assign_to_centroids``) — at 100 TB the Lloyd iterations cost
+    sample-sized shuffles, never full-corpus ones.
     """
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    fit = corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample_rows)
     codes = corpus.select(id_col)
     books = []
     for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col), F.slice(vec_col, s * sub + 1, sub).alias("_sv")
-        )
-        assigned, cents = lloyd_kmeans_partition(
-            sliced,
+        sub_slice = F.slice(vec_col, s * sub + 1, sub).alias("_sv")
+        _, cents = lloyd_kmeans_partition(
+            fit.select(F.col(id_col), sub_slice),
             n_clusters=k,
             n_iter=n_iter,
             id_col=id_col,
@@ -69,7 +82,14 @@ def pq_fit_encode(
             out_col=f"code_{s}",
             round_dp=round_dp,
         )
-        codes = codes.join(assigned.select(id_col, f"code_{s}"), id_col)
+        encoded = assign_to_centroids(
+            corpus.select(F.col(id_col), sub_slice),
+            cents,
+            id_col=id_col,
+            vec_col="_sv",
+            cid_col=f"code_{s}",
+        )
+        codes = codes.join(encoded, id_col)
         books.append(
             cents.select(
                 F.lit(s).alias("subspace"),

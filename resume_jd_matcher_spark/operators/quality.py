@@ -55,18 +55,6 @@ def _grams(tok_arr: Column, n: int) -> Column:
     )
 
 
-def _gram_counts(
-    df: DataFrame, n: int, id_col: str, text_col: str
-) -> DataFrame:
-    return (
-        df.select(
-            F.col(id_col), F.explode(_grams(tokens(text_col), n)).alias("gram")
-        )
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,29 +73,50 @@ def repetition_stats(
       (Σ cnt × 3 / n_tokens),
     - ``keep`` = 1 iff both are at or under their thresholds.
 
-    Two independent gram passes feed equi-joins on the id (the agg
-    sides arrive already hash-partitioned on id, so only the slim base
-    projection reshuffles); ratios degrade to NULL (→ drop) for empty
-    documents rather than dividing by zero under ANSI mode.
+    Single-pass plan: the corpus is tokenized ONCE into a projected
+    column, bigrams and trigrams are built from that shared array and
+    exploded together (tagged with their n), and both stats come out
+    of one (id, n, gram) hash agg followed by one per-id conditional
+    agg — no joins, no second tokenization (the round-4 version
+    re-tokenized per gram pass and was 4× slower). ``explode_outer``
+    keeps gram-less (short/empty) documents alive; their ratios
+    degrade to NULL (→ drop) rather than dividing by zero under ANSI
+    mode.
     """
-    base = df.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
     )
-    top2 = (
-        _gram_counts(df, 2, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    tagged = F.concat(
+        F.transform(
+            _grams(F.col("_toks"), 2),
+            lambda g: F.struct(F.lit(2).alias("gn"), g.alias("gram")),
+        ),
+        F.transform(
+            _grams(F.col("_toks"), 3),
+            lambda g: F.struct(F.lit(3).alias("gn"), g.alias("gram")),
+        ),
     )
-    dup3 = (
-        _gram_counts(df, 3, id_col, text_col)
-        .filter(F.col("cnt") >= 2)
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * 3).alias("dup_tri_toks"))
+    exploded = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.explode_outer(tagged).alias("_g"),
+    )
+    cnts = exploded.groupBy(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("_g.gn").alias("gn"),
+        F.col("_g.gram").alias("gram"),
+    ).agg(F.count("*").alias("cnt"))
+    stats = cnts.groupBy(id_col, "n_tokens").agg(
+        F.max(F.when(F.col("gn") == 2, F.col("cnt"))).alias("top_bigram_cnt"),
+        F.sum(
+            F.when((F.col("gn") == 3) & (F.col("cnt") >= 2), F.col("cnt") * 3)
+        ).alias("dup_tri_toks"),
     )
     safe_n = F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0))
     eps = F.lit(1e-9)  # same .5-boundary nudge as text_quality
     # coalesce BEFORE the ratio: a doc with <2 tokens has no bigram
-    # row at all, and a NULL fraction would poison `keep` to NULL.
+    # count at all, and a NULL fraction would poison `keep` to NULL.
     top_frac = F.round(
         F.coalesce(F.col("top_bigram_cnt"), F.lit(0)) * 2 / safe_n + eps, 4
     )
@@ -115,9 +124,7 @@ def repetition_stats(
         F.coalesce(F.col("dup_tri_toks"), F.lit(0)) / safe_n + eps, 4
     )
     return (
-        base.join(top2, id_col, "left")
-        .join(dup3, id_col, "left")
-        .select(
+        stats.select(
             F.col(id_col),
             F.col("n_tokens").cast("int").alias("n_tokens"),
             F.coalesce(F.col("top_bigram_cnt"), F.lit(0))

@@ -63,15 +63,18 @@ from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
-# per round. Rounds 1+3 both covered registration slots 0-49, so the
-# 32 queries below (green in full local driver_sim runs) had never
-# appeared in a CORRECTNESS file. Promote them into the first-50
-# window, anchored by topk_similarity (entry() flagship) and a spread
-# of already-driver-green queries from every module, including the two
-# whose plans changed this round (kmeans_ivf_topk, ngram_jaccard).
+# per round. Round 5 rotation: the three round-4 additions (pq_topk,
+# repetition_filter, zorder_curve — judge-verified hash-matches, never
+# driver-checked) and the repaired approx_stats move into the window;
+# three multiply-confirmed anchors (dedup_exact, scalar_suite,
+# pricing_summary — green in r01+r03+r04) rotate out to make room.
 _DRIVER_PRIORITY = [
     "topk_similarity",
-    # -- the 32 never-driver-checked queries (locally oracle-green) --
+    # -- round-4 additions awaiting hard driver signal --
+    "pq_topk",
+    "repetition_filter",
+    "zorder_curve",
+    # -- r4-green window (minus the rotated-out anchors) --
     "heavy_hitters",
     "tfidf_topterms",
     "winnow_neardup",
@@ -104,10 +107,8 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "chunk_sliding",
     "leakage_safe_split",
-    # -- queries whose plans/oracles changed this round --
     "kmeans_ivf_topk",
     "ngram_jaccard",
-    # -- already-driver-green anchors across modules --
     "knn_per_label",
     "similarity_join",
     "cosine_topk",
@@ -115,14 +116,11 @@ _DRIVER_PRIORITY = [
     "minhash_lsh",
     "simhash_neardup",
     "dedup_clusters",
-    "pricing_summary",
     "join_revenue_by_nation",
     "window_topk_orders",
-    "scalar_suite",
     "format_dispatch",
     "scd2_merge",
     "text_quality",
-    "dedup_exact",
 ]
 
 

@@ -206,11 +206,27 @@ def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 approximate aggregates (rows-only: sketch results are
     engine-specific by design): HLL count-distinct + approximate
-    quantiles per return flag; exact counterparts checked in pytest."""
+    quantiles per return flag; exact counterparts checked in pytest.
+
+    The two quantiles come out of ONE sketch evaluation but are
+    flattened to scalar columns — an ARRAY<DOUBLE> result column broke
+    the driver's pandas canonicalization (unhashable ndarray,
+    CORRECTNESS_r04)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95], 10000
+            ).alias("_q"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("_q", 1).alias("price_p50"),
+            F.element_at("_q", 2).alias("price_p95"),
+        )
     )
 
 

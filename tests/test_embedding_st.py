@@ -1,0 +1,104 @@
+"""Recorded-vector contract tests for the sentence-transformers
+backend (operators/embedding.py — the reference's real model seam,
+vectorDB.py:7, constants.py:5).
+
+The library is not installed in this environment, so the import-gated
+path is exercised against a test-only stand-in that returns RECORDED
+input→vector pairs — the same fake-dependency/golden pattern as
+tests/test_llm_http.py uses for the Ollama seam. One copy of the fake
+is injected driver-side (unit contract), one is shipped to executor
+Python workers via addPyFile (full pandas_udf path).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+MODEL_NAME = "sentence-transformers/all-MiniLM-L6-v2"
+
+RECORDED = {
+    "spark engine": [0.11, 0.22, 0.33, 0.44],
+    "resume text": [0.55, 0.66, 0.77, 0.88],
+    "": [0.0, 0.0, 0.0, 0.0],  # None must arrive here via fillna("")
+}
+
+# Source form of the fake, shipped to executors with addPyFile (a
+# driver-side sys.modules patch cannot reach worker processes).
+FAKE_MODULE_SRC = f'''
+"""Test-only stand-in for sentence_transformers (recorded vectors)."""
+RECORDED = {RECORDED!r}
+
+
+class SentenceTransformer:
+    def __init__(self, name):
+        if name != {MODEL_NAME!r}:
+            raise ValueError("unexpected model: " + name)
+
+    def encode(self, texts, convert_to_numpy=True):
+        import numpy as np
+
+        return np.array([RECORDED[t] for t in texts])
+'''
+
+
+def test_st_backend_driver_contract(monkeypatch):
+    """_make_st_backend loads the model once, passes the pinned model
+    name, fills None with "", and returns plain float lists."""
+    n_loads = {"n": 0}
+
+    class FakeST:
+        def __init__(self, name):
+            assert name == MODEL_NAME
+            n_loads["n"] += 1
+
+        def encode(self, texts, convert_to_numpy=True):
+            import numpy as np
+
+            return np.array([RECORDED[t] for t in texts])
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    from resume_jd_matcher_spark.operators.embedding import _make_st_backend
+
+    fn = _make_st_backend(MODEL_NAME)
+    out = fn(pd.Series(["spark engine", None, "resume text"]))
+    assert list(out) == [
+        RECORDED["spark engine"],
+        RECORDED[""],  # the fillna("") contract
+        RECORDED["resume text"],
+    ]
+    fn(pd.Series(["spark engine"]))
+    assert n_loads["n"] == 1  # one model per worker, amortized
+
+
+@pytest.mark.slow
+def test_st_backend_udf_end_to_end(spark, tmp_path):
+    """Backend selection through embed_documents(backend=
+    'sentence-transformers') runs the real pandas_udf path on executor
+    workers (fake module shipped via addPyFile; the real library never
+    imports) and lands the recorded vectors."""
+    mod = tmp_path / "sentence_transformers.py"
+    mod.write_text(FAKE_MODULE_SRC)
+    spark.sparkContext.addPyFile(str(mod))
+
+    from resume_jd_matcher_spark.operators.embedding import embed_documents
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine"), (2, "resume text"), (3, None)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(docs, backend="sentence-transformers").collect()
+    }
+    assert got == {
+        1: RECORDED["spark engine"],
+        2: RECORDED["resume text"],
+        3: RECORDED[""],
+    }
