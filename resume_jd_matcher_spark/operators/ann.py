@@ -347,35 +347,103 @@ def lloyd_kmeans_partition(
     return assigned, cents.withColumnRenamed("_cid", out_col)
 
 
-def assign_to_centroids(
+def assign_to_centroids_grouped(
     vectors: DataFrame,
     cents: DataFrame,
+    group_col: str = "_grp",
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "_v",
     cid_col: str = "_cid",
 ) -> DataFrame:
-    """Broadcast-argmin encode: assign every vector to its nearest
-    centroid — the standalone twin of the Lloyd fit's assign step
-    (same double cast, same squared-L2, same (dist, cid) struct-min
-    tie-break), so a sample-fit + full-corpus encode is trajectory-
-    identical to a full-corpus fit whenever the sample covers the
-    corpus. One broadcast of the ≤k-row centroid table, a codegen'd
-    min(struct) hash agg — the only shuffle is the slim (id, cid)
-    combine. Output: (id_col, cid_col)."""
+    """Broadcast-argmin encode, one independent centroid set per
+    group: each (group, vector) row joins the ≤groups×k-row broadcast
+    centroid table on the group key (a plain BroadcastHashJoin — no
+    nested-loop join anywhere) and takes the nearest centroid with the
+    same squared-L2 + (dist, cid) struct-min tie-break as the
+    ungrouped Lloyd assign, so a sample-fit + full-corpus encode is
+    trajectory-identical to a full-corpus fit whenever the sample
+    covers the corpus. ``vec_col`` must already be ARRAY<DOUBLE>.
+    Output: (group_col, id_col, cid_col)."""
+    cand = vectors.join(
+        F.broadcast(
+            cents.select(
+                F.col(group_col),
+                F.col(cid_col).alias("__cid"),
+                "centroid",
+            )
+        ),
+        group_col,
+    )
+    d = squared_l2(F.col(vec_col), F.col("centroid"))
+    return (
+        cand.select(F.col(group_col), F.col(id_col), F.col("__cid"), d.alias("_d"))
+        .groupBy(group_col, id_col)
+        .agg(F.min(F.struct("_d", "__cid")).alias("_m"))
+        .select(
+            F.col(group_col), F.col(id_col), F.col("_m.__cid").alias(cid_col)
+        )
+    )
+
+
+def lloyd_kmeans_grouped(
+    vectors: DataFrame,
+    n_clusters: int = 4,
+    n_iter: int = 2,
+    group_col: str = "_grp",
+    id_col: str = "vec_id",
+    vec_col: str = "_sv",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means fitted INDEPENDENTLY
+    per group in one shared pass — the vectorized twin of running
+    ``lloyd_kmeans_partition`` once per group (identical per-group
+    trajectory: lowest-id seeds within the group, per-iteration
+    centroid rounding, same argmin tie-break), but every iteration is
+    ONE scan of the long-form input instead of one scan per group.
+    With m groups (PQ subspaces) that collapses m×(n_iter+1)
+    full-input passes into n_iter+1, and every join is an equi-join on
+    the group key against a broadcast ≤groups×k centroid table.
+
+    Input: (group_col, id_col, vec_col) long form, one row per
+    (group, vector). Returns centroids (group_col, _cid, centroid),
+    localCheckpoint'ed so downstream lineage stays flat."""
     v = vectors.select(
+        F.col(group_col),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    cand = v.crossJoin(
-        F.broadcast(cents.select(F.col(cid_col).alias("__cid"), "centroid"))
+    seed_w = Window.partitionBy(group_col).orderBy(id_col)
+    cents = (
+        v.withColumn("_rn", F.row_number().over(seed_w))
+        .filter(F.col("_rn") <= n_clusters)
+        .select(
+            F.col(group_col),
+            (F.col("_rn") - 1).alias("_cid"),
+            F.transform("_v", lambda x: F.round(x, round_dp)).alias("centroid"),
+        )
+        .localCheckpoint()
     )
-    d = squared_l2(F.col("_v"), F.col("centroid"))
-    return (
-        cand.select(F.col(id_col), F.col("__cid"), d.alias("_d"))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("_d", "__cid")).alias("_m"))
-        .select(F.col(id_col), F.col("_m.__cid").alias(cid_col))
-    )
+    for _ in range(n_iter):
+        a = assign_to_centroids_grouped(
+            v, cents, group_col=group_col, id_col=id_col, vec_col="_v"
+        ).join(v, [group_col, id_col])
+        long = a.select(
+            F.col(group_col), F.col("_cid"), F.posexplode("_v").alias("_dim", "_x")
+        )
+        per_dim = long.groupBy(group_col, "_cid", "_dim").agg(
+            F.avg("_x").alias("_cv")
+        )
+        cents = (
+            per_dim.groupBy(group_col, "_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
+                    lambda s: F.round(s["_cv"], round_dp),
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return cents
 
 
 def kmeans_partition(

@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.functions.vector import squared_l2
 from resume_jd_matcher_spark.operators.ann import (
-    assign_to_centroids,
-    lloyd_kmeans_partition,
+    assign_to_centroids_grouped,
+    lloyd_kmeans_grouped,
 )
 
 
@@ -59,47 +59,68 @@ def pq_fit_encode(
     deterministic prefix sample — the Lloyd seeds are the lowest ids
     anyway, so whenever the corpus fits inside the cap the trajectory
     is bit-identical to a full-corpus fit and the SQL oracle needs no
-    sample clause). Encoding the full corpus is m broadcast-argmin
-    passes against the fitted ≤m×k centroids
-    (``assign_to_centroids``) — at 100 TB the Lloyd iterations cost
-    sample-sized shuffles, never full-corpus ones.
+    sample clause). All ``m`` subspace codebooks are fitted in ONE
+    grouped Lloyd pass (``lloyd_kmeans_grouped`` keyed by subspace):
+    each iteration is a single scan of the long-form sample, not one
+    scan per subspace. Encoding the full corpus is one grouped
+    broadcast-argmin against the fitted m×k centroid table — at
+    100 TB the Lloyd iterations cost sample-sized shuffles, never
+    full-corpus ones, and every join in the plan is an equi-join.
     """
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+
+    def long_form(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            F.slice(vec_col, s * sub + 1, sub).alias("_sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_e"),
+        ).select(
+            F.col(id_col),
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_sv"),
+        )
+
     fit = corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample_rows)
-    codes = corpus.select(id_col)
-    books = []
-    for s in range(m):
-        sub_slice = F.slice(vec_col, s * sub + 1, sub).alias("_sv")
-        _, cents = lloyd_kmeans_partition(
-            fit.select(F.col(id_col), sub_slice),
-            n_clusters=k,
-            n_iter=n_iter,
-            id_col=id_col,
-            vec_col="_sv",
-            out_col=f"code_{s}",
-            round_dp=round_dp,
-        )
-        encoded = assign_to_centroids(
-            corpus.select(F.col(id_col), sub_slice),
-            cents,
-            id_col=id_col,
-            vec_col="_sv",
-            cid_col=f"code_{s}",
-        )
-        codes = codes.join(encoded, id_col)
-        books.append(
-            cents.select(
-                F.lit(s).alias("subspace"),
-                F.col(f"code_{s}").alias("code"),
-                F.col("centroid"),
-            )
-        )
-    codebooks = books[0]
-    for b in books[1:]:
-        codebooks = codebooks.unionByName(b)
+    cents = lloyd_kmeans_grouped(
+        long_form(fit),
+        n_clusters=k,
+        n_iter=n_iter,
+        group_col="subspace",
+        id_col=id_col,
+        vec_col="_sv",
+        round_dp=round_dp,
+    )
+    corpus_long = long_form(corpus).select(
+        "subspace",
+        F.col(id_col),
+        F.transform("_sv", lambda x: x.cast("double")).alias("_v"),
+    )
+    enc = assign_to_centroids_grouped(
+        corpus_long, cents, group_col="subspace", id_col=id_col, vec_col="_v"
+    )
+    codes = enc.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("subspace") == s, F.col("_cid")))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+    codebooks = cents.select(
+        "subspace", F.col("_cid").alias("code"), "centroid"
+    )
     return codes, codebooks
 
 
