@@ -126,6 +126,152 @@ def idempotent_batch_sink(out_dir: str):
     return write
 
 
+def foreach_batch_neardup(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Any:
+    """Incremental streaming near-dedup (the §2.G shape of V8): each
+    arriving micro-batch of documents is MinHash-banded and admitted
+    only if it near-matches neither a lower-id document in its own
+    batch nor ANY previously-seen document (first-seen wins — the
+    store keeps every seen document's bands/signatures, admitted or
+    not, so a duplicate-of-a-duplicate is still caught, exactly like
+    the batch rule "drop the right side of every qualifying pair").
+
+    Per batch the work is: one signature pass over the BATCH only,
+    then equi-joins of the batch's bands against the band store — the
+    store is never re-signatured, and the join key (band_id,
+    band_sig) is what a production deployment would bucket the store
+    on, so per-batch cost is O(batch + matching store buckets), not
+    O(corpus). Candidate pairs are verified with the same
+    est-Jaccard-≥-threshold rule as the registered ``minhash_lsh``
+    batch twin.
+
+    Both the store and the admitted-docs sink are batch_id-partitioned
+    with dynamic overwrite (``idempotent_batch_sink`` discipline), and
+    store reads exclude partitions ≥ the current batch_id — a
+    checkpoint-replayed batch recomputes against exactly the store it
+    saw the first time, so the whole operator is exactly-once under
+    at-least-once foreachBatch delivery.
+
+    Returns the started StreamingQuery; admitted rows land in
+    ``out_dir`` (original columns + batch_id).
+    """
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    def _est_jaccard_dups(pairs, sigs_new, sigs_old):
+        """Ids (new side) whose candidate pair verifies at/over the
+        threshold. pairs: (new_id, old_id); sigs: long-form (id, seed,
+        mh)."""
+        sn = sigs_new.select(
+            F.col(id_col).alias("new_id"), "seed", F.col("mh").alias("mh_n")
+        )
+        so = sigs_old.select(
+            F.col(id_col).alias("old_id"), "seed", F.col("mh").alias("mh_o")
+        )
+        est = (
+            pairs.join(sn, "new_id")
+            .join(so, ["old_id", "seed"])
+            .groupBy("new_id", "old_id")
+            .agg(
+                F.avg(
+                    F.when(F.col("mh_n") == F.col("mh_o"), 1.0).otherwise(0.0)
+                ).alias("est_j")
+            )
+        )
+        return est.filter(F.col("est_j") >= threshold).select("new_id").distinct()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(batch_df, n_hashes, id_col, text_col).persist()
+        bands = lsh_bands(sigs, rows_per_band, id_col).persist()
+        try:
+            dup_ids = None
+            # --- cross-batch: batch bands vs the store of earlier batches
+            try:
+                seen_bands = spark.read.parquet(f"{store_dir}/bands").filter(
+                    F.col("batch_id") < batch_id
+                )
+                seen_sigs = spark.read.parquet(f"{store_dir}/sigs").filter(
+                    F.col("batch_id") < batch_id
+                )
+            except Exception:  # noqa: BLE001  first batch: no store yet
+                seen_bands = seen_sigs = None
+            if seen_bands is not None:
+                cross_pairs = (
+                    bands.select(
+                        F.col(id_col).alias("new_id"), "band_id", "band_sig"
+                    )
+                    .join(
+                        seen_bands.select(
+                            F.col(id_col).alias("old_id"), "band_id", "band_sig"
+                        ),
+                        ["band_id", "band_sig"],
+                    )
+                    .select("new_id", "old_id")
+                    .distinct()
+                )
+                dup_ids = _est_jaccard_dups(cross_pairs, sigs, seen_sigs)
+            # --- intra-batch: lower id wins
+            intra_pairs = (
+                bands.select(F.col(id_col).alias("old_id"), "band_id", "band_sig")
+                .join(
+                    bands.select(
+                        F.col(id_col).alias("new_id"), "band_id", "band_sig"
+                    ),
+                    ["band_id", "band_sig"],
+                )
+                .filter(F.col("old_id") < F.col("new_id"))
+                .select("new_id", "old_id")
+                .distinct()
+            )
+            intra_dups = _est_jaccard_dups(intra_pairs, sigs, sigs)
+            dup_ids = (
+                intra_dups
+                if dup_ids is None
+                else dup_ids.unionByName(intra_dups).distinct()
+            )
+            admitted = batch_df.join(
+                dup_ids.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+            )
+            # --- persist this batch's bands+sigs (ALL docs) and the
+            # admitted rows, each into its own batch_id partition
+            for df, path in (
+                (bands, f"{store_dir}/bands"),
+                (sigs, f"{store_dir}/sigs"),
+                (admitted, out_dir),
+            ):
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+        finally:
+            sigs.unpersist()
+            bands.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize_stateful(events: DataFrame, gap_s: int = 3600) -> DataFrame:
     """Custom stateful sessionizer (the applyInPandasWithState analog
     of ``session_window``): per-user state holds the OPEN session

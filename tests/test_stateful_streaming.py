@@ -124,6 +124,74 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_streaming_neardup_first_seen_wins(spark, tmp_path):
+    """Incremental MinHash dedup across micro-batches equals the batch
+    rule "drop the right side of every qualifying pair" when docs
+    arrive in id order: a near-dup of an already-DROPPED document is
+    still rejected (the store keeps every seen doc), and intra-batch
+    pairs keep the lower id."""
+    import glob
+    import shutil
+
+    from resume_jd_matcher_spark.operators.dedup import minhash_lsh_candidates
+    from resume_jd_matcher_spark.streaming.stateful import foreach_batch_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    uniq1 = "one two three four five six seven eight nine ten eleven twelve"
+    uniq2 = "red orange yellow green blue indigo violet cyan magenta teal pink gray"
+    batch0 = [
+        (1, base),
+        (2, base.replace("mu", "nu")),      # near-dup of 1 -> dropped
+        (3, uniq1),
+    ]
+    batch1 = [
+        (4, base.replace("mu", "nu").replace("alpha", "beta2")),
+        # ^ near-dup of DROPPED 2 -> still rejected (store keeps 2)
+        (5, uniq2),
+        (6, uniq2.replace("gray", "grey")),  # intra-batch dup of 5
+    ]
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, rows in enumerate((batch0, batch1)):
+        stage = str(tmp_path / f"_stage{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = str(src / f"{i:02d}_batch.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    q = foreach_batch_neardup(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "admitted"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "admitted")).collect()}
+
+    full = spark.createDataFrame(batch0 + batch1, "doc_id long, text string")
+    drop = {
+        r["right_id"]
+        for r in minhash_lsh_candidates(full)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    want = {i for i, _ in batch0 + batch1 if i not in drop}
+    assert got == want
+    assert got == {1, 3, 5}  # sanity: every crafted dup was caught
+
+
+@pytest.mark.slow
 def test_stateful_sessionizer_matches_batch_closed_sessions(spark):
     """The applyInPandasWithState sessionizer equals the batch
     sessionizer: gap-closed sessions emit on detection, and the

@@ -112,6 +112,48 @@ def test_late_data_stream_equals_batch_twin(spark):
 
 
 @pytest.mark.slow
+def test_duplicate_replay_emits_each_event_once(spark):
+    """mode='duplicate' phased replay: the second micro-batch re-sends
+    every 5th pre-cutoff event verbatim. dropDuplicates within the
+    checkpointed watermark must emit each event exactly once — replays
+    still inside the watermark horizon hit retained dedup state, and
+    replays beyond it are discarded as late; neither path duplicates
+    output."""
+    import os
+    import shutil
+    import tempfile
+
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import (
+        run_phased_stream,
+        stage_events_phased,
+    )
+
+    root = tempfile.mkdtemp(prefix="dup_stream_")
+    try:
+        stage = os.path.join(root, "stage")
+        ontime, late = stage_events_phased(spark, SF, stage, mode="duplicate")
+        # the replay is real: late file re-sends pre-cutoff event_ids
+        on_ids = {r.event_id for r in spark.read.parquet(ontime).collect()}
+        late_ids = {r.event_id for r in spark.read.parquet(late).collect()}
+        assert on_ids & late_ids
+        got = run_phased_stream(
+            spark,
+            stage,
+            dedup_within_watermark,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+        )
+        n_distinct_input = (
+            load_table(spark, SF, "events").select("event_id").distinct().count()
+        )
+        assert got.count() == n_distinct_input
+        assert got.select("event_id").distinct().count() == got.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.slow
 def test_stream_stream_join_equals_batch(spark):
     from resume_jd_matcher_spark.queries.stream_q import (
         q_stream_attribution_join,
