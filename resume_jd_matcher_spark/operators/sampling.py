@@ -77,6 +77,109 @@ def pack_token_budget(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    group_col: str = "domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture resampling (the pretraining "data mixture"
+    knob): admit ⌊total × weight⌋ rows per group, chosen by hash order
+    of the id — deterministic pseudo-random, stable under
+    repartitioning and appends, reproducible in SQL (no RNG). The
+    per-group targets ride a broadcast dim table; the only shuffle is
+    the rank window on the group key. Groups with fewer rows than
+    their target contribute everything they have."""
+    spark = df.sparkSession
+    targets = [(g, int(total * w)) for g, w in sorted(weights.items())]
+    tdf = spark.createDataFrame(targets, f"{group_col} string, _target int")
+    w_rank = Window.partitionBy(group_col).orderBy(
+        hash32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .join(F.broadcast(tdf), group_col)
+        .filter(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    seed: str = "s42",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic seeded global shuffle with materialized positions
+    — the corpus-order randomization every training run needs, minus
+    the RNG. Each row's sort key is hash32(seed:id); the GLOBAL row
+    number is computed distributed: rows land in ``n_buckets``
+    key-range buckets (monotone in the key, so bucket order == global
+    order), per-bucket counts cumsum into offsets (a tiny
+    ≤n_buckets-row window, broadcast back), and the global position is
+    bucket offset + rank within bucket. No single-partition window
+    ever sees the full corpus — the classic distributed global-rank
+    shape. Output: (pos, id)."""
+    span = (1 << 32) // n_buckets  # hash32 range is [0, 2^32)
+    key = hash32(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    keyed = df.select(F.col(id_col), key.alias("_k")).withColumn(
+        "_b", F.expr(f"_k div {span}")
+    )
+    counts = keyed.groupBy("_b").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ n_buckets rows: single-partition is fine HERE, never on data
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    )
+    w_in = Window.partitionBy("_b").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+        .withColumn("pos", F.col("_off") + F.row_number().over(w_in))
+        .select(F.col("pos").cast("long").alias("pos"), F.col(id_col))
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (16, 64, 256, 1024, 4096),
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching stats: pad each document up to the
+    smallest boundary ≥ its token count and report, per bucket, how
+    many padding tokens that batch layout wastes — the knob for
+    choosing sequence-length buckets before packing. Documents past
+    the largest boundary report as pad_to = -1 (they get split, not
+    padded; zero waste). One codegen'd CASE + one hash agg."""
+    n_tok = F.size(tokens(text_col))
+    bucket = F.when(n_tok <= boundaries[0], F.lit(boundaries[0]))
+    for b in boundaries[1:]:
+        bucket = bucket.when(n_tok <= b, F.lit(b))
+    bucket = bucket.otherwise(F.lit(-1))
+    agg = (
+        df.select(bucket.alias("pad_to"), n_tok.alias("_n"))
+        .groupBy("pad_to")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("total_tokens"))
+    )
+    padded = F.when(
+        F.col("pad_to") > 0, F.col("n_docs") * F.col("pad_to")
+    ).otherwise(F.col("total_tokens"))
+    return agg.select(
+        F.col("pad_to").cast("int").alias("pad_to"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        padded.cast("long").alias("padded_tokens"),
+        F.round(
+            (padded - F.col("total_tokens")) / padded.cast("double"), 4
+        ).alias("waste_frac"),
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 

@@ -341,3 +341,92 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_key",
         F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "mixture_sample",
+    f"""
+WITH d AS (
+  SELECT doc_id, 'd' || (substr(source, 4)::INT % 3) AS domain
+  FROM documents
+), w(domain, target) AS (VALUES ('d0', 100), ('d1', 60), ('d2', 40)),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY {SQL_HASH32.format(c='doc_id::VARCHAR')}, doc_id
+         ) AS rn
+  FROM d
+)
+SELECT r.doc_id, r.domain FROM r JOIN w USING (domain) WHERE rn <= target
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] domain-mixture resampling: sources fold into 3 domains,
+    a 50/30/20 weight vector over a 200-doc budget picks hash-ordered
+    representatives per domain — the deterministic version of
+    pretraining data-mixture reweighting."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("d"), F.expr("substring(source, 4)").cast("int") % 3
+        ).alias("domain"),
+    )
+    return sampling.mixture_sample(
+        d, weights={"d0": 0.5, "d1": 0.3, "d2": 0.2}, total=200
+    ).select("doc_id", "domain")
+
+
+@register(
+    "corpus_shuffle",
+    f"""
+SELECT row_number() OVER (
+         ORDER BY {SQL_HASH32.format(c="'s42:' || doc_id::VARCHAR")}, doc_id
+       )::BIGINT AS pos,
+       doc_id
+FROM documents
+""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] seeded deterministic corpus shuffle with global positions,
+    computed with the distributed bucket-offset rank (no full-corpus
+    single-partition window) — training-order randomization that is
+    bit-reproducible across runs and engines."""
+    return sampling.seeded_shuffle(
+        load_table(spark, sf_dir, "documents"), seed="s42"
+    )
+
+
+@register(
+    "length_buckets",
+    f"""
+WITH t AS (
+  SELECT CASE
+           WHEN len({SQL_TOKS.format(c='text')}) <= 16 THEN 16
+           WHEN len({SQL_TOKS.format(c='text')}) <= 64 THEN 64
+           WHEN len({SQL_TOKS.format(c='text')}) <= 256 THEN 256
+           WHEN len({SQL_TOKS.format(c='text')}) <= 1024 THEN 1024
+           WHEN len({SQL_TOKS.format(c='text')}) <= 4096 THEN 4096
+           ELSE -1
+         END AS pad_to,
+         len({SQL_TOKS.format(c='text')}) AS n
+  FROM documents
+), a AS (
+  SELECT pad_to, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens
+  FROM t GROUP BY pad_to
+)
+SELECT pad_to::INT AS pad_to, n_docs, total_tokens,
+       (CASE WHEN pad_to > 0 THEN n_docs * pad_to ELSE total_tokens END)::BIGINT
+         AS padded_tokens,
+       round((CASE WHEN pad_to > 0 THEN n_docs * pad_to ELSE total_tokens END
+              - total_tokens)
+             / (CASE WHEN pad_to > 0 THEN n_docs * pad_to
+                     ELSE total_tokens END)::DOUBLE, 4) AS waste_frac
+FROM a
+""",
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] length-bucketed batching stats: per padding bucket, the
+    token waste a pad-to-boundary batch layout costs — the diagnostic
+    for choosing sequence-length buckets before packing."""
+    return sampling.length_buckets(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,108 @@
+"""Mixture resampling, seeded shuffle, and length-bucket operators
+(operators/sampling.py — training-data prep [EXT])."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.sampling import (
+    length_buckets,
+    mixture_sample,
+    seeded_shuffle,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mixture_sample_hits_targets_and_is_stable(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, domain string",
+    )
+    got = mixture_sample(df, weights={"a": 0.6, "b": 0.2}, total=50)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in got.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom == {"a": 30, "b": 10}  # floor(total * w) exactly
+    # deterministic: same rows both runs
+    again = mixture_sample(df, weights={"a": 0.6, "b": 0.2}, total=50)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mixture_sample_underfull_group_contributes_everything(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 95 else "tiny") for i in range(100)],
+        "doc_id long, domain string",
+    )
+    got = mixture_sample(df, weights={"big": 0.1, "tiny": 0.9}, total=100)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in got.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom == {"big": 10, "tiny": 5}  # tiny has only 5 rows
+
+
+def test_seeded_shuffle_positions_are_a_permutation(spark):
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    d = load_table(spark, SF, "documents")
+    n = d.count()
+    got = seeded_shuffle(d, seed="s42")
+    rows = got.collect()
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    # distributed bucket-offset rank == naive global sort order
+    naive = [
+        r["doc_id"]
+        for r in got.sparkSession.createDataFrame(
+            [(r["pos"], r["doc_id"]) for r in rows], "pos long, doc_id long"
+        )
+        .orderBy("pos")
+        .collect()
+    ]
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    want = [
+        r["doc_id"]
+        for r in d.select(
+            "doc_id",
+            hash32(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))).alias(
+                "_k"
+            ),
+        )
+        .orderBy("_k", "doc_id")
+        .collect()
+    ]
+    assert naive == want
+
+
+def test_seeded_shuffle_seed_changes_order(spark):
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    d = load_table(spark, SF, "documents")
+    a = [r["doc_id"] for r in seeded_shuffle(d, "s1").orderBy("pos").collect()]
+    b = [r["doc_id"] for r in seeded_shuffle(d, "s2").orderBy("pos").collect()]
+    assert a != b
+    assert sorted(a) == sorted(b)
+
+
+def test_length_buckets_waste_accounting(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),                          # 3 tokens  -> pad 16
+            (2, " ".join(["t"] * 16)),             # 16 tokens -> pad 16
+            (3, " ".join(["t"] * 40)),             # 40 tokens -> pad 64
+            (4, " ".join(["t"] * 5000)),           # overflow  -> -1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["pad_to"]: r for r in length_buckets(df).collect()}
+    assert got[16]["n_docs"] == 2
+    assert got[16]["padded_tokens"] == 32
+    # 13/32 = 0.40625 -> 0.4063 (Spark rounds HALF_UP, unlike Python)
+    assert got[16]["waste_frac"] == 0.4063
+    assert got[64]["padded_tokens"] == 64
+    assert got[-1]["padded_tokens"] == got[-1]["total_tokens"] == 5000
+    assert got[-1]["waste_frac"] == 0.0
