@@ -212,3 +212,58 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def cms_sketch(
+    df: DataFrame, d: int = 4, w: int = 128, text_col: str = "text"
+) -> DataFrame:
+    """Count-min sketch over token occurrences (Cormode & Muthukrishnan
+    2005), long form: (seed, col, cnt) with d hash rows of width w.
+    Deterministic hash family (seeded md5-hash32) so the DuckDB oracle
+    replays every cell.
+
+    This IS the mergeable-sketch distributed shape: the groupBy is
+    map-side combined, so each partition builds its local d×w sketch
+    and the shuffle moves at most d×w rows per partition — corpus size
+    never crosses the wire. Sketches from different corpora/days merge
+    by summing cells (union + re-agg)."""
+    from resume_jd_matcher_spark.functions.text import seeded_hash32
+
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    seeds = F.sequence(F.lit(0), F.lit(d - 1))
+    return (
+        toks.select("tok", F.explode(seeds).alias("seed"))
+        .select(
+            "seed",
+            (seeded_hash32(F.col("tok"), F.col("seed")) % w).alias("col"),
+        )
+        .groupBy("seed", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    d: int = 4,
+    w: int = 128,
+    tok_col: str = "token",
+) -> DataFrame:
+    """Point-query the sketch: est = min over the d rows of the cell
+    each seed maps the token to (an over-estimate by construction,
+    never under). The sketch is ≤ d×w rows — broadcast; probing any
+    number of tokens is a broadcast equi-join + min agg, no shuffle of
+    the probe side beyond the final combine."""
+    from resume_jd_matcher_spark.functions.text import seeded_hash32
+
+    seeds = F.sequence(F.lit(0), F.lit(d - 1))
+    pcells = probes.select(tok_col, F.explode(seeds).alias("seed")).select(
+        tok_col,
+        "seed",
+        (seeded_hash32(F.col(tok_col), F.col("seed")) % w).alias("col"),
+    )
+    return (
+        pcells.join(F.broadcast(sketch), ["seed", "col"])
+        .groupBy(tok_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

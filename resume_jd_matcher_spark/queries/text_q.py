@@ -780,3 +780,52 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("labeled_lang", "predicted_lang").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKS.format(c='text')}) AS token FROM documents
+), seeds AS (
+  SELECT unnest(range(0, 4)) AS seed
+), cells AS (
+  SELECT seed,
+         {SQL_HASH32.format(c="token || '#' || seed")} % 128 AS col,
+         count(*)::BIGINT AS cnt
+  FROM tok, seeds GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT token FROM tok
+), pcell AS (
+  SELECT p.token, s.seed,
+         {SQL_HASH32.format(c="p.token || '#' || s.seed")} % 128 AS col
+  FROM probes p, seeds s
+), est AS (
+  SELECT p.token, min(c.cnt)::BIGINT AS est_count
+  FROM pcell p JOIN cells c USING (seed, col)
+  GROUP BY p.token
+)
+SELECT token, est_count FROM est
+ORDER BY est_count DESC, token LIMIT 20
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sketch-based heavy hitters: a d=4 × w=128 count-min
+    sketch built in one map-side-combined pass, then every distinct
+    token point-queried against the broadcast sketch; top-20 by
+    estimated count (ties broken by token). The exact counterpart is
+    the registered ``heavy_hitters`` query — the sketch trades a
+    bounded over-estimate for O(d×w) shuffle instead of
+    O(distinct tokens)."""
+    from resume_jd_matcher_spark.operators.textstats import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sketch = cms_sketch(d, d=4, w=128)
+    probes = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).distinct()
+    est = cms_estimate(sketch, probes, d=4, w=128)
+    return est.orderBy(F.col("est_count").desc(), "token").limit(20)

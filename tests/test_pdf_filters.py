@@ -159,3 +159,17 @@ def test_pdf_flate_without_declared_filter_still_inflates():
     /Filter in is still tried as Flate, then as raw bytes."""
     assert EXPECTED in pdf_extract_text(_mini_pdf(zlib.compress(CONTENT), None))
     assert EXPECTED in pdf_extract_text(_mini_pdf(CONTENT, None))
+
+
+def test_lzw_roundtrip_fuzz():
+    """Property: decode(encode(x)) == x for arbitrary byte strings,
+    including ones that force table clears at every width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def prop(data):
+        assert lzw_decode(_lzw_encode(data)) == data
+
+    prop()

@@ -106,3 +106,38 @@ def test_length_buckets_waste_accounting(spark):
     assert got[64]["padded_tokens"] == 64
     assert got[-1]["padded_tokens"] == got[-1]["total_tokens"] == 5000
     assert got[-1]["waste_frac"] == 0.0
+
+
+def test_cms_overestimates_never_under_and_merges(spark):
+    """CMS guarantees est >= exact for every token; and the sketch of
+    a union equals the cell-wise sum of the parts' sketches (the
+    mergeability that makes it a distributed/streaming aggregate)."""
+    from resume_jd_matcher_spark.operators.textstats import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sketch = cms_sketch(docs, d=4, w=64)
+    exact = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    est = cms_estimate(sketch, exact.select("token"), d=4, w=64)
+    joined = est.join(exact, "token")
+    assert joined.filter(F.col("est_count") < F.col("cnt")).count() == 0
+
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        cms_sketch(half1, d=4, w=64)
+        .unionByName(cms_sketch(half2, d=4, w=64))
+        .groupBy("seed", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(docs, d=4, w=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
