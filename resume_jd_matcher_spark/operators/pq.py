@@ -147,8 +147,30 @@ def pq_adc_topk(
     Output: (query_id, id, dist, rn) — ``rn`` the dense top-k rank
     with (dist, id) tie-break.
     """
+    dtab = _adc_distance_table(
+        queries, codebooks, m, query_id_col, query_vec_col, round_dp
+    )
+    long_codes = _long_codes(codes, m, id_col)
+    summed = (
+        long_codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_d"), round_dp).alias("dist"))
+    )
+    return _rank_topk(summed, k_top, id_col, query_id_col)
+
+
+def _adc_distance_table(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    query_id_col: str,
+    query_vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """(query_id, subspace, code, _d): the query's distance to every
+    subspace centroid — |Q| · m · k rows, broadcast-sized. This IS the
+    query's PQ representation."""
     dim_expr = F.size(query_vec_col)
-    # distance table: query sliced per subspace vs every centroid
     q_sub = queries.select(
         query_id_col,
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
@@ -161,7 +183,7 @@ def pq_adc_topk(
             "_qv", F.col("subspace") * F.col("_sub") + 1, F.col("_sub")
         ).alias("_qs"),
     )
-    dtab = q_sub.join(F.broadcast(codebooks), "subspace").select(
+    return q_sub.join(F.broadcast(codebooks), "subspace").select(
         query_id_col,
         "subspace",
         "code",
@@ -169,11 +191,13 @@ def pq_adc_topk(
             "_d"
         ),
     )
-    # long-form codes: (id, subspace, code) — the join is (subspace,
-    # code) equi against the broadcast distance table, then a
-    # map-side-combined per-(query, id) sum. Nothing vector-width
-    # survives past this point.
-    long_codes = codes.select(
+
+
+def _long_codes(codes: DataFrame, m: int, id_col: str) -> DataFrame:
+    """Wide (id, code_0..code_{m-1}) → long (id, subspace, code); the
+    shape the (subspace, code) equi-join ranks on. Nothing
+    vector-width survives past this point."""
+    return codes.select(
         id_col,
         F.explode(
             F.arrays_zip(
@@ -181,12 +205,16 @@ def pq_adc_topk(
                 F.array(*[F.col(f"code_{s}") for s in range(m)]).alias("code"),
             )
         ).alias("_sc"),
-    ).select(id_col, F.col("_sc.subspace").alias("subspace"), F.col("_sc.code").alias("code"))
-    summed = (
-        long_codes.join(F.broadcast(dtab), ["subspace", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("_d"), round_dp).alias("dist"))
+    ).select(
+        id_col,
+        F.col("_sc.subspace").alias("subspace"),
+        F.col("_sc.code").alias("code"),
     )
+
+
+def _rank_topk(
+    summed: DataFrame, k_top: int, id_col: str, query_id_col: str
+) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
@@ -195,3 +223,74 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k_top)
         .select(query_id_col, id_col, "dist", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    parted: DataFrame,
+    coarse_cents: DataFrame,
+    queries: DataFrame,
+    k_top: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    part_col: str = "cid",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    round_dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ (the FAISS ``IVFx,PQy`` serving composition): a learned
+    coarse quantizer routes each query to its ``n_probe`` nearest
+    partitions, and only vectors in those partitions are ADC-ranked
+    against the query's broadcast distance table.
+
+    The candidate set is ~N · n_probe / n_lists rows instead of N —
+    the IVF pruning — and each candidate costs m code lookups instead
+    of a d-dim distance — the PQ compression. Join chain: queries ×
+    broadcast coarse centroids (≤n_lists rows) → top-n_probe
+    partitions; routed (query, partition) equi-joins the partition
+    assignment; candidates equi-join their codes and the broadcast
+    distance table; one map-side-combined (query, id) sum. No raw
+    corpus vector is touched after the (offline) encode.
+
+    Returns (topk, routed) — routed exposed for tests/diagnostics.
+    Deviation from FAISS, documented: codes are fitted on raw vectors,
+    not per-partition residuals, keeping every trajectory
+    oracle-replayable; recall at equal m suffers slightly, the plan
+    shape is identical.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        query_id_col,
+        F.col(query_vec_col),
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
+            "_qv"
+        ),
+    )
+    cand_cents = q.crossJoin(
+        F.broadcast(coarse_cents.select(F.col(part_col), "centroid"))
+    )
+    d = squared_l2(F.col("_qv"), F.col("centroid"))
+    w = Window.partitionBy(query_id_col).orderBy("_d", part_col)
+    routed = (
+        cand_cents.select(query_id_col, F.col(part_col), d.alias("_d"))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= n_probe)
+        .select(query_id_col, part_col)
+    )
+    cand = routed.join(
+        parted.select(F.col(id_col), part_col), part_col
+    ).select(query_id_col, id_col)
+    dtab = _adc_distance_table(
+        queries, codebooks, m, query_id_col, query_vec_col, round_dp
+    )
+    summed = (
+        _long_codes(codes, m, id_col)
+        .join(cand, id_col)
+        .join(F.broadcast(dtab), [query_id_col, "subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_d"), round_dp).alias("dist"))
+    )
+    return _rank_topk(summed, k_top, id_col, query_id_col), routed

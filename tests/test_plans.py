@@ -148,6 +148,10 @@ def test_registry_wide_no_cartesian_products(spark):
         "topk_similarity", "cosine_topk", "similarity_join", "knn_per_label",
         "shortlist_e2e", "neardup_embedding", "ann_lsh_topk", "ann_ivf_topk",
         "mllib_lsh_join", "kmeans_ivf_topk", "pipeline_e2e",
+        # coarse Lloyd fit/routing: crossJoin against a broadcast
+        # centroid table of <= nlist (=4) rows, same shape as
+        # kmeans_ivf_topk (the PQ half is pure equi-joins):
+        "ivf_pq_topk",
         # single-row broadcast scalars:
         "heavy_hitters", "tfidf_topterms", "scalar_suite", "scoring_e2e",
         "llm_feedback", "llm_explain", "prompt_assembly", "mean_score",

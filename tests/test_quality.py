@@ -132,3 +132,50 @@ def test_pq_capped_fit_matches_full_fit_when_cap_covers_corpus(spark):
     assert sorted(map(tuple, codes_a.collect())) == sorted(
         map(tuple, codes_b.collect())
     )
+
+
+def test_ivf_pq_composition_prunes_and_ranks(spark):
+    """IVF-PQ results must (a) only contain vectors from the query's
+    probed partitions, (b) agree with full-corpus PQ ADC ranking
+    restricted to those candidates — i.e. routing prunes, ADC ranks,
+    and the two compose without changing either's math."""
+    from resume_jd_matcher_spark.operators.ann import lloyd_kmeans_partition
+    from resume_jd_matcher_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_fit_encode,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    parted, coarse = lloyd_kmeans_partition(
+        emb.select("vec_id", "embedding"), n_clusters=4, n_iter=2, out_col="cid"
+    )
+    codes, books = pq_fit_encode(emb, m=4, k=4, n_iter=2)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    topk, routed = ivf_pq_topk(
+        codes, books, parted, coarse, qs, k_top=5, n_probe=2, m=4
+    )
+    got = topk.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3, 4}
+
+    # (a) every result sits in a probed partition of its query
+    probed = {(r["query_id"], r["cid"]) for r in routed.collect()}
+    assign = {r["vec_id"]: r["cid"] for r in parted.select("vec_id", "cid").collect()}
+    assert all((r["query_id"], assign[r["vec_id"]]) in probed for r in got)
+
+    # (b) == full PQ ranking restricted to the candidate set
+    full = pq_adc_topk(codes, books, qs, k_top=10**6, m=4).collect()
+    cand_rank: dict[int, list] = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["dist"], r["vec_id"])):
+        if (r["query_id"], assign[r["vec_id"]]) in probed:
+            cand_rank.setdefault(r["query_id"], []).append(r["vec_id"])
+    want = {
+        (q, v, i + 1)
+        for q, vs in cand_rank.items()
+        for i, v in enumerate(vs[:5])
+    }
+    assert {(r["query_id"], r["vec_id"], r["rn"]) for r in got} == want
