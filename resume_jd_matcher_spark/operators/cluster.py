@@ -214,3 +214,66 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+    round_dp: int = 8,
+) -> DataFrame:
+    """Deterministic fixed-iteration PageRank over a DIRECTED edge
+    list (symmetrize before calling for undirected graphs) — the
+    centrality lens on the near-dup graph: a document that
+    near-matches many others is a template/boilerplate hub, exactly
+    the doc a curation pass wants to inspect (cluster reps answer
+    "which group", centrality answers "which document IS the
+    pattern").
+
+    Same oracle discipline as the Lloyd twin: fixed iterations,
+    per-iteration rounding to ``round_dp`` (quantizes away
+    float-summation-order noise so DuckDB replays the trajectory),
+    lowest-possible determinism surface (no RNG, no convergence
+    test). Simplification, documented: dangling/isolated mass is NOT
+    redistributed — isolated nodes settle at (1-d)/N, which only
+    rescales the ranking.
+
+    Each iteration: contributions ride one equi-join of the slim
+    (node, pr/deg) projection with the edge list, then one map-side-
+    combined sum per destination — O(edges) shuffle per round, flat
+    lineage via localCheckpoint. Output: (id_col, pr).
+    """
+    # Materialize the edge list ONCE: it feeds deg + every iteration
+    # (n_iter+1 consumers), and upstream edge derivations (e.g. the
+    # full MinHash pipeline) must not re-run per round — same
+    # checkpoint discipline as the label-propagation loop above.
+    edges = edges.localCheckpoint()
+    n = nodes.count()  # bounded scalar: the node count
+    base = (1.0 - damping) / n
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    r = nodes.select(
+        F.col(id_col).alias("node"),
+        F.round(F.lit(1.0 / n), round_dp).alias("pr"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        r = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0)),
+                    round_dp,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return r.select(F.col("node").alias(id_col), "pr")

@@ -829,3 +829,110 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     est = cms_estimate(sketch, probes, d=4, w=128)
     return est.orderBy(F.col("est_count").desc(), "token").limit(20)
+
+
+def _pagerank_sql(n_iter: int = 3, thresh: float = 0.5, dp: int = 8) -> str:
+    """MinHash-LSH edge CTEs (same chain as the minhash_lsh oracle)
+    + an unrolled deterministic PageRank: per-iteration rounding to
+    ``dp``, no dangling redistribution — mirrors
+    operators/cluster.pagerank exactly."""
+    head = f"""WITH docs AS (
+  SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({SQL_HASH32.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.left_id, c.right_id,
+         round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4) AS ej
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.left_id
+  JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+  GROUP BY c.left_id, c.right_id
+), edges AS (
+  SELECT left_id AS src, right_id AS dst FROM est WHERE ej >= {thresh}
+  UNION ALL
+  SELECT right_id AS src, left_id AS dst FROM est WHERE ej >= {thresh}
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM docs
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT d.doc_id AS node, round(1.0 / nn.n, {dp}) AS pr
+  FROM docs d CROSS JOIN nn
+)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(
+            f""", r{i} AS (
+  SELECT d.doc_id AS node,
+         round((1 - 0.85::DOUBLE) / nn.n
+               + 0.85::DOUBLE * coalesce(s.c, 0), {dp}) AS pr
+  FROM docs d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum(r.pr / deg.deg) AS c
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT node AS doc_id, round(pr + 1e-9, 6) AS pr FROM r{n_iter}
+"""
+    )
+
+
+@register("pagerank_neardup", _pagerank_sql())
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] template-hub centrality: deterministic fixed-iteration
+    PageRank over the symmetrized MinHash near-dup graph. Cluster
+    resolution answers "which group is this doc in"; centrality
+    answers "which document IS the template" — the boilerplate a
+    curation pass should inspect first. Same oracle discipline as the
+    Lloyd twin: 3 iterations, per-iteration rounding, trajectory
+    replayed as unrolled CTEs (operators/cluster.py:pagerank)."""
+    from resume_jd_matcher_spark.operators import cluster as clusterop
+    from resume_jd_matcher_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    # symmetrize in ONE pass over the candidate pipeline (a union of
+    # two selects would run the whole MinHash DAG twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("left_id").alias("src"),
+                    F.col("right_id").alias("dst"),
+                ),
+                F.struct(
+                    F.col("right_id").alias("src"),
+                    F.col("left_id").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    pr = clusterop.pagerank(edges, d.select("doc_id"), n_iter=3)
+    return pr.select(
+        "doc_id", F.round(F.col("pr") + F.lit(1e-9), 6).alias("pr")
+    )

@@ -322,3 +322,25 @@ def test_connected_components_warns_without_convergence(spark):
             chain, max_iter=2, local_threshold=0
         ).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_pagerank_star_hub_and_isolated(spark):
+    """On a star graph the hub outranks the leaves, leaves tie, and an
+    isolated node settles at exactly (1-d)/N; two runs are
+    bit-identical (fixed iterations + per-iteration rounding)."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.cluster import pagerank
+
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pr = {r["doc_id"]: r["pr"] for r in pagerank(edges, nodes, n_iter=3).collect()}
+    assert pr[1] > pr[2] == pr[3] == pr[4] > pr[5]
+    assert pr[5] == round((1 - 0.85) / 5, 8)
+    again = {
+        r["doc_id"]: r["pr"] for r in pagerank(edges, nodes, n_iter=3).collect()
+    }
+    assert pr == again
