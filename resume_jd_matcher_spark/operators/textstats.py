@@ -267,3 +267,48 @@ def cms_estimate(
         .groupBy(tok_col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002), long
+    form: the k smallest distinct hash values per group. Deterministic
+    md5-hash32 family, so unlike HLL's engine-internal registers the
+    whole sketch is oracle-replayable. Mergeable: the union's sketch
+    is the k smallest of the parts' sketches pooled — re-rank and cut.
+
+    Shape: one distinct (group, hash) agg (map-side combined) + one
+    rank window per group; the sketch is ≤ k rows per group
+    regardless of cardinality."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        df.select(
+            F.col(group_col),
+            hash32(F.col(value_col).cast("string")).alias("hv"),
+        )
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: groups holding fewer
+    than k hashes are EXACT (the sketch saw everything); otherwise
+    est = (k-1) / u_k with u_k the k-th smallest hash normalized to
+    (0,1) over the 2^32 hash space."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").alias("_n"),
+        F.max(F.when(F.col("rk") == k, F.col("hv"))).alias("_kth"),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round((k - 1) * 4294967296.0 / F.col("_kth"), 4)
+        )
+        .alias("est_distinct"),
+    )

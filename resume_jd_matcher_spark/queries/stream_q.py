@@ -329,3 +329,51 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
         "user_id", "first_view_us", "first_click_us", "first_purchase_us"
     )
+
+
+@register(
+    "kmv_distinct",
+    """
+WITH hv AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM events
+), rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM hv
+), sk AS (
+  SELECT event_type, count(*) AS n,
+         max(CASE WHEN rk = 64 THEN hv END) AS kth
+  FROM rk WHERE rk <= 64 GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type,
+       CASE WHEN s.n < 64 THEN s.n::DOUBLE
+            ELSE round(63 * 4294967296.0 / s.kth, 4) END AS est_distinct,
+       e.exact_distinct
+FROM sk s JOIN ex e ON s.event_type = e.event_type
+""",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] mergeable distinct-count sketch: per event_type, the KMV
+    (k=64 minimum hash values) estimate of distinct users next to the
+    exact count. The deterministic, oracle-replayable counterpart of
+    approx_count_distinct (whose HLL registers are engine-internal —
+    see approx_stats, rows-only); sketches merge by pooling and
+    re-cutting the k minima, so per-day sketches roll up without
+    rescanning (operators/textstats.py:kmv_sketch)."""
+    from resume_jd_matcher_spark.operators.textstats import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(e, "event_type", "user_id", k=64)
+    est = kmv_estimate(sk, "event_type", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
