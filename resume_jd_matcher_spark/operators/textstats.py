@@ -312,3 +312,57 @@ def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 4096, k_hashes: int = 3
+) -> DataFrame:
+    """Bloom filter as a long-form sketch: the DISTINCT set bit
+    positions (seeded_hash32(value, seed) % m_bits for k seeds) — ≤
+    m_bits rows regardless of input size, mergeable by union-distinct,
+    broadcastable by construction. Deterministic hash family → the
+    whole bitset replays in SQL (HLL/CMS/KMV's membership sibling)."""
+    from resume_jd_matcher_spark.functions.text import seeded_hash32
+
+    seeds = F.sequence(F.lit(0), F.lit(k_hashes - 1))
+    return (
+        df.select(
+            F.col(value_col).cast("string").alias("_v"),
+            F.explode(seeds).alias("seed"),
+        )
+        .select(
+            (seeded_hash32(F.col("_v"), F.col("seed")) % m_bits).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Rows of ``df`` whose value has ALL k positions set in the bloom
+    (definite-or-false-positive membership; definite non-members never
+    survive). The bloom broadcasts into an equi-join on the bit
+    position — the shape that makes bloom-semi-join pruning a
+    broadcast, never a shuffle of the probe side."""
+    from resume_jd_matcher_spark.functions.text import seeded_hash32
+
+    seeds = F.sequence(F.lit(0), F.lit(k_hashes - 1))
+    probes = df.select(
+        "*", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "pos",
+        seeded_hash32(F.col(value_col).cast("string"), F.col("seed")) % m_bits,
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy(*df.columns)
+        .agg(F.count("*").alias("_k_hit"))
+        .filter(F.col("_k_hit") == k_hashes)
+        .drop("_k_hit")
+    )
+    return hits

@@ -936,3 +936,81 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "doc_id", F.round(F.col("pr") + F.lit(1e-9), 6).alias("pr")
     )
+
+
+@register(
+    "bloom_contamination",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         {SQL_HASH32.format(c="array_to_string(toks[i:i+7], ' ')")} AS g
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+  WHERE len(toks) >= 8
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id >= 400 AND doc_id < 480
+), bloom AS (
+  SELECT DISTINCT
+         {SQL_HASH32.format(c="g::VARCHAR || '#' || seed")} % 4096 AS pos
+  FROM bench
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS seed) s
+), train AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id < 400
+), probe AS (
+  SELECT tr.doc_id, tr.g, count(*) AS k_hit
+  FROM train tr
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS seed) s
+  JOIN bloom b
+    ON {SQL_HASH32.format(c="tr.g::VARCHAR || '#' || s.seed")} % 4096 = b.pos
+  GROUP BY tr.doc_id, tr.g
+)
+SELECT doc_id, count(*)::BIGINT AS n_bloom_hits
+FROM probe WHERE k_hit = 3
+GROUP BY doc_id
+""",
+)
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] bloom-filter contamination screen: the benchmark set's
+    8-gram hashes build a 4096-bit/3-hash bloom (<= m_bits rows,
+    broadcast); training docs keep grams whose every position is set.
+    The sketch sibling of the exact `decontaminate` equi-join — same
+    flags plus a bounded false-positive tail, at a broadcast cost
+    independent of benchmark size. Deterministic hash family -> the
+    whole bitset and every probe replay in the oracle
+    (operators/textstats.py:bloom_build/bloom_probe)."""
+    from pyspark.sql import Window
+
+    from resume_jd_matcher_spark.functions.text import hash32
+    from resume_jd_matcher_spark.operators.textstats import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok_pos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("i", "tok"),
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(by_pos) for j in range(1, 8)]
+    grams = (
+        tok_pos.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", 7).over(by_pos).isNotNull().alias("full"),
+        )
+        .filter(F.col("full"))
+        .select("doc_id", hash32(F.col("gram")).alias("g"))
+    )
+    bench = (
+        grams.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480))
+        .select("g")
+        .distinct()
+    )
+    bloom = bloom_build(bench, "g", m_bits=4096, k_hashes=3)
+    train = grams.filter(F.col("doc_id") < 400).distinct()
+    flagged = bloom_probe(train, "g", bloom, m_bits=4096, k_hashes=3)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_bloom_hits")
+    )

@@ -179,3 +179,25 @@ def test_kmv_estimate_accuracy_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_bloom_no_false_negatives_and_bounded_fps(spark):
+    """Every member passes the bloom (no false negatives — the
+    guarantee); non-members pass only rarely (4096 bits / 3 hashes /
+    200 members -> FP rate well under 5%); and the filter composes as
+    a broadcast semi-join."""
+    from resume_jd_matcher_spark.operators.textstats import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], "v string"
+    )
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1000)], "v string"
+    )
+    bloom = bloom_build(members, "v", m_bits=4096, k_hashes=3)
+    assert bloom_probe(members, "v", bloom).count() == 200  # all members
+    fps = bloom_probe(others, "v", bloom).count()
+    assert fps / 1000 < 0.05
