@@ -30,13 +30,23 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: tuple[str, ...] = (),
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with ts ≤ left.ts per key.
+    """Left as-of join: per key, the latest right row with ts ≤
+    left.ts (``direction='backward'``, the default) or the earliest
+    right row with ts ≥ left.ts (``direction='forward'`` — the
+    "next event" lookup).
 
     ``right_cols`` are the right-side payload columns to carry; they
-    appear with ``suffix``. Left rows with no prior right row keep
-    NULLs (left-outer semantics, matching DuckDB ASOF LEFT JOIN).
+    appear with ``suffix``. Left rows with no matching right row keep
+    NULLs (left-outer semantics, matching DuckDB ASOF LEFT JOIN with
+    the corresponding inequality). Both directions are the same
+    one-shuffle union + window carry; forward just flips the carry to
+    first_value over the FOLLOWING frame (and the tie order, so a
+    right row AT the left timestamp is visible either way).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lt = left.withColumn("_tag", F.lit(1))
     # Right payload columns go ONLY into the _payload struct — never as
     # top-level union columns — so a right_cols name that also exists on
@@ -54,16 +64,25 @@ def asof_join(
     lt = lt.withColumn("_payload", F.lit(None).cast(rt.schema["_payload"].dataType))
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
-    # Right rows sort before left rows at equal ts (_tag 0 < 1), so a
-    # right row AT the left timestamp is visible to it (ts >= semantics).
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.withColumn(
-        "_last", F.last("_payload", ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal ts (_tag 0 < 1), so
+        # a right row AT the left timestamp is visible (ts >= semantics).
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        # Forward: left rows sort before right rows at equal ts, so the
+        # following-frame first_value sees a right row AT the left ts.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col).asc(), F.col("_tag").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = F.first("_payload", ignorenulls=True).over(w)
+    carried = unioned.withColumn("_last", carry)
     out = carried.filter(F.col("_tag") == 1).drop("_tag", "_payload")
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_last.{c}"))

@@ -105,6 +105,44 @@ def mixture_sample(
     )
 
 
+def mixture_token_budget(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "domain",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-weighted domain mixture: admit hash-ordered documents per
+    group while the group's running TOKEN count stays within
+    ⌊total_tokens × weight⌋ — the unit real pretraining mixtures are
+    specified in (a domain's share of the token stream, not its
+    document count; ``mixture_sample`` is the per-document sibling).
+    The document that would cross the budget is excluded (greedy
+    prefix, deterministic). One rank-window shuffle on the group key;
+    targets ride a broadcast dim. Output: (id, group, n_tokens)."""
+    spark = df.sparkSession
+    targets = [(g, int(total_tokens * w)) for g, w in sorted(weights.items())]
+    tdf = spark.createDataFrame(targets, f"{group_col} string, _target long")
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy(hash32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = F.size(tokens(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tok.cast("int").alias("n_tokens"),
+        )
+        .withColumn("_running", F.sum("n_tokens").over(w_run))
+        .join(F.broadcast(tdf), group_col)
+        .filter(F.col("_running") <= F.col("_target"))
+        .drop("_running", "_target")
+    )
+
+
 def seeded_shuffle(
     df: DataFrame,
     seed: str = "s42",

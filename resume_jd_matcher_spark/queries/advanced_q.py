@@ -677,3 +677,48 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_similarity_blas(
         corpus, q, k=10, id_col="doc_id", query_id_col="query_id"
     )
+
+
+@register(
+    "asof_join_forward",
+    """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'error' AND user_id < 100
+), clk AS (
+  SELECT event_id AS click_event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id < 100
+)
+SELECT e.event_id, e.user_id,
+       floor(epoch(e.ts))::BIGINT AS ts_epoch,
+       c.click_event_id,
+       floor(epoch(c.ts))::BIGINT AS click_ts_epoch
+FROM err e ASOF LEFT JOIN clk c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
+""",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: FORWARD as-of join — for each error event, the next click at
+    or after it per user (did the user recover/continue?). Same
+    one-shuffle union + window carry as backward, with the frame and
+    tie order flipped; DuckDB twin is ASOF LEFT JOIN on ts <= ts."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        err,
+        clk,
+        on="user_id",
+        ts_col="ts",
+        right_cols=("click_event_id",),
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("click_event_id_asof").alias("click_event_id"),
+        F.unix_timestamp("ts_asof").alias("click_ts_epoch"),
+    )

@@ -430,3 +430,43 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     token waste a pad-to-boundary batch layout costs — the diagnostic
     for choosing sequence-length buckets before packing."""
     return sampling.length_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mixture_token_budget",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         'd' || (substr(source, 4)::INT % 3) AS domain,
+         len({SQL_TOKS.format(c='text')}) AS n_tokens
+  FROM documents
+), w(domain, target) AS (VALUES ('d0', 10000), ('d1', 6000), ('d2', 4000)),
+r AS (
+  SELECT doc_id, domain, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY domain
+           ORDER BY {SQL_HASH32.format(c='doc_id::VARCHAR')}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running
+  FROM d
+)
+SELECT r.doc_id, r.domain, r.n_tokens::INT AS n_tokens
+FROM r JOIN w USING (domain) WHERE running <= target
+""",
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token-weighted domain mixture: a 50/30/20 split of a
+    20k-token budget admits hash-ordered documents per domain until
+    each domain's running token count hits its share — mixtures
+    specified in tokens (the pretraining unit), not documents
+    (operators/sampling.py:mixture_token_budget)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("d"), F.expr("substring(source, 4)").cast("int") % 3
+        ).alias("domain"),
+    )
+    return sampling.mixture_token_budget(
+        d, weights={"d0": 0.5, "d1": 0.3, "d2": 0.2}, total_tokens=20000
+    )

@@ -41,3 +41,24 @@ def test_asof_right_col_name_collision_keeps_left(spark):
     row = out.collect()[0]
     assert row.v == "left-v"
     assert row.v_asof == "right-v"
+
+
+def test_asof_forward_direction(spark):
+    """direction='forward': the EARLIEST right row at-or-after each
+    left ts; equal-ts right rows are visible; nothing after -> NULL."""
+    left = spark.createDataFrame(
+        [(1, _ts(5), "L5"), (1, _ts(10), "L10"), (1, _ts(12), "L12")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), 100), (1, _ts(10), 200), (1, _ts(11), 300)],
+        ["k", "ts", "rv"],
+    )
+    out = asof_join(
+        left, right, on="k", ts_col="ts", right_cols=("rv",),
+        direction="forward",
+    )
+    got = {r.lv: r.rv_asof for r in out.collect()}
+    assert got["L5"] == 200   # next right at ts>=5 is ts=10
+    assert got["L10"] == 200  # equal-ts right visible forward too
+    assert got["L12"] is None # nothing at-or-after -> NULL

@@ -201,3 +201,34 @@ def test_bloom_no_false_negatives_and_bounded_fps(spark):
     assert bloom_probe(members, "v", bloom).count() == 200  # all members
     fps = bloom_probe(others, "v", bloom).count()
     assert fps / 1000 < 0.05
+
+
+def test_mixture_token_budget_respects_budgets(spark):
+    """Each domain's admitted token total never exceeds
+    floor(total*w), the crossing doc is excluded, and the admitted
+    set is a prefix of the hash order (deterministic greedy)."""
+    from resume_jd_matcher_spark.operators.sampling import (
+        mixture_token_budget,
+    )
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", " ".join(["t"] * (10 + i % 7)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    got = mixture_token_budget(
+        df, weights={"a": 0.6, "b": 0.4}, total_tokens=500
+    )
+    by_dom = {
+        r["domain"]: r["s"]
+        for r in got.groupBy("domain").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert by_dom["a"] <= 300 and by_dom["b"] <= 200
+    # budgets are actually approached (not trivially empty)
+    assert by_dom["a"] > 300 - 17 and by_dom["b"] > 200 - 17
+    again = mixture_token_budget(
+        df, weights={"a": 0.6, "b": 0.4}, total_tokens=500
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
