@@ -218,6 +218,38 @@ def length_buckets(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.8, 0.6, 0.4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum ordering: band documents by FIXED quality-score
+    thresholds (band 0 = highest quality first), then hash-shuffle
+    within each band — the "clean data first, then the long tail"
+    schedule curriculum-trained runs use. Fixed thresholds instead of
+    ntile so banding needs no global sort (a global ntile would funnel
+    the corpus through one partition); the within-band position is a
+    per-band rank window. Output: (id, band, band_pos, quality)."""
+    from resume_jd_matcher_spark.operators.textstats import text_quality
+
+    q = text_quality(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    band = F.when(F.col("quality") >= thresholds[0], 0)
+    for i, t in enumerate(thresholds[1:], start=1):
+        band = band.when(F.col("quality") >= t, i)
+    band = band.otherwise(len(thresholds))
+    w = Window.partitionBy("band").orderBy(
+        hash32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        q.withColumn("band", band.cast("int"))
+        .withColumn("band_pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "band", "band_pos", "quality")
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 

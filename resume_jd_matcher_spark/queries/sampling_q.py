@@ -470,3 +470,48 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_token_budget(
         d, weights={"d0": 0.5, "d1": 0.3, "d2": 0.2}, total_tokens=20000
     )
+
+
+@register(
+    "curriculum_order",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS.format(c='text')} AS toks,
+         length(text) AS nc
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(toks) AS ntok,
+         len(list_filter(toks, x -> x IN ('a','the','and','of','to','in','is')))::DOUBLE
+           / nullif(len(toks), 0) AS stop_r,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nullif(nc, 0) AS digit_r
+  FROM t
+), q AS (
+  SELECT doc_id,
+         round(0.5 * least(ntok::DOUBLE / 100.0, 1.0)
+             + 0.3 * (1.0 - least(stop_r * 2.0, 1.0))
+             + 0.2 * (1.0 - least(digit_r * 10.0, 1.0)) + 1e-9, 4) AS quality
+  FROM r
+), b AS (
+  SELECT doc_id, quality,
+         CASE WHEN quality >= 0.8 THEN 0
+              WHEN quality >= 0.6 THEN 1
+              WHEN quality >= 0.4 THEN 2
+              ELSE 3 END AS band
+  FROM q
+)
+SELECT doc_id, band::INT AS band,
+       row_number() OVER (
+         PARTITION BY band
+         ORDER BY {SQL_HASH32.format(c='doc_id::VARCHAR')}, doc_id
+       )::BIGINT AS band_pos,
+       quality
+FROM b
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] curriculum schedule: fixed quality-threshold bands
+    (0 = cleanest first — no global ntile sort, so banding is one
+    scan) with a deterministic hash shuffle inside each band
+    (operators/sampling.py:curriculum_order)."""
+    return sampling.curriculum_order(load_table(spark, sf_dir, "documents"))
