@@ -140,6 +140,90 @@ def term_frequency(
     )
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality score (U5 [EXT]): train a bigram
+    language model with absolute discounting (Ney/Kneser-style
+    interpolation) on the corpus itself, then score every document by
+    its mean token log-probability and perplexity:
+
+        p(w2|w1) = (c(w1 w2) − d)/c(w1)
+                 + (d · n1plus(w1)/c(w1)) · c(w2)/N
+
+    where ``n1plus(w1)`` is the number of distinct continuations of
+    w1. The discount is what makes this a FILTER and not a mirror:
+    a plain MLE interpolation scores a once-seen bigram over a
+    once-seen history at p = 1·lam — singleton gibberish looks
+    perfect; discounting caps that case at (1−d) + backoff-mass,
+    so corpus-unique word salad scores low (= high ppl) while
+    genuinely frequent phrasing scores high. Low avg_logprob flags
+    the boilerplate/gibberish char-ratio heuristics miss — the
+    quality-filter stage CCNet/Gopher pipelines run before training.
+
+    Scale shape: the LM "tables" are three map-side-combined hash aggs
+    (distinct-unigram / distinct-bigram / per-history continuation
+    counts — vocab-sized, NOT corpus-sized); scoring streams each
+    document's bigrams through hash-partitioned equi-joins on those
+    tables — nothing is ever corpus × corpus, and every bigram being
+    scored occurs in the table it trained (count ≥ 1 > d), so the
+    joins are inner and p > 0 always. At 100 TB the bigram table is
+    prunable by a min-count filter without changing the plan shape.
+
+    Output: (id_col, n_bigrams, avg_logprob, ppl) for every document
+    with ≥ 2 tokens; ppl is computed from the ROUNDED avg_logprob so
+    the oracle twin reproduces it exactly.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c2"))
+    # per-history discounted mass: n1plus(w1) = distinct continuations,
+    # derived from the bigram table (no extra corpus scan).
+    cont = bi.groupBy("w1").agg(F.count("*").cast("double").alias("n1p"))
+    d = F.lit(discount)
+    p = (F.col("c2") - d) / F.col("c_w1") + (
+        d * F.col("n1p") / F.col("c_w1")
+    ) * (F.col("c_w2") / F.col("n"))
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1")), "w1")
+        .join(cont, "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), F.log(p).alias("lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg("lp") + F.lit(1e-9), 4).alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 2))
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

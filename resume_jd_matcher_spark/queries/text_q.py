@@ -517,6 +517,56 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_lm_score",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 2
+), uni AS (
+  SELECT w, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+), tot AS (
+  SELECT sum(c) AS n FROM uni
+), bi AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2 FROM pos GROUP BY w1, w2
+), cont AS (
+  SELECT w1, count(*)::DOUBLE AS n1p FROM bi GROUP BY w1
+), sc AS (
+  SELECT p.doc_id,
+         ln((b.c2 - 0.75) / u1.c
+            + (0.75 * ct.n1p / u1.c) * (u2.c / tot.n)) AS lp
+  FROM pos p
+  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  JOIN uni u1 ON u1.w = p.w1
+  JOIN cont ct ON ct.w1 = p.w1
+  JOIN uni u2 ON u2.w = p.w2, tot
+), agg AS (
+  SELECT doc_id, count(*)::INT AS n_bigrams,
+         round(avg(lp) + 1e-9, 4) AS avg_logprob
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 2) AS ppl
+FROM agg
+""",
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: CCNet-style corpus-LM quality score — bigram LM with
+    absolute discounting (discounted bigram MLE interpolated with the
+    unigram backoff, weighted by the history's distinct-continuation
+    count) trained on the corpus itself; every document scored by mean
+    token log-probability + perplexity, so singleton word salad scores
+    low while frequent phrasing scores high. The LM tables are three
+    map-side-combined hash aggs (vocab-sized, not corpus-sized);
+    scoring is hash-partitioned equi-joins on (w1,w2)/w1/w2 — never
+    corpus×corpus. ppl derives from the ROUNDED avg_logprob so both
+    engines agree exactly."""
+    return textstats.ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "winnow_neardup",
     f"""
 WITH t AS (

@@ -594,6 +594,36 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup",
+    f"""
+{_lloyd_sql(n_clusters=8, n_iter=2)},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({SQL_DOT.format(a='a.e', b='b.e')} /
+              ({SQL_NORM.format(a='a.e')} * {SQL_NORM.format(a='b.e')}), 4) >= 0.35
+)
+SELECT f.vec_id, f.cid::INT AS cid,
+       (d.vec_id IS NULL)::INT AS is_kept
+FROM af f LEFT JOIN dropped d ON f.vec_id = d.vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 [EXT]: SemDeDup (Abbas et al. 2023) semantic dedup — Lloyd
+    coarse-quantize the embedding space, prune cosine-≥τ pairs ONLY
+    within clusters (O(Σ cluster²), never corpus²), drop each vector
+    with a lower-id near-duplicate cluster-mate. The DuckDB twin
+    replays the identical deterministic Lloyd trajectory (unrolled
+    CTEs) and the same rounded-cosine boundary calls."""
+    from resume_jd_matcher_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb.select("vec_id", "embedding"), n_clusters=8, n_iter=2, tau=0.35
+    )
+
+
+@register(
     "embedding_drift",
     """
 WITH e AS (

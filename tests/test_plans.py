@@ -152,6 +152,12 @@ def test_registry_wide_no_cartesian_products(spark):
         # centroid table of <= nlist (=4) rows, same shape as
         # kmeans_ivf_topk (the PQ half is pure equi-joins):
         "ivf_pq_topk",
+        # Lloyd fit (<=8-row broadcast centroids) feeding the
+        # within-cluster pair scan, which itself is a cid equi-join:
+        "semdedup",
+        # single-row broadcast total (unigram mass) crossed into the
+        # per-bigram scorer:
+        "ngram_lm_score",
         # single-row broadcast scalars:
         "heavy_hitters", "tfidf_topterms", "scalar_suite", "scoring_e2e",
         "llm_feedback", "llm_explain", "prompt_assembly", "mean_score",

@@ -179,3 +179,27 @@ def test_ivf_pq_composition_prunes_and_ranks(spark):
         for i, v in enumerate(vs[:5])
     }
     assert {(r["query_id"], r["vec_id"], r["rn"]) for r in got} == want
+
+
+def test_ngram_lm_score_rare_text_scores_lower(spark):
+    """The corpus-trained bigram LM assigns higher mean log-prob (lower
+    perplexity) to documents made of corpus-frequent bigrams than to a
+    document of corpus-unique bigrams."""
+    from resume_jd_matcher_spark.operators.textstats import ngram_lm_score
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(9)]
+    rows.append((9, "zygote quasar bellows kumquat phantom"))
+    rows.append((10, "single"))  # < 2 tokens: no bigrams, no output row
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_lm_score(docs).collect()}
+    assert 10 not in out and len(out) == 10
+    assert out[0].n_bigrams == 5 and out[9].n_bigrams == 4
+    # every common doc scores identically; the rare doc scores lower
+    assert len({out[i].avg_logprob for i in range(9)}) == 1
+    assert out[9].avg_logprob < out[0].avg_logprob
+    assert out[9].ppl > out[0].ppl
+    # perplexity is exp(-avg_logprob) of the rounded value
+    import math
+
+    assert out[0].ppl == round(math.exp(-out[0].avg_logprob), 2)
