@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.functions.text import (
@@ -449,4 +449,60 @@ def semdedup(
         F.col(id_col),
         F.col("cid").cast("int").alias("cid"),
         F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("is_kept"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """C4-style line-level dedup (V8 [EXT]; Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once"): the fixture text has no sentence boundaries, so the
+    "line" unit is a non-overlapping ``chunk_tokens``-token window.
+    Every chunk occurrence after the FIRST (ordered by (doc_id, pos))
+    is removed corpus-wide, and each document is reassembled from its
+    surviving chunks in order — the cross-document boilerplate strip
+    exact-dedup can't do (it only drops whole-document copies).
+
+    Scale shape: chunking is per-document narrow work; the keep-first
+    decision is one window over the corpus hash-partitioned by chunk
+    text (partition size = chunk frequency, bounded by the dup count,
+    not the corpus); reassembly is a map-side-combined per-document
+    collect over ≤ n_chunks rows. Nothing is ever corpus × corpus.
+
+    Output: (id_col, n_chunks, n_kept, clean_text) for EVERY input
+    document — a doc whose every chunk was seen earlier comes back
+    with n_kept = 0 and clean_text = '' (the filter's drop signal).
+    """
+    t = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    ch = t.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(_toks) / {chunk_tokens}.0) as int) - 1), "
+                f"i -> array_join(slice(_toks, i * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    kept = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    reasm = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = ch.groupBy(id_col).agg(F.count("*").cast("int").alias("n_chunks"))
+    return base.join(reasm, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )

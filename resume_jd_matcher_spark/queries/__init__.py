@@ -66,11 +66,12 @@ from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 # per round. Round 5 rotation (mid-round update): every round-4/5
 # addition that has never appeared in a CORRECTNESS file moves into
 # the window — pq_topk / repetition_filter / zorder_curve (r4,
-# judge-verified) plus the 13 round-5 queries (ivf_pq_topk, sketches,
-# mixtures, semdedup, ngram_lm_score, …). To make room, 13
-# multiply-confirmed anchors (green in ≥2 of r01/r03/r04: the
-# similarity/dedup/join family) rotate out; the 31 queries whose only
-# green is r4 stay for a second confirmation.
+# judge-verified) plus the 14 round-5 queries (ivf_pq_topk, sketches,
+# mixtures, semdedup, ngram_lm_score, line_dedup, …). To make room,
+# the multiply-confirmed anchors (green in ≥2 of r01/r03/r04: the
+# similarity/dedup/join family) and the by-design-rows-only
+# mllib_lsh_join rotate out; the queries whose only green is r4 stay
+# for a second confirmation.
 _DRIVER_PRIORITY = [
     "topk_similarity",
     # -- round-4 additions awaiting hard driver signal --
@@ -91,6 +92,7 @@ _DRIVER_PRIORITY = [
     "curriculum_order",
     "semdedup",
     "ngram_lm_score",
+    "line_dedup",
     # -- single-confirmed r4 greens held for a second confirmation --
     "heavy_hitters",
     "tfidf_topterms",
@@ -105,7 +107,6 @@ _DRIVER_PRIORITY = [
     "array_ops",
     "pivot_unpivot",
     "approx_stats",
-    "mllib_lsh_join",
     "top_orders_global",
     "agg_grouping_sets",
     "exact_percentiles",
@@ -124,9 +125,8 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "chunk_sliding",
     "leakage_safe_split",
-    # -- multiply-confirmed anchors (kept to fill the window) --
+    # -- multiply-confirmed anchor (kept to fill the window) --
     "text_quality",
-    "knn_per_label",
 ]
 
 

@@ -517,6 +517,43 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i * 8) + 1:(i * 8) + 8], ' ') AS chunk
+  FROM t, unnest(generate_series(0,
+         CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS s(i)
+), k AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM ch
+), re AS (
+  SELECT doc_id, count(*)::INT AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+), base AS (
+  SELECT doc_id, count(*)::INT AS n_chunks FROM ch GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_chunks,
+       coalesce(r.n_kept, 0)::INT AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN re r ON b.doc_id = r.doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 [EXT]: C4-style line-level dedup (Raffel et al. 2020) — every
+    8-token chunk occurrence after the corpus-wide first (by (doc_id,
+    pos)) is removed and documents are reassembled from surviving
+    chunks in order. One window hash-partitioned by chunk text + one
+    per-doc collect; never corpus×corpus. The cross-document
+    boilerplate strip whole-document exact dedup can't express."""
+    return dedup.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ngram_lm_score",
     f"""
 WITH t AS (

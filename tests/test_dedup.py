@@ -194,3 +194,22 @@ def test_semdedup_threshold_boundary(spark):
     assert {r.vec_id: r.is_kept for r in dropped.collect()} == {0: 1, 1: 0}
     kept = dedup.semdedup(emb, n_clusters=1, n_iter=1, tau=0.7072)
     assert {r.vec_id: r.is_kept for r in kept.collect()} == {0: 1, 1: 1}
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """C4 semantics: a chunk repeated across docs survives only at its
+    first (doc_id, pos); unique text is untouched; a doc that is all
+    repeats comes back empty but present."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-tok chunk
+    rows = [
+        (1, shared + " unique one two three four five six"),
+        (2, shared),                         # chunk already seen in doc 1
+        (3, "totally different words here live in this doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, chunk_tokens=8).collect()}
+    assert len(out) == 3
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[1].clean_text == shared + " unique one two three four five six"
+    assert out[2].n_chunks == 1 and out[2].n_kept == 0 and out[2].clean_text == ""
+    assert out[3].n_kept == 1 and out[3].clean_text.startswith("totally")
