@@ -270,3 +270,84 @@ def redact_pii(
             F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
         ).alias("redacted"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (data selection via importance
+    resampling, Xie et al. 2023, arXiv:2302.03169 [EXT]): score every
+    document by how target-domain-like it is, as the length-normalized
+    log-ratio of two hashed-bigram LMs —
+
+        w(doc) = mean over bigram positions of
+                 ln p_target(bucket) − ln p_corpus(bucket)
+
+    with ``bucket = hash32(w1 ' ' w2) % n_buckets`` (DSIR's hashed
+    n-gram features) and additive 0.5 smoothing over the bucket
+    universe, so buckets unseen in the target still get finite mass.
+    ``target_filter`` is a boolean Column selecting the target-domain
+    rows (e.g. ``F.col('lang') == 'en'``). High weight → resample the
+    document INTO the training mixture.
+
+    Scale shape: both LM "tables" are ≤ n_buckets-row hash aggs — the
+    joined log-ratio table is broadcast (a few thousand rows no matter
+    the corpus size); scoring streams each document's bigrams through
+    that broadcast join and one map-side-combined per-doc mean.
+    Nothing is ever corpus × corpus, and the only driver-side values
+    are the two scalar totals, carried via single-row broadcasts.
+
+    Output: (id_col, n_bigrams, dsir_logweight) for every document
+    with ≥ 2 tokens.
+    """
+    toks = df.select(
+        F.col(id_col), target_filter.alias("_is_target"), tokens(text_col).alias("_toks")
+    )
+    big = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            "_is_target",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(_toks, 1, size(_toks) - 1)"),
+                    F.expr("slice(_toks, 2, size(_toks) - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("_bg"),
+        )
+        .select(
+            F.col(id_col),
+            "_is_target",
+            (hash32(F.col("_bg")) % F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    cc = big.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("c_corpus"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("double")
+        .alias("c_target"),
+    )
+    totals = cc.agg(
+        F.sum("c_corpus").alias("n_corpus"), F.sum("c_target").alias("n_target")
+    )
+    denom = F.lit(0.5) * F.lit(float(n_buckets))
+    lr = F.log(
+        (F.col("c_target") + F.lit(0.5)) / (F.col("n_target") + denom)
+    ) - F.log((F.col("c_corpus") + F.lit(0.5)) / (F.col("n_corpus") + denom))
+    ratio = (
+        cc.crossJoin(F.broadcast(totals))
+        .select("bucket", lr.alias("_lr"))
+    )
+    return (
+        big.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg("_lr") + F.lit(1e-9), 4).alias("dsir_logweight"),
+        )
+    )

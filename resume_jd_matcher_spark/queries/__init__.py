@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "semdedup",
     "ngram_lm_score",
     "line_dedup",
+    "dsir_weights",
     # -- single-confirmed r4 greens held for a second confirmation --
     "heavy_hitters",
     "tfidf_topterms",
@@ -125,8 +126,6 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "chunk_sliding",
     "leakage_safe_split",
-    # -- multiply-confirmed anchor (kept to fill the window) --
-    "text_quality",
 ]
 
 

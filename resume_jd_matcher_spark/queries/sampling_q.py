@@ -515,3 +515,44 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan) with a deterministic hash shuffle inside each band
     (operators/sampling.py:curriculum_order)."""
     return sampling.curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_weights",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), big AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         ({SQL_HASH32.format(c="toks[i] || ' ' || toks[i+1]")}) % 4096 AS bucket
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 2
+), cc AS (
+  SELECT bucket, count(*)::DOUBLE AS c_corpus,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS c_target
+  FROM big GROUP BY bucket
+), tot AS (
+  SELECT sum(c_corpus) AS n_corpus, sum(c_target) AS n_target FROM cc
+), ratio AS (
+  SELECT bucket,
+         ln((c_target + 0.5) / (n_target + 0.5 * 4096.0))
+       - ln((c_corpus + 0.5) / (n_corpus + 0.5 * 4096.0)) AS lr
+  FROM cc, tot
+)
+SELECT b.doc_id, count(*)::INT AS n_bigrams,
+       round(avg(r.lr) + 1e-9, 4) AS dsir_logweight
+FROM big b JOIN ratio r ON b.bucket = r.bucket
+GROUP BY b.doc_id
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance weights (Xie et al. 2023): per-document
+    target-domain log-likelihood ratio over hashed-bigram LM features
+    (bucket = hash32(bigram) % 4096, additive 0.5 smoothing), target =
+    English docs. Both LM tables are ≤4096-row hash aggs broadcast
+    into the scoring join — corpus-size-independent ratio table, one
+    map-side-combined per-doc mean. High weight = resample into the
+    training mixture."""
+    return sampling.dsir_weights(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )

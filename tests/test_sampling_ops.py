@@ -232,3 +232,30 @@ def test_mixture_token_budget_respects_budgets(spark):
     assert sorted(r["doc_id"] for r in got.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_dsir_weights_prefer_target_like_text(spark):
+    """DSIR: a doc phrased like the target domain outweighs an
+    off-domain doc, even when the scored doc is NOT in the target set
+    itself (the whole point of importance resampling)."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.sampling import dsir_weights
+
+    target_phrase = "the quick brown fox jumps over the lazy dog"
+    off_phrase = "der schnelle braune fuchs springt ueber den faulen hund"
+    rows = (
+        [(i, target_phrase, "en") for i in range(5)]
+        + [(i + 10, off_phrase, "de") for i in range(5)]
+        + [(100, target_phrase, "xx"), (101, off_phrase, "xx")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert len(out) == 12
+    # doc 100 mimics the target: weighted like the en docs, above 101
+    assert out[100] == out[0] and out[101] == out[10]
+    assert out[100] > out[101]
+    assert out[0] > out[10]
