@@ -351,3 +351,51 @@ def dsir_weights(
             F.round(F.avg("_lr") + F.lit(1e-9), 4).alias("dsir_logweight"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic PPS sampling without replacement
+    (Efraimidis–Spirakis A-ES, 2006 [EXT]): draw ``n`` rows with
+    inclusion probability proportional to ``weight_col`` by ranking on
+
+        key = ln(u) / w,   u = (hash32(id) + 0.5) / 2^32
+
+    (the log form of the paper's ``u^(1/w)`` — identical ordering,
+    one transcendental). The uniform comes from the portable hash32,
+    not an RNG, so the sample is bit-reproducible across engines and
+    runs — the seeded twin of ``df.sample()`` weights can't express.
+
+    Scale shape: the key is a per-row projection (no shuffle); the
+    top-n is orderBy().limit(n) = TakeOrderedAndProject — partial
+    top-n per partition, n rows to a single reducer — never a global
+    sort of the corpus. The rank window runs on the already-selected
+    ≤ n rows only. Weights must be > 0; NULL/zero-weight rows are
+    excluded.
+
+    Output: (id_col, weight, es_key, rank) for the n selected rows.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.round(weight_col.cast("double"), 4).alias("weight"),
+    ).filter(F.col("weight") > 0)
+    u = (hash32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(
+        float(2**32)
+    )
+    keyed = keyed.select(
+        id_col,
+        "weight",
+        F.round(F.log(u) / F.col("weight") + F.lit(1e-9), 6).alias("es_key"),
+    )
+    top = keyed.orderBy(F.col("es_key").desc(), F.col(id_col).asc()).limit(n)
+    w = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        "weight",
+        "es_key",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

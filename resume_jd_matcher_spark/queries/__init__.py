@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "ngram_lm_score",
     "line_dedup",
     "dsir_weights",
+    "weighted_sample",
     # -- single-confirmed r4 greens held for a second confirmation --
     "heavy_hitters",
     "tfidf_topterms",
@@ -125,7 +126,6 @@ _DRIVER_PRIORITY = [
     "corpus_clean_pipeline",
     "stratified_sample",
     "chunk_sliding",
-    "leakage_safe_split",
 ]
 
 

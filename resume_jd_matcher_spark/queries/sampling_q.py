@@ -556,3 +556,38 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_weights(
         load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
     )
+
+
+@register(
+    "weighted_sample",
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         round(len({SQL_TOKS.format(c='text')})::DOUBLE, 4) AS weight
+  FROM documents
+), s AS (
+  SELECT doc_id, weight,
+         round(ln(({SQL_HASH32.format(c='doc_id::VARCHAR')} + 0.5) / 4294967296.0)
+               / weight + 1e-9, 6) AS es_key
+  FROM k WHERE weight > 0
+), r AS (
+  SELECT doc_id, weight, es_key,
+         row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT doc_id, weight, es_key, rank::INT AS rank FROM r WHERE rank <= 100
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic PPS sampling (Efraimidis–Spirakis A-ES):
+    top-100 documents by key ln(u)/w with u from the portable hash32
+    and w = token count — longer documents proportionally likelier,
+    bit-reproducible across engines/runs. Per-row key projection +
+    TakeOrderedAndProject partial top-n; the rank window touches only
+    the 100 selected rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from resume_jd_matcher_spark.functions.text import tokens
+
+    return sampling.weighted_sample(
+        docs, F.size(tokens("text")), n=100
+    )

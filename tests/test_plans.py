@@ -158,6 +158,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast total (unigram mass) crossed into the
         # per-bigram scorer:
         "ngram_lm_score",
+        # single-row broadcast corpus/target totals crossed into the
+        # <=4096-row bucket ratio table:
+        "dsir_weights",
         # single-row broadcast scalars:
         "heavy_hitters", "tfidf_topterms", "scalar_suite", "scoring_e2e",
         "llm_feedback", "llm_explain", "prompt_assembly", "mean_score",

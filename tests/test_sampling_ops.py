@@ -259,3 +259,25 @@ def test_dsir_weights_prefer_target_like_text(spark):
     assert out[100] == out[0] and out[101] == out[10]
     assert out[100] > out[101]
     assert out[0] > out[10]
+
+
+def test_weighted_sample_pps_property(spark):
+    """E-S sampling: (a) deterministic across runs; (b) inclusion
+    frequency tracks weight — a doc with 50x the weight of its peers
+    is essentially always selected into a half-size sample."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i else 50.0) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "w"])
+    got1 = weighted_sample(docs, F.col("w"), n=20).collect()
+    got2 = weighted_sample(docs, F.col("w"), n=20).collect()
+    assert [r.doc_id for r in got1] == [r.doc_id for r in got2]  # deterministic
+    assert len(got1) == 20
+    assert 0 in {r.doc_id for r in got1}  # the heavy doc is in
+    assert [r.rank for r in got1] == list(range(1, 21))
+    # zero/NULL weights excluded
+    docs2 = spark.createDataFrame([(1, 0.0), (2, None), (3, 2.0)], ["doc_id", "w"])
+    kept = weighted_sample(docs2, F.col("w"), n=5).collect()
+    assert {r.doc_id for r in kept} == {3}
