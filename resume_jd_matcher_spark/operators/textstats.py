@@ -450,3 +450,50 @@ def bloom_probe(
         .drop("_k_hit")
     )
     return hits
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (U5 [EXT]) —
+    the standard low-entropy spam screen ("aaaa…", keyword stuffing,
+    template loops score near 0; diverse prose scores near ln(n)):
+
+        H = −Σ_w p(w) ln p(w),  p(w) = count_in_doc(w) / n_tokens
+        norm_H = H / ln(n_distinct)   (0 when n_distinct = 1)
+
+    Scale shape: explode → per-(doc, token) hash agg → per-doc hash
+    agg, both map-side combined; nothing cross-document. Output:
+    (id_col, n_tokens, n_distinct, entropy, norm_entropy).
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    n = Window.partitionBy(id_col)
+    p = F.col("c") / F.sum("c").over(n)
+    per_doc = tf.select(
+        F.col(id_col),
+        F.sum("c").over(n).alias("_n"),
+        (-p * F.log(p)).alias("_h"),
+    )
+    return (
+        per_doc.groupBy(id_col, "_n")
+        .agg(
+            F.count("*").cast("int").alias("n_distinct"),
+            F.sum("_h").alias("_H"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("int").alias("n_tokens"),
+            "n_distinct",
+            F.round(F.col("_H") + F.lit(1e-9), 4).alias("entropy"),
+            F.round(
+                F.when(F.col("n_distinct") > 1, F.col("_H") / F.log(F.col("n_distinct")))
+                .otherwise(F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            ).alias("norm_entropy"),
+        )
+    )

@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = [
     "line_dedup",
     "dsir_weights",
     "weighted_sample",
+    "token_entropy",
     # -- single-confirmed r4 greens held for a second confirmation --
     "heavy_hitters",
     "tfidf_topterms",
@@ -125,7 +126,6 @@ _DRIVER_PRIORITY = [
     "pii_redact",
     "corpus_clean_pipeline",
     "stratified_sample",
-    "chunk_sliding",
 ]
 
 

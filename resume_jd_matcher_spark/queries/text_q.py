@@ -1101,3 +1101,34 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_bloom_hits")
     )
+
+
+@register(
+    "token_entropy",
+    f"""
+WITH tf AS (
+  SELECT doc_id, w, count(*)::DOUBLE AS c
+  FROM (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS w FROM documents)
+  GROUP BY doc_id, w
+), n AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*)::INT AS n_distinct
+  FROM tf GROUP BY doc_id
+), h AS (
+  SELECT tf.doc_id,
+         sum(-(tf.c / n.n_tok) * ln(tf.c / n.n_tok)) AS ent
+  FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id
+)
+SELECT n.doc_id, n.n_tok::INT AS n_tokens, n.n_distinct,
+       round(h.ent + 1e-9, 4) AS entropy,
+       round(CASE WHEN n.n_distinct > 1 THEN h.ent / ln(n.n_distinct)
+                  ELSE 0.0 END + 1e-9, 4) AS norm_entropy
+FROM n JOIN h ON n.doc_id = h.doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: per-document token-distribution Shannon entropy +
+    ln(n_distinct)-normalized form — the standard low-entropy spam
+    screen (repeated-token filler scores ~0, diverse prose ~1).
+    explode → two map-side-combined hash aggs, nothing
+    cross-document."""
+    return textstats.token_entropy(load_table(spark, sf_dir, "documents"))

@@ -203,3 +203,21 @@ def test_ngram_lm_score_rare_text_scores_lower(spark):
     import math
 
     assert out[0].ppl == round(math.exp(-out[0].avg_logprob), 2)
+
+
+def test_token_entropy_flags_repetitive_text(spark):
+    import math
+
+    from resume_jd_matcher_spark.operators.textstats import token_entropy
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # 1 distinct -> H=0
+        (2, "one two three four five six"),            # uniform -> H=ln 6
+        (3, "a a a a b"),                              # skewed
+    ]
+    out = {r.doc_id: r for r in token_entropy(spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].entropy == 0.0 and out[1].norm_entropy == 0.0
+    assert out[2].entropy == round(math.log(6) + 1e-9, 4)
+    assert out[2].norm_entropy == 1.0
+    assert 0.0 < out[3].norm_entropy < 1.0
+    assert out[3].n_tokens == 5 and out[3].n_distinct == 2
