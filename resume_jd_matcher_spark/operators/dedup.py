@@ -506,3 +506,84 @@ def line_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the ExactSubstr dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — public arXiv:2107.06499), re-expressed as a positional
+    k-gram posting list instead of a suffix array:
+
+    1. every position i of every document emits its k-token gram hash
+       (one posexplode + lead() window, same shape as winnowing);
+    2. a gram is *duplicated* iff it occurs in ≥ 2 distinct documents
+       (one map-side-combined count-distinct on the gram hash);
+    3. each document's duplicated positions merge into maximal
+       contiguous spans via the islands trick (pos − row_number).
+
+    Any cross-document repeated token run of length ≥ k is covered by
+    ≥ 1 duplicated gram, and a run of length L ≥ k yields one island
+    of L − k + 1 consecutive positions — so span_tokens recovers L
+    exactly (suffix-array parity for runs ≥ k, without the
+    non-distributable global sort a suffix array needs).
+
+    Scale: the posting list is linear in corpus tokens; the dup-gram
+    reduction shuffles ONE pre-combined partial per (gram, partition);
+    the posting⋈dup-grams equi-join emits at most one row per posting
+    (each posting row matches exactly one gram key — no pairwise
+    blow-up, unlike Jaccard candidate joins, so no df-cap is needed);
+    the islands window sorts per-document slices only.
+
+    Output: (id, span_start, span_end, span_tokens, n_grams) with
+    1-based inclusive token positions.
+    """
+    from resume_jd_matcher_spark.functions.text import hash32 as _h32
+
+    tok_pos = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok")
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("i0")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", j).over(by_pos) for j in range(1, k)
+    ]
+    posting = (
+        tok_pos.select(
+            F.col(id_col),
+            (F.col("i0") + 1).alias("i"),
+            F.concat_ws(" ", *gram_parts).alias("gram"),
+            F.lead("tok", k - 1).over(by_pos).isNotNull().alias("is_gram"),
+        )
+        .filter(F.col("is_gram"))
+        .select(id_col, "i", _h32(F.col("gram")).alias("h"))
+    )
+    posting.persist()
+    _PERSISTED.append(posting)
+    dup_grams = (
+        posting.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    dup_pos = posting.join(dup_grams, "h").select(id_col, "i")
+    by_i = Window.partitionBy(id_col).orderBy("i")
+    spans = (
+        dup_pos.withColumn("grp", F.col("i") - F.row_number().over(by_i))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("i").cast("int").alias("span_start"),
+            (F.max("i") + F.lit(k - 1)).cast("int").alias("span_end"),
+            F.count("*").cast("int").alias("n_grams"),
+        )
+    )
+    return spans.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_tokens"),
+        "n_grams",
+    )

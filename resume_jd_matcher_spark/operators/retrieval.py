@@ -1,0 +1,239 @@
+"""Lexical / hybrid retrieval operators (SURVEY.md §2.H U5; north-star
+retrieval for training-data pipelines): Okapi BM25 scoring and
+reciprocal-rank-fusion hybrid search (BM25 ∪ dense cosine).
+
+The reference retrieves with dense FAISS only (vectorDB.py:12,38);
+a production corpus pipeline pairs that with a lexical ranker and
+fuses the two — BM25 is the standard lexical side (Robertson &
+Sparck Jones / Okapi, public literature), RRF the standard fusion
+(Cormack et al., SIGIR'09: score = Σ 1/(k0 + rank)).
+
+Scale notes
+-----------
+``bm25_scores`` never shuffles the corpus: the query-term list is a
+small fixed set, so per-document term frequencies come from native
+array ops inside one projection (no explode), the corpus statistics
+(N, avgdl, per-term df) reduce to ONE broadcast scalar row, and the
+final score is a codegen'd expression over (tf_i, dl). Two scans of
+the documents table total — the same shape at 100 TB, with the top-k
+going through TakeOrderedAndProject (per-partition heaps, no global
+sort).
+
+``rrf_fuse`` bounds each ranker to its top-``pool`` candidates with
+TakeOrderedAndProject before any global row_number, so the
+single-partition window only ever sees ≤ 2·pool rows regardless of
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.functions.text import tokens
+from resume_jd_matcher_spark.functions.vector import cosine
+
+# Okapi defaults (public BM25 literature).
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K0 = 60  # Cormack et al. SIGIR'09 default
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (the +1 variant, so
+    idf ≥ 0 even for terms in more than half the corpus);
+    score(d)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Determinism contract with the DuckDB oracle: avgdl is computed as
+    exact-integer sum(dl)/N (both engines sum BIGINTs exactly), and the
+    per-term contributions fold left-to-right in the fixed order of
+    ``query_terms`` on both sides.
+
+    Output: (id, dl, tf_<term>..., bm25 DOUBLE) — unrounded; callers
+    round where exposed.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            _tf(toks, t).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * norm)
+    return scored.select(
+        F.col(id_col),
+        F.col("dl"),
+        *[F.col(f"tf_{i}") for i in range(len(query_terms))],
+        score.alias("bm25"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25, deterministic (score desc, id asc) —
+    orderBy+limit lowers to TakeOrderedAndProject, never a global sort."""
+    scored = bm25_scores(df, query_terms, id_col=id_col, text_col=text_col)
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            F.round(F.col("bm25") + F.lit(1e-9), 6).alias("bm25"),
+        )
+    )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    dense: DataFrame,
+    id_col: str = "doc_id",
+    lex_score: str = "bm25",
+    dense_score: str = "cos_sim",
+    pool: int = 100,
+    k: int = 20,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers over the same id space.
+
+    Each input is cut to its top-``pool`` rows by (score desc, id asc)
+    — TakeOrderedAndProject, scale-safe — then ranked with a global
+    row_number over that bounded set. A document missing from one
+    pool contributes 0 from that ranker (standard RRF on truncated
+    runs). Output: (id, lex_rank, dense_rank, rrf) top-k by
+    (rrf desc, id asc); ranks are NULL when outside that ranker's pool.
+    """
+
+    def _ranked(side: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+        top = side.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(pool)
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return top.select(
+            F.col(id_col), F.row_number().over(w).alias(rank_name)
+        )
+
+    lex = _ranked(lexical, lex_score, "lex_rank")
+    den = _ranked(dense, dense_score, "dense_rank")
+    fused = lex.join(den, id_col, "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k0)) + F.col(r).cast("double")), F.lit(0.0)
+    )
+    rrf = contrib("lex_rank") + contrib("dense_rank")
+    return (
+        fused.select(
+            F.col(id_col),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            rrf.alias("rrf_raw"),
+        )
+        .orderBy(F.col("rrf_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "lex_rank",
+            "dense_rank",
+            F.round(F.col("rrf_raw") + F.lit(1e-12), 8).alias("rrf"),
+        )
+    )
+
+
+def dense_cosine_scores(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Cosine of every corpus vector against ONE broadcast query vector
+    (the dense half of hybrid search). Output: (id, cos_sim DOUBLE)."""
+    paired = corpus.crossJoin(F.broadcast(query_vec))
+    return paired.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_label_col: str = "query_label",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    nearest corpus vector with a DIFFERENT label (the closest
+    non-positive — the pair a contrastive trainer wants).
+
+    Same hash-aggregate argmin shape as ``argmin_per_group``
+    (min(struct(dist, id, label)) with map-side partial combine): the
+    label inequality is a pre-aggregation filter, so the shuffle
+    carries one pre-combined partial per (query, partition).
+    """
+    from resume_jd_matcher_spark.functions.vector import faiss_score, squared_l2
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    paired = ensure_parallelism(corpus).crossJoin(F.broadcast(queries))
+    d = squared_l2(F.col(vec_col), F.col(query_vec_col))
+    best = (
+        paired.filter(F.col(label_col) != F.col(query_label_col))
+        .select(
+            F.col(query_id_col),
+            F.col(query_label_col),
+            F.struct(
+                d.alias("dist"),
+                F.col(id_col).alias("id"),
+                F.col(label_col).alias("neg_label"),
+            ).alias("cand"),
+        )
+        .groupBy(query_id_col, query_label_col)
+        .agg(F.min("cand").alias("best"))
+    )
+    return best.select(
+        query_id_col,
+        query_label_col,
+        F.col("best.id").alias("neg_id"),
+        F.col("best.neg_label").alias("neg_label"),
+        F.round("best.dist", 4).alias("dist"),
+        faiss_score(F.col("best.dist")).alias("score"),
+    )

@@ -61,6 +61,7 @@ from resume_jd_matcher_spark.queries import stream_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import advanced_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import retrieval_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Round 5 rotation (mid-round update): every round-4/5

@@ -1,0 +1,205 @@
+"""Lexical/hybrid retrieval + exact-substring dedup queries
+(SURVEY.md §2.H U5 retrieval family; north-star training-data ops).
+
+Engine paths: operators/retrieval.py, operators/dedup.py
+(duplicated_spans). Oracles mirror the exact fold order and
+tie-breaks (FIXTURES.md contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators import retrieval
+from resume_jd_matcher_spark.operators.dedup import duplicated_spans
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+SQL_TOKS = "string_split_regex(trim(lower({c})), '\\s+')"
+SQL_HASH32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+SQL_DOT = "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
+SQL_NORM = (
+    "sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{a}[i])))"
+)
+
+# Fixed query-term set for the lexical ranker (all in the synthetic
+# corpus vocabulary; order is the score fold order on BOTH sides).
+BM25_TERMS = ("hash", "vector", "stream", "merge")
+
+# DuckDB twin of operators/retrieval.bm25_scores — same left-to-right
+# per-term fold, same (1 - 0.75 + 0.75*dl/avgdl) association, avgdl as
+# exact-integer sum(dl)/N.
+_SQL_BM25_SCORED = f"""
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+         {", ".join(f"len(list_filter(toks, t -> t = '{t}'))::BIGINT AS tf_{i}" for i, t in enumerate(BM25_TERMS))}
+  FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents)
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         {", ".join(f"sum((tf_{i} > 0)::BIGINT)::BIGINT AS df_{i}" for i in range(len(BM25_TERMS)))}
+  FROM base
+), scored AS (
+  SELECT doc_id, dl,
+         0.0 {" ".join(
+             f"+ ln(1.0 + (n_docs::DOUBLE - df_{i}::DOUBLE + 0.5) / (df_{i}::DOUBLE + 0.5))"
+             f" * tf_{i}::DOUBLE * 2.2"
+             f" / (tf_{i}::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))"
+             for i in range(len(BM25_TERMS))
+         )} AS bm25
+  FROM base, stats
+)"""
+
+
+@register(
+    "bm25_rank",
+    f"""
+WITH {_SQL_BM25_SCORED}
+SELECT doc_id, dl, round(bm25 + 1e-9, 6) AS bm25
+FROM scored
+ORDER BY scored.bm25 DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 retrieval: Okapi BM25 top-20 over the corpus for a fixed
+    term set — the lexical ranker the reference's dense-only search
+    (vectorDB.py:38) lacks. Two scans, zero wide shuffles: per-doc
+    term frequencies are native array ops in one projection, corpus
+    stats reduce to one broadcast scalar row, top-k lowers to
+    TakeOrderedAndProject."""
+    return retrieval.bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS, k=20
+    )
+
+
+@register(
+    "rrf_hybrid",
+    f"""
+WITH {_SQL_BM25_SCORED},
+lex_top AS (
+  SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_top
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS ce FROM embeddings
+), dsc AS (
+  SELECT doc_id,
+         {SQL_DOT.format(a='ce', b='qe')}
+           / ({SQL_NORM.format(a='ce')} * {SQL_NORM.format(a='qe')}) AS cos_sim
+  FROM c, q
+), den_top AS (
+  SELECT doc_id, cos_sim FROM dsc ORDER BY cos_sim DESC, doc_id LIMIT 100
+), den AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS dense_rank
+  FROM den_top
+), fused AS (
+  SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         lex_rank, dense_rank,
+         coalesce(1.0 / (60.0 + lex_rank), 0.0)
+           + coalesce(1.0 / (60.0 + dense_rank), 0.0) AS rrf_raw
+  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+)
+SELECT doc_id, lex_rank::INT AS lex_rank, dense_rank::INT AS dense_rank,
+       round(rrf_raw + 1e-12, 8) AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, doc_id
+LIMIT 20
+""",
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 retrieval: hybrid search — BM25 lexical ∪ dense cosine
+    against embedding of vec_id 0, fused by reciprocal rank
+    (Cormack et al. SIGIR'09, 1/(60+rank)). Each ranker is cut to its
+    top-100 pool with TakeOrderedAndProject BEFORE any global
+    row_number, so the single-partition window sees ≤ 200 rows at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lexical = retrieval.bm25_scores(docs, BM25_TERMS)
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    dense = retrieval.dense_cosine_scores(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        qvec,
+        id_col="doc_id",
+    )
+    return retrieval.rrf_fuse(lexical, dense, pool=100, k=20)
+
+
+@register(
+    "hard_negatives",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+), d AS (
+  SELECT query_id, query_label, vec_id, c.label AS neg_label,
+         list_sum(list_transform(generate_series(1, len(qe)),
+                                 i -> (qe[i]-ce[i])*(qe[i]-ce[i]))) AS dist
+  FROM c, q
+  WHERE c.label <> q.query_label
+), r AS (
+  SELECT query_id, query_label, vec_id, neg_label, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, query_label, vec_id AS neg_id, neg_label,
+       round(dist, 4) AS dist,
+       round(10.0 / (1.0 + dist), 2) AS score
+FROM r WHERE rn = 1
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 training-data op: contrastive hard-negative mining — for
+    each of 5 query vectors, the nearest corpus vector with a
+    different label. Hash-aggregate argmin (min(struct)) with
+    map-side combine; label filter applied pre-aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return retrieval.hard_negatives(
+        emb.select("vec_id", "label", "embedding"), queries
+    )
+
+
+@register(
+    "substring_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, i,
+         {SQL_HASH32.format(c="array_to_string(toks[i:i+7], ' ')")} AS h
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+  WHERE len(toks) >= 8
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT doc_id, i FROM pos JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dp
+)
+SELECT doc_id, min(i)::INT AS span_start, (max(i) + 7)::INT AS span_end,
+       (max(i) + 7 - min(i) + 1)::INT AS span_tokens,
+       count(*)::INT AS n_grams
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 dedup: exact duplicated-substring spans (ExactSubstr of Lee
+    et al. 2021) via positional 8-gram posting lists + islands merge —
+    suffix-array parity for cross-document runs ≥ 8 tokens without a
+    global suffix sort."""
+    return duplicated_spans(load_table(spark, sf_dir, "documents"), k=8)

@@ -173,6 +173,13 @@ def test_registry_wide_no_cartesian_products(spark):
         "exact_percentiles",
         # single-row scalar CTEs (max-ts, watermark cutoff) crossed in:
         "stream_late_data",
+        # single-row broadcast corpus stats (N, avgdl, per-term df)
+        # crossed into the per-doc scorer; rrf adds a single-row
+        # broadcast query vector:
+        "bm25_rank", "rrf_hybrid",
+        # 5-row broadcast query set crossed into the corpus scan
+        # (same shape as knn_per_label):
+        "hard_negatives",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -18,6 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])  # optional query-name filter: run just these
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -66,6 +67,8 @@ def main() -> None:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     results: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
+        if ONLY and name not in ONLY:
+            continue
         try:
             spark_pdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
