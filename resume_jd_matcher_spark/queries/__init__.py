@@ -123,10 +123,14 @@ _DRIVER_PRIORITY = [
     "pipeline_e2e",
     "train_test_split",
     "cap_per_source",
-    "pack_token_budget",
-    "pii_redact",
-    "corpus_clean_pipeline",
-    "stratified_sample",
+    # -- round-5 late additions awaiting hard driver signal (the four
+    # r4-green anchors pack_token_budget / pii_redact /
+    # corpus_clean_pipeline / stratified_sample rotate out to make
+    # room; never-checked > second confirmation) --
+    "bm25_rank",
+    "rrf_hybrid",
+    "hard_negatives",
+    "substring_dedup",
 ]
 
 
