@@ -139,3 +139,130 @@ def repetition_stats(
             .alias("keep"),
         )
     )
+
+
+def classifier_weights(spark, n_buckets: int = 256) -> DataFrame:
+    """Deterministic hashed-feature weight table for the linear
+    quality classifier: bucket j -> weight in [-1, 1] derived from the
+    portable hash (stands in for trained fastText/logistic weights —
+    the CONTRACT under test is the scoring dataflow, not accuracy,
+    exactly like language_id's marker heuristic). n_buckets rows —
+    always broadcastable; a real trained model loads the same shape.
+    """
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            ((hash32(F.concat(F.lit("qw#"), F.col("id").cast("string"))) % 2001)
+             - F.lit(1000)).cast("double")
+            / F.lit(1000.0)
+        ).alias("weight"),
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 256,
+    bias: float = -0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashed bag-of-words linear quality classifier
+    (the model-based quality filter of the GPT-3/LLaMA data pipelines,
+    public papers): tokens hash into ``n_buckets`` feature buckets,
+    the document logit is bias + mean bucket weight, probability is
+    the logistic sigmoid.
+
+    Scale shape: one explode → broadcast equi-join on the bucket id
+    (the model table is tiny by construction) → ONE map-side-combined
+    per-doc mean. No corpus-wide shuffle beyond the per-doc agg; a
+    384-dim trained model swaps in by replacing the weights table.
+
+    Output: (id, n_tokens, logit, prob, keep) — floats rounded
+    in-query; keep = prob > 0.5.
+    """
+    from resume_jd_matcher_spark.functions.text import hash32, tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(id_col, (hash32(F.col("tok")) % n_buckets).cast("int").alias("bucket"))
+    scored = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            (F.sum("weight") / F.count("*") + F.lit(bias)).alias("logit_raw"),
+        )
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit_raw")))
+    eps = F.lit(1e-9)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("logit_raw") + eps, 6).alias("logit"),
+        F.round(prob + eps, 6).alias("prob"),
+        (prob > 0.5).cast("int").alias("keep"),
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    z_threshold: float = 2.0,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier screen: per-label centroid, per-vector
+    squared distance to its centroid, per-label z-score of that
+    distance, flag |z| beyond the threshold — the cheap "mislabeled /
+    garbage embedding" detector run before ANN index builds.
+
+    Determinism contract: centroid dim-means are rounded (6 dp) BEFORE
+    the distance computation and distances rounded (4 dp) before the
+    z-score, so cross-engine float-sum ordering differences are
+    quenched at each stage boundary (same staging mirrored in the
+    oracle).
+
+    Scale shape: long-form explode → (label, dim) hash agg for
+    centroids (shuffle = labels × dims compact rows); the centroid
+    table broadcasts into the dim-stream equi-join; per-vector sum and
+    per-label moments are map-side-combined hash aggs. No window, no
+    pairwise join.
+    """
+    dims = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    cents = dims.groupBy(label_col, "dim").agg(
+        F.round(F.avg("x") + F.lit(1e-12), 6).alias("m")
+    )
+    d2 = (
+        dims.join(F.broadcast(cents), [label_col, "dim"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                + F.lit(1e-9),
+                4,
+            ).alias("d2")
+        )
+    )
+    stats = d2.groupBy(label_col).agg(
+        F.avg("d2").alias("mu"), F.stddev_samp("d2").alias("sd")
+    )
+    z = (F.col("d2") - F.col("mu")) / F.col("sd")
+    return (
+        d2.join(F.broadcast(stats), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("d2"),
+            F.round(z + F.lit(1e-9), 3).alias("z"),
+            (F.abs(z) > F.lit(z_threshold)).cast("int").alias("is_outlier"),
+        )
+    )

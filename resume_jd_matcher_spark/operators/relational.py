@@ -189,3 +189,38 @@ def binned_interval_join(
             F.abs(F.col("us_a") - F.col("us_b")).alias("gap_us"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof shuffle equi-join for a LOW-CARDINALITY hot join key
+    that is too large (or policy-barred) to broadcast: the fact side
+    gets a deterministic salt in [0, n_salts), the dim side replicates
+    n_salts×, and the join runs on (key, salt) — each hot key's rows
+    spread over ``n_salts`` reducers instead of one. Results are
+    row-identical to the plain join (the salt is an execution detail
+    and is dropped).
+
+    The salt must NOT derive from the join key (that would re-create
+    the hot partition); xxhash64 over ALL fact columns gives a uniform
+    spread and never leaves the executor. The shuffle_hash hint keeps
+    the demonstration honest at toy SF, where the planner would
+    otherwise broadcast the dim and no skew could exist — mirrors
+    ``bucketed_join``'s note. AQE skew-join covers sort-merge joins
+    at runtime; explicit salting remains the tool when AQE is off or
+    the skew is in a hash join.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    joined = salted_fact.hint("shuffle_hash").join(
+        replicated_dim, [key, "_salt"]
+    )
+    return joined.drop("_salt")

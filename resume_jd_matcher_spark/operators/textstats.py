@@ -497,3 +497,76 @@ def token_entropy(
             ).alias("norm_entropy"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 25,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent-token bigrams by
+    pointwise mutual information, PMI = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    with p() from corpus counts (Church & Hanks 1990 — public
+    literature). ``min_count`` suppresses the low-count PMI explosion.
+
+    Scale shape: bigram and unigram counts are map-side-combined hash
+    aggs (shuffle = distinct grams per partition); the two totals ride
+    ONE single-row broadcast; scoring joins the bigram table to the
+    vocab-sized unigram table twice (hash equi-joins on w1 / w2 —
+    vocabulary grows with language, not corpus); top-k lowers to
+    TakeOrderedAndProject. The formula folds exactly as written —
+    (c12/B) / ((c1/T) · (c2/T)) — mirrored by the oracle.
+
+    Output: (w1, w2, c12, pmi) — pmi rounded in-query.
+    """
+    toks = tokens(text_col)
+    # _t is a resolved alias for the token array (expr() can't see the
+    # Python-side Column) — project it first.
+    pairs = (
+        df.select(toks.alias("_t"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(_t) - 1), "
+                        "i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))"
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = df.select(F.explode(tokens(text_col)).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    totals = big.agg(F.sum("c12").alias("b_total")).crossJoin(
+        uni.agg(F.sum("c").alias("t_total"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    p12 = F.col("c12").cast("double") / F.col("b_total").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("t_total").cast("double")
+    p2 = F.col("c2").cast("double") / F.col("t_total").cast("double")
+    pmi = F.log(p12 / (p1 * p2))
+    return (
+        scored.select(
+            "w1", "w2", "c12", pmi.alias("pmi_raw")
+        )
+        .orderBy(F.col("pmi_raw").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("pmi_raw") + F.lit(1e-9), 6).alias("pmi"),
+        )
+    )

@@ -116,8 +116,6 @@ _DRIVER_PRIORITY = [
     "exact_percentiles",
     "fuzzy_match",
     "window_stats",
-    "date_arithmetic",
-    "json_struct",
     "stats_moments",
     "bucketed_join",
     "pipeline_e2e",
@@ -131,6 +129,11 @@ _DRIVER_PRIORITY = [
     "rrf_hybrid",
     "hard_negatives",
     "substring_dedup",
+    # (date_arithmetic / json_struct rotate out for these — scalar
+    # suites with the least re-confirmation value in the window)
+    "pmi_collocations",
+    "quality_classifier",
+    "embedding_outliers",
 ]
 
 

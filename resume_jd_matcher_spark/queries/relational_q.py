@@ -916,3 +916,39 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts").alias("last_ts_epoch"),
         )
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority,
+         substr(o_orderpriority, 1, 1)::INT AS prio_rank
+  FROM orders
+)
+SELECT o.o_orderpriority, d.prio_rank,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders o JOIN dim d USING (o_orderpriority)
+GROUP BY o.o_orderpriority, d.prio_rank
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 skew path: every orders row joins a 5-row priority dim — the
+    textbook hot-key shuffle join (5 reducers own the whole fact). The
+    engine salts the fact side over 8 deterministic salts and
+    replicates the dim 8×, so each hot key spreads over 8 reducers;
+    results are row-identical to the plain join the oracle runs.
+    Complements `skew_salted_agg` (aggregates) and AQE skew handling
+    (sort-merge joins only)."""
+    o = load_table(spark, sf_dir, "orders")
+    dim = o.select("o_orderpriority").distinct().withColumn(
+        "prio_rank", F.substring("o_orderpriority", 1, 1).cast("int")
+    )
+    joined = relational.salted_join(
+        o.select("o_orderpriority", "o_totalprice"), dim, "o_orderpriority", n_salts=8
+    )
+    return joined.groupBy("o_orderpriority", "prio_rank").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -1132,3 +1132,87 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → two map-side-combined hash aggs, nothing
     cross-document."""
     return textstats.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pmi_collocations",
+    f"""
+WITH t AS (
+  SELECT {SQL_TOKS.format(c='text')} AS toks FROM documents
+), pairs AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 2
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY w1, w2
+), uc AS (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+), tot AS (
+  SELECT (SELECT sum(c12)::BIGINT FROM big) AS b_total,
+         (SELECT sum(c)::BIGINT FROM uc) AS t_total
+), scored AS (
+  SELECT w1, w2, c12,
+         ln((c12::DOUBLE / b_total::DOUBLE)
+            / ((u1.c::DOUBLE / t_total::DOUBLE)
+               * (u2.c::DOUBLE / t_total::DOUBLE))) AS pmi_raw
+  FROM big
+  JOIN uc u1 ON big.w1 = u1.tok
+  JOIN uc u2 ON big.w2 = u2.tok, tot
+  WHERE c12 >= 25
+)
+SELECT w1, w2, c12, round(pmi_raw + 1e-9, 6) AS pmi
+FROM scored ORDER BY pmi_raw DESC, w1, w2 LIMIT 20
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 text analytics: top-20 adjacent-bigram collocations by PMI
+    (Church & Hanks 1990), min-count 25. Hash-agg counts, vocab-sized
+    unigram joins, one single-row broadcast for the two totals,
+    TakeOrderedAndProject top-k."""
+    return textstats.pmi_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=25, k=20
+    )
+
+
+@register(
+    "quality_classifier",
+    f"""
+WITH w AS (
+  SELECT i::INT AS bucket,
+         ((('0x' || substr(md5('qw#' || i), 1, 8))::BIGINT % 2001) - 1000)::DOUBLE
+           / 1000.0 AS weight
+  FROM unnest(generate_series(0, 255)) AS s(i)
+), tok AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % 256)::INT AS bucket
+  FROM (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS t FROM documents)
+), sc AS (
+  SELECT doc_id, count(*)::INT AS n_tokens,
+         sum(weight) / count(*) + -0.05 AS logit_raw
+  FROM tok JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(logit_raw + 1e-9, 6) AS logit,
+       round(1.0 / (1.0 + exp(-logit_raw)) + 1e-9, 6) AS prob,
+       (1.0 / (1.0 + exp(-logit_raw)) > 0.5)::INT AS keep
+FROM sc
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 training-data op: fastText-style hashed bag-of-words linear
+    quality classifier (the GPT-3/LLaMA model-based quality filter
+    shape) — deterministic weight table broadcast into a bucket
+    equi-join, one map-side-combined per-doc mean, sigmoid in-query.
+    The dataflow is the contract; a trained model swaps in by
+    replacing the 256-row weight table."""
+    from resume_jd_matcher_spark.operators.quality import (
+        classifier_weights,
+        quality_classifier,
+    )
+
+    return quality_classifier(
+        load_table(spark, sf_dir, "documents"),
+        classifier_weights(spark, 256),
+        n_buckets=256,
+    )

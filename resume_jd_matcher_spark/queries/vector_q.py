@@ -747,3 +747,36 @@ def q_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("pv") + eps, 6).alias("min_dim"),
         F.round(F.max("pv") + eps, 6).alias("max_dim"),
     )
+
+
+@register(
+    "embedding_outliers",
+    """
+WITH dims AS (
+  SELECT vec_id, label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+), c AS (
+  SELECT label, dim, round(avg(x) + 1e-12, 6) AS m FROM dims GROUP BY label, dim
+), d AS (
+  SELECT vec_id, dims.label AS label,
+         round(sum((x - m) * (x - m)) + 1e-9, 4) AS d2
+  FROM dims JOIN c ON dims.label = c.label AND dims.dim = c.dim
+  GROUP BY vec_id, dims.label
+), st AS (
+  SELECT label, avg(d2) AS mu, stddev_samp(d2) AS sd FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.d2,
+       round((d.d2 - mu) / sd + 1e-9, 3) AS z,
+       (abs((d.d2 - mu) / sd) > 2.0)::INT AS is_outlier
+FROM d JOIN st ON d.label = st.label
+""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] embedding-space outlier screen: per-label centroid →
+    per-vector squared distance → per-label z-score, flag |z| > 2 —
+    the mislabeled/garbage-vector detector run before an ANN index
+    build. Long-form hash aggs + broadcast centroid join; rounding at
+    each stage boundary quenches cross-engine float-sum ordering."""
+    from resume_jd_matcher_spark.operators.quality import embedding_outliers
+
+    return embedding_outliers(load_table(spark, sf_dir, "embeddings"))

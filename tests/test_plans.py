@@ -180,6 +180,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # 5-row broadcast query set crossed into the corpus scan
         # (same shape as knn_per_label):
         "hard_negatives",
+        # single-row broadcast bigram/unigram totals crossed into the
+        # collocation scorer:
+        "pmi_collocations",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):
@@ -197,3 +200,34 @@ def test_registry_wide_no_cartesian_products(spark):
         f"unexpected BroadcastNestedLoopJoin in {bnlj_unexpected}; "
         "broadcast a bounded side or rewrite as an equi-join"
     )
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The skew join must (a) shuffle-hash join on (key, _salt) — not
+    broadcast, which would hide the skew problem at toy SF — and (b)
+    return row-identical results to the plain join."""
+    from resume_jd_matcher_spark.queries.relational_q import q_skew_salted_join
+
+    df = q_skew_salted_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from resume_jd_matcher_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)],
+        "id long, k string, v double",
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, attr int")
+    got = sorted(
+        salted_join(fact, dim, "k", n_salts=4).collect(),
+        key=lambda r: r["id"],
+    )
+    want = sorted(fact.join(dim, "k").collect(), key=lambda r: r["id"])
+    assert [tuple(sorted(r.asDict().items())) for r in got] == [
+        tuple(sorted(r.asDict().items())) for r in want
+    ]

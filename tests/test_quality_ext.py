@@ -1,0 +1,92 @@
+"""Semantics tests for the round-5 quality/analytics additions:
+PMI collocations, the hashed linear quality classifier, and
+embedding-space outlier detection.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.operators.quality import (
+    classifier_weights,
+    embedding_outliers,
+    quality_classifier,
+)
+from resume_jd_matcher_spark.operators.textstats import pmi_collocations
+
+
+class TestPMI:
+    def test_bound_pair_beats_independent(self, spark):
+        # "new york" always adjacent; "the cat/dog/fish" varies.
+        rows = [(i, "new york " + ("the cat " if i % 2 else "the dog ") * 2) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["w1"], r["w2"]): r["pmi"] for r in pmi_collocations(df, min_count=10, k=50).collect()}
+        assert ("new", "york") in out
+        # 'the'→{cat,dog} splits mass; 'new'→'york' is deterministic
+        assert out[("new", "york")] > out[("the", "cat")]
+
+    def test_min_count_suppresses_rare(self, spark):
+        df = spark.createDataFrame(
+            [(1, "rare pair common common common common")], "doc_id long, text string"
+        )
+        assert pmi_collocations(df, min_count=2, k=10).count() == 1  # only common,common
+
+    def test_pmi_value_exact(self, spark):
+        # 4 bigrams total: (a b) x2, (b a), (b c). unigrams: a=2,b=3,c=1? text "a b a b c"
+        df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+        out = {(r["w1"], r["w2"]): r["pmi"] for r in pmi_collocations(df, min_count=2, k=10).collect()}
+        # tokens: a,b,a,b,c (T=5, a=2, b=2); bigrams: (a,b)x2,(b,a),(b,c) (B=4)
+        expected = math.log((2 / 4) / ((2 / 5) * (2 / 5)))
+        assert out[("a", "b")] == pytest.approx(expected, abs=1e-5)
+
+
+class TestQualityClassifier:
+    def test_weights_deterministic_and_bounded(self, spark):
+        w1 = {r["bucket"]: r["weight"] for r in classifier_weights(spark, 64).collect()}
+        w2 = {r["bucket"]: r["weight"] for r in classifier_weights(spark, 64).collect()}
+        assert w1 == w2 and len(w1) == 64
+        assert all(-1.0 <= v <= 1.0 for v in w1.values())
+
+    def test_prob_is_sigmoid_of_logit(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "zeta eta theta")],
+            "doc_id long, text string",
+        )
+        out = quality_classifier(docs, classifier_weights(spark, 64), n_buckets=64)
+        for r in out.collect():
+            assert r["prob"] == pytest.approx(
+                1.0 / (1.0 + math.exp(-r["logit"])), abs=2e-6
+            )
+            assert r["keep"] == int(r["prob"] > 0.5)
+
+    def test_identical_docs_same_score(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same words here"), (2, "same words here")],
+            "doc_id long, text string",
+        )
+        a, b = sorted(
+            quality_classifier(docs, classifier_weights(spark, 64), 64).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a["logit"] == b["logit"] and a["prob"] == b["prob"]
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        # tight cluster at origin + one far point, all same label
+        rows = [(i, 0, [0.0 + 0.01 * (i % 3), 0.0]) for i in range(20)]
+        rows.append((99, 0, [50.0, 50.0]))
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        out = {r["vec_id"]: r for r in embedding_outliers(df).collect()}
+        assert out[99]["is_outlier"] == 1
+        assert all(out[i]["is_outlier"] == 0 for i in range(20))
+        assert out[99]["z"] > 2.0
+
+    def test_z_mean_near_zero(self, spark):
+        rows = [(i, 0, [float(i % 5), float(i % 7)]) for i in range(35)]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        zs = [r["z"] for r in embedding_outliers(df).collect()]
+        assert abs(sum(zs) / len(zs)) < 0.01

@@ -70,6 +70,18 @@ HEADLINERS = {
     "hash (1:1, no pairwise blow-up); islands window per-doc only",
     "hard_negatives": "label filter pre-aggregation; argmin a "
     "min(struct) hash agg with map-side partial combine",
+    "pmi_collocations": "map-side-combined gram counts; vocab-sized "
+    "unigram equi-joins; totals ONE single-row broadcast; top-k = "
+    "TakeOrderedAndProject",
+    "quality_classifier": "256-row model table broadcast into the "
+    "bucket equi-join; per-doc mean map-side combined; no "
+    "corpus-wide shuffle beyond the per-doc agg",
+    "embedding_outliers": "labels*dims centroid table broadcast; "
+    "per-vector sum and per-label moments map-side-combined hash "
+    "aggs; no window, no pairwise join",
+    "skew_salted_join": "ShuffledHashJoin on (key, _salt): each hot "
+    "key spreads over 8 reducers; dim replicated 8x, never broadcast "
+    "(which would hide the skew at toy SF)",
 }
 
 
