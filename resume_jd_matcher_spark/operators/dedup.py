@@ -542,27 +542,7 @@ def duplicated_spans(
     Output: (id, span_start, span_end, span_tokens, n_grams) with
     1-based inclusive token positions.
     """
-    from resume_jd_matcher_spark.functions.text import hash32 as _h32
-
-    tok_pos = ensure_parallelism(df).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok")
-    )
-    by_pos = Window.partitionBy(id_col).orderBy("i0")
-    gram_parts = [F.col("tok")] + [
-        F.lead("tok", j).over(by_pos) for j in range(1, k)
-    ]
-    posting = (
-        tok_pos.select(
-            F.col(id_col),
-            (F.col("i0") + 1).alias("i"),
-            F.concat_ws(" ", *gram_parts).alias("gram"),
-            F.lead("tok", k - 1).over(by_pos).isNotNull().alias("is_gram"),
-        )
-        .filter(F.col("is_gram"))
-        .select(id_col, "i", _h32(F.col("gram")).alias("h"))
-    )
-    posting.persist()
-    _PERSISTED.append(posting)
+    posting = _gram_posting(df, k, id_col, text_col)
     dup_grams = (
         posting.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
@@ -586,4 +566,106 @@ def duplicated_spans(
         "span_end",
         (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_tokens"),
         "n_grams",
+    )
+
+
+def _gram_posting(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional k-gram posting list (id, i, h): 1-based position i,
+    portable hash32 of the space-joined k-token gram at i. One
+    posexplode + one per-doc lead() window; persisted (two consumers:
+    the dup-gram reduction and the position join-back)."""
+    from resume_jd_matcher_spark.functions.text import hash32 as _h32
+
+    tok_pos = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok")
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("i0")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", j).over(by_pos) for j in range(1, k)
+    ]
+    posting = (
+        tok_pos.select(
+            F.col(id_col),
+            (F.col("i0") + 1).alias("i"),
+            F.concat_ws(" ", *gram_parts).alias("gram"),
+            F.lead("tok", k - 1).over(by_pos).isNotNull().alias("is_gram"),
+        )
+        .filter(F.col("is_gram"))
+        .select(id_col, "i", _h32(F.col("gram")).alias("h"))
+    )
+    posting.persist()
+    _PERSISTED.append(posting)
+    return posting
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al. 2021): for
+    every k-gram occurring in ≥ 2 distinct documents, ONE canonical
+    copy survives (the lowest doc id holding the gram) and every other
+    document drops the tokens that gram covers — "remove all but one
+    occurrence", keyed per gram so overlapping spans compose.
+
+    Dataflow: the shared positional posting list → per-gram
+    (owner = min(id), ndocs) hash agg → non-owner gram positions fan
+    out to their k covered token offsets (bounded by dup positions ×
+    k, never corpus²) → anti-join drops those offsets from the token
+    stream → per-doc ordered reassembly (same collect/sort shape as
+    C4 line_dedup). Documents with nothing duplicated pass through
+    unchanged; a fully-duplicated non-owner document degrades to an
+    empty string.
+
+    Output: (id, n_tokens_before, n_tokens_after, clean_text).
+    """
+    posting = _gram_posting(df, k, id_col, text_col)
+    owners = (
+        posting.groupBy("h")
+        .agg(
+            F.min(id_col).alias("owner"),
+            F.count_distinct(F.col(id_col)).alias("ndocs"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select("h", "owner")
+    )
+    drop_pos = (
+        posting.join(owners, "h")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    tok_pos = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok")
+    ).select(id_col, (F.col("i0") + 1).alias("pos"), "tok")
+    kept = tok_pos.join(drop_pos, [id_col, "pos"], "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("int").alias("n_tokens_before")
+    )
+    return base.join(reasm, id_col, "left").select(
+        id_col,
+        "n_tokens_before",
+        F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("int").alias(
+            "n_tokens_after"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )

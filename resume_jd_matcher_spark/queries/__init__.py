@@ -114,7 +114,6 @@ _DRIVER_PRIORITY = [
     "top_orders_global",
     "agg_grouping_sets",
     "exact_percentiles",
-    "fuzzy_match",
     "window_stats",
     "stats_moments",
     "bucketed_join",
@@ -134,6 +133,8 @@ _DRIVER_PRIORITY = [
     "pmi_collocations",
     "quality_classifier",
     "embedding_outliers",
+    # (fuzzy_match rotates out for the ExactSubstr removal half)
+    "substring_remove",
 ]
 
 

@@ -203,3 +203,48 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array parity for cross-document runs ≥ 8 tokens without a
     global suffix sort."""
     return duplicated_spans(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "substring_remove",
+    f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, i,
+         {SQL_HASH32.format(c="array_to_string(toks[i:i+7], ' ')")} AS h
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+  WHERE len(toks) >= 8
+), own AS (
+  SELECT h, min(doc_id) AS owner
+  FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT DISTINCT pos.doc_id, i + j AS p
+  FROM pos JOIN own USING (h), unnest(generate_series(0, 7)) AS g(j)
+  WHERE pos.doc_id <> own.owner
+), tokpos AS (
+  SELECT doc_id, i AS p, toks[i] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) AS s(i)
+), kept AS (
+  SELECT tokpos.doc_id, tokpos.p, tokpos.tok
+  FROM tokpos ANTI JOIN dp ON tokpos.doc_id = dp.doc_id AND tokpos.p = dp.p
+), reasm AS (
+  SELECT doc_id, count(*)::INT AS n_tokens_after,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(toks)::INT AS n_tokens_before,
+       coalesce(n_tokens_after, 0)::INT AS n_tokens_after,
+       coalesce(clean_text, '') AS clean_text
+FROM t LEFT JOIN reasm ON t.doc_id = reasm.doc_id
+""",
+)
+def q_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 dedup (removal half of ExactSubstr, Lee et al. 2021): every
+    cross-document duplicated 8-gram keeps ONE canonical copy (lowest
+    doc id) and is cut from every other document; tokens re-assemble
+    per doc. Posting-list + anti-join shape — bounded by duplicated
+    positions × k, never corpus²."""
+    from resume_jd_matcher_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(load_table(spark, sf_dir, "documents"), k=8)

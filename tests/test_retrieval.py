@@ -149,3 +149,47 @@ class TestDuplicatedSpans:
         out = duplicated_spans(df, k=8)
         assert out.filter(F.col("doc_id") == 1).count() == 2
         assert out.filter(F.col("doc_id") == 2).count() == 2
+
+
+class TestRemoveDuplicatedSpans:
+    def test_owner_keeps_others_lose(self, spark):
+        from resume_jd_matcher_spark.operators.dedup import remove_duplicated_spans
+
+        shared = "one two three four five six seven eight"  # exactly 8 tokens
+        df = _docs(
+            spark,
+            [
+                (1, f"{shared} tailA tailB"),
+                (2, f"headX {shared} tailC"),
+                (3, "no overlap in this document at all whatsoever here"),
+            ],
+        )
+        rows = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=8).collect()}
+        # doc 1 is the lowest id holding the gram -> keeps everything
+        assert rows[1]["clean_text"] == f"{shared} taila tailb"
+        assert rows[1]["n_tokens_after"] == rows[1]["n_tokens_before"] == 10
+        # doc 2 loses the 8 shared tokens, keeps its unique ones
+        assert rows[2]["clean_text"] == "headx tailc"
+        assert rows[2]["n_tokens_after"] == 2
+        # untouched doc passes through verbatim (lowercased tokens)
+        assert rows[3]["n_tokens_after"] == rows[3]["n_tokens_before"]
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from resume_jd_matcher_spark.operators.dedup import remove_duplicated_spans
+
+        text = "a1 a2 a3 a4 a5 a6 a7 a8"
+        df = _docs(spark, [(1, text), (2, text)])
+        rows = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=8).collect()}
+        assert rows[1]["clean_text"] == text  # canonical copy survives
+        assert rows[2]["clean_text"] == "" and rows[2]["n_tokens_after"] == 0
+
+    def test_overlapping_grams_compose(self, spark):
+        from resume_jd_matcher_spark.operators.dedup import remove_duplicated_spans
+
+        # 10-token shared run -> 3 overlapping dup grams in doc 2; the
+        # union of their covered positions (1..10) must be removed once.
+        run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        df = _docs(spark, [(1, f"{run} uniq1"), (2, f"{run} uniq2")])
+        rows = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=8).collect()}
+        assert rows[2]["clean_text"] == "uniq2"
+        assert rows[2]["n_tokens_after"] == 1

@@ -82,6 +82,9 @@ HEADLINERS = {
     "skew_salted_join": "ShuffledHashJoin on (key, _salt): each hot "
     "key spreads over 8 reducers; dim replicated 8x, never broadcast "
     "(which would hide the skew at toy SF)",
+    "substring_remove": "posting list persisted across owner-reduction "
+    "and join-back; drop set bounded by dup positions x k; removal an "
+    "anti-join; reassembly a per-doc hash agg",
 }
 
 
