@@ -108,11 +108,7 @@ _DRIVER_PRIORITY = [
     "stream_late_data",
     "stream_attribution_join",
     "funnel_conversion",
-    "array_ops",
-    "pivot_unpivot",
     "approx_stats",
-    "top_orders_global",
-    "agg_grouping_sets",
     "exact_percentiles",
     "window_stats",
     "stats_moments",
@@ -133,8 +129,14 @@ _DRIVER_PRIORITY = [
     "pmi_collocations",
     "quality_classifier",
     "embedding_outliers",
-    # (fuzzy_match rotates out for the ExactSubstr removal half)
+    # (fuzzy_match rotates out for the ExactSubstr removal half;
+    # array_ops / pivot_unpivot / top_orders_global /
+    # agg_grouping_sets rotate out for the last four round-5 adds —
+    # exactly 50 names, the driver's window size)
     "substring_remove",
+    "regression_stats",
+    "ewma_smoothing",
+    "rerank_e2e",
 ]
 
 

@@ -952,3 +952,100 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "regression_stats",
+    """
+WITH o AS (
+  SELECT o_orderpriority,
+         (floor(epoch(o_orderdate))::BIGINT // 86400) AS x_day,
+         o_totalprice AS y
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n,
+       round(regr_slope(y, x_day) + 1e-9, 4) AS slope,
+       round(regr_intercept(y, x_day) + 1e-9, 2) AS intercept,
+       round(corr(y, x_day) + 1e-9, 6) AS corr_xy,
+       round(avg(y) + 1e-9, 2) AS mean_y
+FROM o GROUP BY o_orderpriority
+""",
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 regression aggregates: per-priority OLS trend of order value
+    over order date (regr_slope / regr_intercept / corr) — the
+    monitoring query every pipeline dashboard runs ("is value
+    drifting?"). Single map-side-combined hash agg; the regression
+    moments (Sx, Sy, Sxy, Sxx) decompose exactly like sum/count, so
+    the skew/scale story is pricing_summary's."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("x_day"),
+        F.col("o_totalprice").alias("y"),
+    )
+    eps = F.lit(1e-9)
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("y", "x_day") + eps, 4).alias("slope"),
+        F.round(F.regr_intercept("y", "x_day") + eps, 2).alias("intercept"),
+        F.round(F.corr("y", "x_day") + eps, 6).alias("corr_xy"),
+        F.round(F.avg("y") + eps, 2).alias("mean_y"),
+    )
+
+
+@register(
+    "ewma_smoothing",
+    """
+WITH e AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3,
+         lag(value, 4) OVER w AS l4
+  FROM events
+  WHERE user_id < 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts_epoch, value,
+       round(
+         (value * 1.0
+          + coalesce(l1, 0.0) * 0.5
+          + coalesce(l2, 0.0) * 0.25
+          + coalesce(l3, 0.0) * 0.125
+          + coalesce(l4, 0.0) * 0.0625)
+         / (1.0
+            + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+            + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+            + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+            + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END)
+         + 1e-9, 4) AS ewma
+FROM e
+""",
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 time-series: exponentially weighted moving average
+    (alpha = 0.5, truncated at 5 taps, weights renormalized over the
+    taps present) of event value per user in event-time order — the
+    standard smoothing pass before anomaly thresholds. One per-user
+    window with 4 lag() taps sharing a single sort; the fixed
+    5-term fold is bit-deterministic (no long float sums), unlike a
+    recursive EWMA which Spark cannot express without state."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = {j: F.lag("value", j).over(w) for j in (1, 2, 3, 4)}
+    weights = {1: 0.5, 2: 0.25, 3: 0.125, 4: 0.0625}
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for j in (1, 2, 3, 4):
+        num = num + F.coalesce(lags[j], F.lit(0.0)) * F.lit(weights[j])
+        den = den + F.when(lags[j].isNull(), F.lit(0.0)).otherwise(
+            F.lit(weights[j])
+        )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.round(num / den + F.lit(1e-9), 4).alias("ewma"),
+    )

@@ -248,3 +248,83 @@ def q_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.dedup import remove_duplicated_spans
 
     return remove_duplicated_spans(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "rerank_e2e",
+    f"""
+WITH {_SQL_BM25_SCORED},
+lex_top AS (
+  SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_top
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS ce FROM embeddings
+), dsc AS (
+  SELECT doc_id,
+         {SQL_DOT.format(a='ce', b='qe')}
+           / ({SQL_NORM.format(a='ce')} * {SQL_NORM.format(a='qe')}) AS cos_sim
+  FROM c, q
+), den_top AS (
+  SELECT doc_id, cos_sim FROM dsc ORDER BY cos_sim DESC, doc_id LIMIT 100
+), den AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS dense_rank
+  FROM den_top
+), fused AS (
+  SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + lex_rank), 0.0)
+           + coalesce(1.0 / (60.0 + dense_rank), 0.0) AS rrf_raw
+  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+), pool AS (
+  SELECT doc_id, round(rrf_raw + 1e-12, 8) AS rrf
+  FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 20
+), qtoks AS (
+  SELECT list_distinct({SQL_TOKS.format(c='text')}) AS qt
+  FROM documents WHERE doc_id = 0
+)
+SELECT p.doc_id,
+       least(10, len(list_intersect(
+         list_distinct({SQL_TOKS.format(c='d.text')}), qt)))::INT AS rerank_score,
+       p.rrf
+FROM pool p JOIN documents d ON p.doc_id = d.doc_id, qtoks
+ORDER BY rerank_score DESC, p.rrf DESC, p.doc_id
+LIMIT 10
+""",
+)
+def q_rerank_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern retrieval pipeline in ONE plan: hybrid recall
+    (BM25 ∪ dense cosine, RRF-fused, top-20 pool) → precision rerank
+    with the reference's capped token-overlap scorer (the stub LLM
+    scorer's exact semantics, operators/scoring.py:31-41 — the seam a
+    cross-encoder swaps into) → final top-10. The rerank only ever
+    touches the 20-row pool, so the expensive scorer's cost is
+    independent of corpus size — the architecture cross-encoder
+    deployments rely on."""
+    from resume_jd_matcher_spark.functions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = q_rrf_hybrid(spark, sf_dir).select("doc_id", "rrf")
+    qtoks = docs.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(_toks("text")).alias("qt")
+    )
+    return (
+        pool.join(docs.select("doc_id", "text"), "doc_id")
+        .crossJoin(F.broadcast(qtoks))
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(10),
+                F.size(F.array_intersect(F.array_distinct(_toks("text")), F.col("qt"))),
+            )
+            .cast("int")
+            .alias("rerank_score"),
+            "rrf",
+        )
+        .orderBy(
+            F.col("rerank_score").desc(), F.col("rrf").desc(), F.col("doc_id").asc()
+        )
+        .limit(10)
+    )

@@ -183,6 +183,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast bigram/unigram totals crossed into the
         # collocation scorer:
         "pmi_collocations",
+        # inherits bm25's single-row stats broadcast + a single-row
+        # broadcast query-token set into the 20-row rerank pool:
+        "rerank_e2e",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

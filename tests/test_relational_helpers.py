@@ -74,3 +74,60 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     assert m["n_docs"] == 500
     assert 0.0 < m["mean_quality"] <= 1.0
     assert m["null_quality"] == 0
+
+
+class TestRegressionAndEWMA:
+    def test_regression_recovers_perfect_line(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("g", i, 3.0 * i + 7.0) for i in range(50)],
+            "grp string, x long, y double",
+        )
+        [r] = (
+            df.groupBy("grp")
+            .agg(
+                F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+                F.round(F.regr_intercept("y", "x"), 6).alias("icpt"),
+                F.round(F.corr("y", "x"), 6).alias("c"),
+            )
+            .collect()
+        )
+        assert r["slope"] == 3.0 and r["icpt"] == 7.0 and r["c"] == 1.0
+
+    def test_ewma_constant_series_is_constant(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries.relational_q import q_ewma_smoothing
+
+        out = q_ewma_smoothing(spark, sf_dir)
+        assert out.count() > 0
+        # spot property: every ewma lies within the running min/max of
+        # the last 5 values (convexity of the renormalized weights)
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_epoch", "event_id")
+            .rowsBetween(-4, 0)
+        )
+        chk = out.select(
+            "ewma",
+            F.min("value").over(w).alias("lo"),
+            F.max("value").over(w).alias("hi"),
+        )
+        bad = chk.filter(
+            (F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6)
+        )
+        assert bad.count() == 0
+
+    def test_ewma_first_event_equals_value(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.queries.relational_q import q_ewma_smoothing
+
+        out = q_ewma_smoothing(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+        first = out.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        bad = first.filter(F.abs(F.col("ewma") - F.col("value")) > 1e-6)
+        assert bad.count() == 0

@@ -85,6 +85,13 @@ HEADLINERS = {
     "substring_remove": "posting list persisted across owner-reduction "
     "and join-back; drop set bounded by dup positions x k; removal an "
     "anti-join; reassembly a per-doc hash agg",
+    "ewma_smoothing": "4 lag() taps share ONE per-user window sort; "
+    "fixed 5-term fold, no long float sums, no state",
+    "regression_stats": "regression moments decompose like sum/count: "
+    "one map-side-combined hash agg, pricing_summary's scale story",
+    "rerank_e2e": "recall (BM25+dense RRF) cuts to a 20-row pool "
+    "BEFORE the rerank scorer touches text — rerank cost independent "
+    "of corpus size",
 }
 
 
