@@ -569,8 +569,26 @@ def duplicated_spans(
     )
 
 
+def _tok_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Persisted (id, i, tok) token stream, 1-based positions — the
+    shared base of the posting list and the removal join-back (one
+    tokenization pass, not one per consumer)."""
+    tok_pos = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok"))
+        .select(id_col, (F.col("i0") + 1).alias("i"), "tok")
+    )
+    tok_pos.persist()
+    _PERSISTED.append(tok_pos)
+    return tok_pos
+
+
 def _gram_posting(
-    df: DataFrame, k: int, id_col: str, text_col: str
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    tok_pos: DataFrame | None = None,
 ) -> DataFrame:
     """Positional k-gram posting list (id, i, h): 1-based position i,
     portable hash32 of the space-joined k-token gram at i. One
@@ -578,17 +596,16 @@ def _gram_posting(
     the dup-gram reduction and the position join-back)."""
     from resume_jd_matcher_spark.functions.text import hash32 as _h32
 
-    tok_pos = ensure_parallelism(df).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok")
-    )
-    by_pos = Window.partitionBy(id_col).orderBy("i0")
+    if tok_pos is None:
+        tok_pos = _tok_positions(df, id_col, text_col)
+    by_pos = Window.partitionBy(id_col).orderBy("i")
     gram_parts = [F.col("tok")] + [
         F.lead("tok", j).over(by_pos) for j in range(1, k)
     ]
     posting = (
         tok_pos.select(
             F.col(id_col),
-            (F.col("i0") + 1).alias("i"),
+            F.col("i"),
             F.concat_ws(" ", *gram_parts).alias("gram"),
             F.lead("tok", k - 1).over(by_pos).isNotNull().alias("is_gram"),
         )
@@ -623,7 +640,8 @@ def remove_duplicated_spans(
 
     Output: (id, n_tokens_before, n_tokens_after, clean_text).
     """
-    posting = _gram_posting(df, k, id_col, text_col)
+    tok_pos = _tok_positions(df, id_col, text_col)
+    posting = _gram_posting(df, k, id_col, text_col, tok_pos=tok_pos)
     owners = (
         posting.groupBy("h")
         .agg(
@@ -644,10 +662,9 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    tok_pos = ensure_parallelism(df).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("i0", "tok")
-    ).select(id_col, (F.col("i0") + 1).alias("pos"), "tok")
-    kept = tok_pos.join(drop_pos, [id_col, "pos"], "left_anti")
+    kept = tok_pos.select(
+        id_col, F.col("i").alias("pos"), "tok"
+    ).join(drop_pos, [id_col, "pos"], "left_anti")
     reasm = kept.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_tokens_after"),
         F.array_join(
@@ -658,8 +675,8 @@ def remove_duplicated_spans(
             " ",
         ).alias("clean_text"),
     )
-    base = df.select(
-        F.col(id_col), F.size(tokens(text_col)).cast("int").alias("n_tokens_before")
+    base = tok_pos.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens_before")
     )
     return base.join(reasm, id_col, "left").select(
         id_col,

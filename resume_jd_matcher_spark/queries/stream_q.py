@@ -377,3 +377,55 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+@register(
+    "session_window_agg",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts) + INTERVAL 30 MINUTE))::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G: Spark's NATIVE session_window aggregate (30-minute gap) —
+    the engine-managed merging-session path, vs `sessionize`'s manual
+    lag/running-sum islands. The oracle replays the documented
+    semantics: window start = first event, end = last event + gap,
+    sessions split when the inter-event gap EXCEEDS 30 min. Native
+    session_window is also the streaming-safe formulation (state-store
+    merging sessions under a watermark) — the batch call here shares
+    the operator."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return s.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -82,8 +82,9 @@ HEADLINERS = {
     "skew_salted_join": "ShuffledHashJoin on (key, _salt): each hot "
     "key spreads over 8 reducers; dim replicated 8x, never broadcast "
     "(which would hide the skew at toy SF)",
-    "substring_remove": "posting list persisted across owner-reduction "
-    "and join-back; drop set bounded by dup positions x k; removal an "
+    "substring_remove": "ONE persisted (id, pos, tok) stream feeds "
+    "gram build, owner reduction, AND reassembly (single tokenization "
+    "pass); drop set bounded by dup positions x k; removal an "
     "anti-join; reassembly a per-doc hash agg",
     "ewma_smoothing": "4 lag() taps share ONE per-user window sort; "
     "fixed 5-term fold, no long float sums, no state",
@@ -92,6 +93,9 @@ HEADLINERS = {
     "rerank_e2e": "recall (BM25+dense RRF) cuts to a 20-row pool "
     "BEFORE the rerank scorer touches text — rerank cost independent "
     "of corpus size",
+    "session_window_agg": "engine-managed MergingSessions node (the "
+    "streaming-safe sessionizer; UpdatingSessions in stream mode) — "
+    "one per-user sort, no lag/running-sum windows",
 }
 
 
