@@ -111,8 +111,6 @@ _DRIVER_PRIORITY = [
     "approx_stats",
     "exact_percentiles",
     "window_stats",
-    "stats_moments",
-    "bucketed_join",
     "pipeline_e2e",
     "train_test_split",
     "cap_per_source",
@@ -137,6 +135,10 @@ _DRIVER_PRIORITY = [
     "regression_stats",
     "ewma_smoothing",
     "rerank_e2e",
+    # (stats_moments / bucketed_join rotate out for the graph census
+    # and the ANN recall gate — still exactly 50 names)
+    "graph_triangles",
+    "ann_recall_eval",
 ]
 
 

@@ -1216,3 +1216,74 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         classifier_weights(spark, 256),
         n_buckets=256,
     )
+
+
+def _triangles_sql(thresh: float = 0.5) -> str:
+    """MinHash-LSH edge CTEs (same chain as the minhash_lsh /
+    pagerank oracles) + compact-forward triangle census."""
+    return f"""WITH docs AS (
+  SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({SQL_HASH32.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.left_id, c.right_id,
+         round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4) AS ej
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.left_id
+  JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+  GROUP BY c.left_id, c.right_id
+), e AS (
+  SELECT left_id AS a, right_id AS b FROM est WHERE ej >= {thresh}
+), deg AS (
+  SELECT v, count(*) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+), base AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         (sum(deg) / 2)::BIGINT AS n_edges,
+         (sum(deg * (deg - 1)) / 2)::BIGINT AS n_wedges
+  FROM deg
+), tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / nullif(n_wedges::DOUBLE, 0.0) + 1e-9, 6)
+         AS clustering
+FROM base, tri
+"""
+
+
+@register("graph_triangles", _triangles_sql())
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] triangle census + global clustering coefficient of the
+    MinHash near-dup graph (compact-forward, two hash equi-joins —
+    never a neighborhood crossJoin). Distinguishes dense template
+    blobs (clustering→1) from LSH-transitivity chains (clustering→0)
+    — the graph-shape diagnostic run before trusting cluster-level
+    dedup decisions. Completes the graph family (connected
+    components, PageRank, triangles)."""
+    from resume_jd_matcher_spark.operators import cluster as clusterop
+    from resume_jd_matcher_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return clusterop.triangle_stats(pairs)

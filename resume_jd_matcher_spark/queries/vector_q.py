@@ -780,3 +780,77 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.quality import embedding_outliers
 
     return embedding_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT vec_id, e AS ce,
+         {{sig_c}} AS bucket
+  FROM e0
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         {{sig_q}} AS qbucket
+  FROM e0 WHERE vec_id < 3
+), d AS (
+  SELECT q.query_id, c.vec_id,
+         {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c JOIN q ON c.bucket = q.qbucket
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM d) WHERE rn <= 5
+), xd AS (
+  SELECT q.query_id, c0.vec_id,
+         {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM (SELECT vec_id, e AS ce FROM e0) c0, q
+), ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM xd) WHERE rn <= 5
+), hits AS (
+  SELECT lsh.query_id, count(*)::BIGINT AS n_hits
+  FROM lsh JOIN ex ON lsh.query_id = ex.query_id AND lsh.vec_id = ex.vec_id
+  GROUP BY lsh.query_id
+)
+SELECT qq.query_id, coalesce(n_hits, 0)::INT AS n_hits,
+       round(coalesce(n_hits, 0) / 5.0 + 1e-12, 2) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM ex) qq
+LEFT JOIN hits ON qq.query_id = hits.query_id
+""".format(
+        sig_c=_SQL_LSH_SIG.format(a="e", planes=_LSH_PLANES),
+        sig_q=_SQL_LSH_SIG.format(a="e", planes=_LSH_PLANES),
+    ),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ANN quality evaluation IN-ENGINE: recall@5 of the
+    hyperplane-LSH index against exact brute-force ground truth, per
+    query — the accept/reject gate an index build runs before
+    promotion (the recall SLO check). Both rankings execute in one
+    plan; the comparison is an equi-join on (query, vec), never a
+    collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries_df = _emb_queries(spark, sf_dir)
+    lsh = lsh_bucket_topk(corpus, queries_df, k=5, n_planes=_LSH_PLANES).select(
+        "query_id", "vec_id"
+    )
+    exact = topk_similarity_blas(corpus, queries_df, k=5).select(
+        "query_id", "vec_id"
+    )
+    hits = lsh.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    qq = exact.select("query_id").distinct()
+    return qq.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0) + F.lit(1e-12), 2
+        ).alias("recall_at_5"),
+    )

@@ -344,3 +344,42 @@ def test_pagerank_star_hub_and_isolated(spark):
         r["doc_id"]: r["pr"] for r in pagerank(edges, nodes, n_iter=3).collect()
     }
     assert pr == again
+
+
+class TestTriangleStats:
+    def test_known_graph(self, spark):
+        from resume_jd_matcher_spark.operators.cluster import triangle_stats
+
+        # K3 (1,2,3) + pendant edge (3,4) + disjoint edge (5,6)
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)],
+            "left_id long, right_id long",
+        )
+        [r] = triangle_stats(pairs).collect()
+        assert r["n_nodes"] == 6 and r["n_edges"] == 5
+        # wedges: deg = {1:2, 2:2, 3:3, 4:1, 5:1, 6:1} -> 1+1+3 = 5
+        assert r["n_wedges"] == 5
+        assert r["n_triangles"] == 1
+        assert r["clustering"] == pytest.approx(3.0 / 5.0, abs=1e-6)
+
+    def test_triangle_free_graph(self, spark):
+        from resume_jd_matcher_spark.operators.cluster import triangle_stats
+
+        # star: no triangles, clustering 0
+        pairs = spark.createDataFrame(
+            [(1, i) for i in range(2, 7)], "left_id long, right_id long"
+        )
+        [r] = triangle_stats(pairs).collect()
+        assert r["n_triangles"] == 0 and r["clustering"] == 0.0
+
+    def test_complete_graph_clustering_one(self, spark):
+        from itertools import combinations
+
+        from resume_jd_matcher_spark.operators.cluster import triangle_stats
+
+        pairs = spark.createDataFrame(
+            list(combinations(range(5), 2)), "left_id long, right_id long"
+        )
+        [r] = triangle_stats(pairs).collect()
+        assert r["n_triangles"] == 10  # C(5,3)
+        assert r["clustering"] == pytest.approx(1.0, abs=1e-6)

@@ -186,6 +186,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # inherits bm25's single-row stats broadcast + a single-row
         # broadcast query-token set into the 20-row rerank pool:
         "rerank_e2e",
+        # two single-row summaries (degree census x triangle count)
+        # crossed for the final one-row output:
+        "graph_triangles",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -96,6 +96,11 @@ HEADLINERS = {
     "session_window_agg": "engine-managed MergingSessions node (the "
     "streaming-safe sessionizer; UpdatingSessions in stream mode) — "
     "one per-user sort, no lag/running-sum windows",
+    "graph_triangles": "compact-forward: triangles from TWO hash "
+    "equi-joins over the a<b edge list — never a neighborhood "
+    "crossJoin; only two single-row summaries broadcast",
+    "ann_recall_eval": "LSH and exact rankings in ONE plan; recall "
+    "comparison an equi-join on (query, vec), no collect",
 }
 
 
