@@ -417,15 +417,6 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window is also the streaming-safe formulation (state-store
     merging sessions under a watermark) — the batch call here shares
     the operator."""
-    e = load_table(spark, sf_dir, "events")
-    s = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    )
-    return s.select(
-        "user_id",
-        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
-        F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
-        "n_events",
-        "total_value",
-    )
+    from resume_jd_matcher_spark.streaming.events import session_window_counts
+
+    return session_window_counts(load_table(spark, sf_dir, "events"))

@@ -290,3 +290,22 @@ def stream_stream_join(
         F.col("c_user").alias("user_id"),
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session_window aggregate (per-user merging sessions,
+    gap-based): the SAME projection serves the batch query
+    (queries/stream_q.q_session_window_agg) and the streaming twin —
+    in stream mode Spark swaps MergingSessions for the state-store
+    UpdatingSessions, semantics unchanged."""
+    s = events.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return s.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -164,3 +164,19 @@ def test_stream_stream_join_equals_batch(spark):
     got = run_stream_to_memory(stream, "t_ssjoin", output_mode="append")
     want = q_stream_attribution_join(spark, SF)
     assert _rows(got) == _rows(want)
+
+
+@pytest.mark.slow
+def test_session_window_stream_equals_batch(spark):
+    """Native session_window produces IDENTICAL sessions in streaming
+    (state-store UpdatingSessions under a watermark) and batch
+    (MergingSessions) — the engine's §2.G sessionizer contract."""
+    from resume_jd_matcher_spark.queries.stream_q import q_session_window_agg
+    from resume_jd_matcher_spark.streaming.events import session_window_counts
+
+    stream = session_window_counts(
+        read_events_stream(spark, SF).withWatermark("ts", "2 hours")
+    )
+    got = run_stream_to_memory(stream, "t_session_window", output_mode="complete")
+    want = q_session_window_agg(spark, SF)
+    assert _rows(got) == _rows(want)
