@@ -302,12 +302,17 @@ def triangle_stats(
     Output: single row (n_nodes, n_edges, n_wedges, n_triangles,
     clustering).
     """
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+
     e = (
         pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
         .persist()
     )
+    # Registered with dedup's release list so bench loops reclaim the
+    # edge cache via the same release_persisted() call.
+    _PERSISTED.append(e)
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")

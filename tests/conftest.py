@@ -5,6 +5,10 @@ import os
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+# Headroom over the 16g default: the full suite runs ~4500 stages in
+# one JVM; listener/state accumulation plus operator caches tipped
+# 16g over twice (java.lang.OutOfMemoryError mid-suite).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 SF_SMALL = "/root/testdata/sf0.001"

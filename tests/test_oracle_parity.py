@@ -47,6 +47,19 @@ def _assert_equal(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
 _ORACLED = sorted(Q.oracle_sql().keys())
 
 
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Unpersist operator-level caches after every parity case: 131
+    queries in one session otherwise accumulate persisted frames
+    (MinHash signatures, posting lists, edge lists) until the 16g
+    driver heap OOMs mid-suite — the intermittent JVM death this
+    suite saw twice. Matches bench.py's per-query release."""
+    yield
+    from resume_jd_matcher_spark.operators import dedup
+
+    dedup.release_persisted()
+
+
 @pytest.mark.parametrize("name", _ORACLED)
 def test_oracle_parity(name, spark, duck, sf_dir):
     qd = Q._REGISTRY[name]
