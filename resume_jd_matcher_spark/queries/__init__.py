@@ -110,7 +110,6 @@ _DRIVER_PRIORITY = [
     "funnel_conversion",
     "approx_stats",
     "exact_percentiles",
-    "window_stats",
     "pipeline_e2e",
     "train_test_split",
     "cap_per_source",
@@ -136,9 +135,11 @@ _DRIVER_PRIORITY = [
     "ewma_smoothing",
     "rerank_e2e",
     # (stats_moments / bucketed_join rotate out for the graph census
-    # and the ANN recall gate — still exactly 50 names)
+    # and the ANN recall gate; window_stats for the winsorizer —
+    # still exactly 50 names)
     "graph_triangles",
     "ann_recall_eval",
+    "winsorize_stats",
 ]
 
 

@@ -722,3 +722,88 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_event_id_asof").alias("click_event_id"),
         F.unix_timestamp("ts_asof").alias("click_ts_epoch"),
     )
+
+
+@register(
+    "winsorize_stats",
+    """
+WITH v AS (
+  SELECT l_returnflag AS g, l_extendedprice AS x,
+         floor(l_extendedprice)::BIGINT AS b
+  FROM lineitem
+), hist AS (
+  SELECT g, b, count(*)::BIGINT AS cnt FROM v GROUP BY g, b
+), tot AS (
+  SELECT g, sum(cnt)::BIGINT AS n FROM hist GROUP BY g
+), cum AS (
+  SELECT hist.g, b, cnt, n,
+         sum(cnt) OVER (PARTITION BY hist.g ORDER BY b) AS c
+  FROM hist JOIN tot ON hist.g = tot.g
+), cuts AS (
+  SELECT g, max(n)::BIGINT AS n,
+         min(CASE WHEN c >= ceil(0.01 * n) THEN b END)::BIGINT AS lo_b,
+         min(CASE WHEN c >= ceil(0.99 * n) THEN b END)::BIGINT AS hi_b
+  FROM cum GROUP BY g
+)
+SELECT v.g AS l_returnflag, cuts.n, cuts.lo_b, cuts.hi_b,
+       round(avg(x) + 1e-9, 4) AS mean_raw,
+       round(avg(least(greatest(x, lo_b::DOUBLE), hi_b::DOUBLE)) + 1e-9, 4)
+         AS mean_winsorized
+FROM v JOIN cuts ON v.g = cuts.g
+GROUP BY v.g, cuts.n, cuts.lo_b, cuts.hi_b
+""",
+)
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 data-cleaning: per-group winsorization at nearest-rank
+    p01/p99, bucket resolution — the outlier-capping pass reward/score
+    pipelines run before normalization. Same scale discipline as
+    exact_percentiles: scan 1 builds the bounded integer-bucket
+    histogram (map-side combined; the rank→bucket lookup is a tiny
+    window over bucket rows, never over raw values), scan 2 clips and
+    re-aggregates. NO per-group sort of raw values anywhere — a
+    window over values would hand each group's 33 TB to one reducer.
+    Cutoffs are exact integers (no float boundary risk); only the two
+    means are rounded floats."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("x"),
+        F.floor("l_extendedprice").alias("b"),
+    )
+    hist = v.groupBy("g", "b").agg(F.count("*").alias("cnt"))
+    tot = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    wb = Window.partitionBy("g").orderBy("b")
+    cum = hist.join(F.broadcast(tot), "g").withColumn(
+        "c", F.sum("cnt").over(wb)
+    )
+    cuts = cum.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(0.01) * F.col("n")), F.col("b"))
+        ).alias("lo_b"),
+        F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(0.99) * F.col("n")), F.col("b"))
+        ).alias("hi_b"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("x"), F.col("lo_b").cast("double")),
+        F.col("hi_b").cast("double"),
+    )
+    eps = F.lit(1e-9)
+    return (
+        v.join(F.broadcast(cuts), "g")
+        .groupBy("g", "n", "lo_b", "hi_b")
+        .agg(
+            F.round(F.avg("x") + eps, 4).alias("mean_raw"),
+            F.round(F.avg(clipped) + eps, 4).alias("mean_winsorized"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "n",
+            "lo_b",
+            "hi_b",
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )

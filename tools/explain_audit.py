@@ -101,6 +101,9 @@ HEADLINERS = {
     "crossJoin; only two single-row summaries broadcast",
     "ann_recall_eval": "LSH and exact rankings in ONE plan; recall "
     "comparison an equi-join on (query, vec), no collect",
+    "winsorize_stats": "two scans: bounded bucket histogram locates "
+    "p01/p99 (window over bucket rows only), clip+re-agg; NO "
+    "per-group sort of raw values anywhere",
 }
 
 
