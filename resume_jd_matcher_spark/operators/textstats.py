@@ -398,6 +398,71 @@ def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     )
 
 
+def hll_sketch(
+    df: DataFrame, group_col: str, value_col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog register sketch (Flajolet et al. 2007) in long form:
+    (group, reg, mx) with m = 2^p registers, mx = max rank seen. The
+    register index is the LOW p bits of the portable md5-hash32; the
+    rank is the position of the leftmost 1-bit of the remaining
+    (32-p)-bit word (rank = 32-p+1 when that word is 0). Unlike
+    ``approx_count_distinct`` (engine-internal registers), every cell
+    here replays in the DuckDB oracle.
+
+    Scale shape: one map-side-combined max-agg — each partition
+    reduces to ≤ m rows per group before the shuffle, so corpus size
+    never crosses the wire. Sketches from different days/corpora merge
+    by union + re-max (the HLL merge law).
+    """
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    m = 1 << p
+    wbits = 32 - p
+    hv = df.select(
+        F.col(group_col),
+        hash32(F.col(value_col).cast("string")).alias("hv"),
+    )
+    # bit-length via base-2 conv: len(conv(w,10,2)) == floor(log2 w)+1,
+    # exact integer arithmetic (no float log edge cases); DuckDB twin
+    # is length(bin(w)).
+    reg = hv.select(
+        group_col,
+        (F.col("hv") % m).alias("reg"),
+        F.expr(
+            f"CASE WHEN (hv div {m}) = 0 THEN {wbits + 1} "
+            f"ELSE {wbits} + 1 - length(conv(hv div {m}, 10, 2)) END"
+        ).alias("rank"),
+    )
+    return reg.groupBy(group_col, "reg").agg(F.max("rank").alias("mx"))
+
+
+def hll_estimate(sketch: DataFrame, group_col: str, p: int = 9) -> DataFrame:
+    """Distinct-count estimate from an HLL sketch, with the standard
+    small-range (linear-counting) correction. The harmonic sum is kept
+    EXACT by scaling: sum(2^-mx) · 2^(32-p+1) is an integer (mx ≤
+    32-p+1), so the only float ops are one final division and — in the
+    linear-counting branch — one ln, both rounded in-query. Absent
+    registers (never hit) contribute rank 0."""
+    m = 1 << p
+    rmax = 32 - p + 1
+    scale = 1 << rmax
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").alias("_present"),
+        F.sum(F.expr(f"cast(pow(2, {rmax} - mx) as bigint)")).alias("_zpart"),
+    )
+    z_scaled = (F.col("_zpart") + (m - F.col("_present")) * scale).cast("double")
+    est_raw = F.lit(alpha * m * m * scale) / z_scaled
+    v = m - F.col("_present")  # registers still at 0
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    return agg.select(
+        F.col(group_col),
+        F.round(
+            F.when((est_raw <= 2.5 * m) & (v > 0), lin).otherwise(est_raw), 4
+        ).alias("est_distinct"),
+    )
+
+
 def bloom_build(
     df: DataFrame, value_col: str, m_bits: int = 4096, k_hashes: int = 3
 ) -> DataFrame:

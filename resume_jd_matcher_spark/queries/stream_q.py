@@ -379,6 +379,68 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+_HLL_C = repr((0.7213 / (1.0 + 1.079 / 512)) * 512 * 512 * 16777216)
+
+
+@register(
+    "hll_distinct",
+    f"""
+WITH hv AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM events
+), reg AS (
+  SELECT event_type, hv % 512 AS reg,
+         CASE WHEN hv // 512 = 0 THEN 24
+              ELSE 24 - length(bin(hv // 512)) END AS rank
+  FROM hv
+), sk AS (
+  SELECT event_type, reg, max(rank) AS mx FROM reg GROUP BY event_type, reg
+), agg AS (
+  SELECT event_type, count(*)::BIGINT AS present,
+         sum(pow(2, 24 - mx)::BIGINT)::BIGINT AS zpart
+  FROM sk GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         {_HLL_C} / (zpart + (512 - present) * 16777216)::DOUBLE AS est_raw,
+         512 - present AS v
+  FROM agg
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(CASE WHEN est_raw <= 1280.0 AND v > 0
+                  THEN 512.0 * ln(512.0 / v::DOUBLE) ELSE est_raw END,
+             4) AS est_distinct,
+       x.exact_distinct
+FROM est e JOIN ex x ON e.event_type = x.event_type
+""",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HyperLogLog distinct-count sketch with oracle-replayable
+    registers: per event_type, the m=512-register HLL estimate of
+    distinct users next to the exact count — KMV's constant-space
+    sibling (kmv_distinct) and the deterministic twin of Spark's
+    approx_count_distinct. Registers merge by max, so per-day sketches
+    roll up without rescanning; the harmonic sum is computed in exact
+    scaled-integer form so the only floats are one division (and the
+    linear-counting ln), rounded in-query
+    (operators/textstats.py:hll_sketch)."""
+    from resume_jd_matcher_spark.operators.textstats import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sk = hll_sketch(e, "event_type", "user_id", p=9)
+    est = hll_estimate(sk, "event_type", p=9)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 @register(
     "session_window_agg",
     """

@@ -181,6 +181,42 @@ def test_kmv_estimate_accuracy_and_merge(spark):
     )
 
 
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL(p=9, m=512) estimates 5000 distinct values within ~15%
+    (1.04/sqrt(m) is ~4.6%, allow slack for one fixed hash draw);
+    small groups land in the linear-counting branch and stay within a
+    few %; and max-merging two sketches equals the whole-data sketch
+    (the HLL merge law)."""
+    from resume_jd_matcher_spark.operators.textstats import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    rows = [("big", f"v{i}") for i in range(5000)] + [
+        ("small", f"s{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in hll_estimate(hll_sketch(df, "g", "v"), "g").collect()
+    }
+    assert abs(est["big"] - 5000) / 5000 < 0.15
+    assert abs(est["small"] - 40) / 40 < 0.15  # linear-counting range
+
+    h1 = df.filter(F.col("v").rlike("[02468]$"))
+    h2 = df.filter(F.col("v").rlike("[13579]$"))
+    merged = (
+        hll_sketch(h1, "g", "v")
+        .unionByName(hll_sketch(h2, "g", "v"))
+        .groupBy("g", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    whole = hll_sketch(df, "g", "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
 def test_bloom_no_false_negatives_and_bounded_fps(spark):
     """Every member passes the bloom (no false negatives — the
     guarantee); non-members pass only rarely (4096 bits / 3 hashes /
