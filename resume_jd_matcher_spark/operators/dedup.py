@@ -700,3 +700,65 @@ def remove_duplicated_spans(
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def ngram_containment_join(
+    df: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs: n_inter /
+    min(|A|, |B|) over distinct n-gram shingles, id1 < id2. The
+    asymmetric companion of ``ngram_jaccard_join``: a short document
+    pasted inside a much longer one scores containment ≈ 1 while its
+    Jaccard stays tiny (the union is dominated by the longer doc), so
+    this is the screen that catches subset duplication — quote farms,
+    boilerplate-wrapped reposts, chunk-of-a-book documents.
+
+    Same scale shape as the Jaccard join: candidates come from an
+    equi-join on the exploded distinct shingle (shared-shingle pairs
+    only, never corpus²), intersection sizes are a count per pair, set
+    sizes join back by id. The posting list feeds both self-join
+    sides, so it persists once."""
+    from resume_jd_matcher_spark.functions.text import shingles
+
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles(F.col("_toks"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle")).persist()
+    _PERSISTED.append(ex)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inter = (
+        ex.select(F.col(id_col).alias("left_id"), "shingle")
+        .join(ex.select(F.col(id_col).alias("right_id"), "shingle"), "shingle")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("left_id"), F.col("n_sh").alias("n_a")),
+            "left_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("right_id"), F.col("n_sh").alias("n_b")),
+            "right_id",
+        )
+    )
+    return (
+        pairs.select(
+            "left_id",
+            "right_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

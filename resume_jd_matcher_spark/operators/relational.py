@@ -8,7 +8,7 @@ plan-shaping at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -224,3 +224,62 @@ def salted_join(
         replicated_dim, [key, "_salt"]
     )
     return joined.drop("_salt")
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Resample an event stream to a dense per-key daily grid with
+    last-observation-carried-forward fill — the time-series
+    regularization step (gap-free panels for training windows,
+    monitoring charts, feature joins) that raw event tables lack.
+
+    Per key: aggregate to (day, sum(value), n_events), generate every
+    day between that key's first and last event via sequence(), left
+    join the observed days in, and carry the last non-null daily value
+    forward (ignoreNulls last() over an unbounded-preceding window).
+    Output: (key, day_num INT days-since-epoch, n_events BIGINT with 0
+    on gap days, day_value DOUBLE NULL on gaps, filled_value DOUBLE,
+    is_gap INT).
+
+    Scale shape: the agg, the bounds agg, and the fill window all key
+    on ``key_col`` — one hash partitioning serves all three (Exchange
+    reuse); the generated grid is bounded by keys × span-days, never
+    touched by a second shuffle. Day arithmetic uses integer
+    days-since-epoch (datediff from 1970-01-01), so no timezone or
+    epoch-precision drift can enter the oracle compare."""
+    daily = (
+        events.select(
+            F.col(key_col),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("day_num"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("day_value"),
+        )
+    )
+    bounds = daily.groupBy(key_col).agg(
+        F.min("day_num").alias("_d0"), F.max("day_num").alias("_d1")
+    )
+    grid = bounds.select(
+        key_col, F.explode(F.sequence("_d0", "_d1")).alias("day_num")
+    )
+    joined = grid.join(daily, [key_col, "day_num"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        F.col("day_num").cast("int").alias("day_num"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("day_value"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().cast("int").alias("is_gap"),
+    )

@@ -237,3 +237,98 @@ def hard_negatives(
         F.round("best.dist", 4).alias("dist"),
         faiss_score(F.col("best.dist")).alias("score"),
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``lam·sim(q,d) − mu·max(sim(d,s) for s already selected)`` — the
+    standard diversity re-rank dense top-k lacks (near-duplicate hits
+    crowd out coverage). ``mu`` is passed explicitly rather than
+    computed as 1−lam so both engines compare the same double literal.
+
+    Scale shape: the DISTRIBUTED part scores the full corpus against
+    the broadcast query and lowers the candidate cut to
+    TakeOrderedAndProject (per-partition heaps) — corpus size never
+    concentrates anywhere. The greedy tail is inherently sequential
+    (each pick depends on all previous picks), so it runs over the
+    BOUNDED pool (≤ pool candidates, ≤ pool² pairwise sims, both
+    Spark-computed so the doubles are fold-identical to the oracle's)
+    as an explicitly bounded driver step — the same pattern as the
+    Lloyd centroid pulls in operators/ann.py. Output: (rank, id,
+    relevance, mmr_score), rank 1..k; rank 1 is the pure-relevance
+    argmax and keeps mmr_score = relevance.
+    """
+    assert pool <= 1000, "MMR pool is a bounded driver-side set"
+    scored = (
+        corpus.crossJoin(F.broadcast(query_vec))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("id"))
+        .limit(pool)
+        .persist()  # feeds the qsim collect + both pair-join sides
+    )
+    pool_rows = scored.select("id", "qsim").collect()  # bounded: ≤ pool rows
+    ids = [r["id"] for r in pool_rows]
+    qsim = {r["id"]: r["qsim"] for r in pool_rows}
+
+    # Pairwise sims WITHIN the pool, computed by the same codegen'd
+    # cosine so every double matches the oracle bit-for-bit. Bounded
+    # crossJoin (≤ pool² rows) — BNLJ by design, see tests/test_plans.
+    a = scored.select(F.col("id").alias("ida"), F.col("vec").alias("va"))
+    b = scored.select(F.col("id").alias("idb"), F.col("vec").alias("vb"))
+    pair_rows = (
+        a.crossJoin(b)
+        .filter(F.col("ida") != F.col("idb"))
+        .select("ida", "idb", cosine("va", "vb").alias("sim"))
+        .collect()
+    )
+    scored.unpersist()
+    sim: dict[tuple[int, int], float] = {
+        (r["ida"], r["idb"]): r["sim"] for r in pair_rows
+    }
+
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, rel, mmr
+    chosen: list[int] = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        best_id, best_score = None, None
+        for cid in ids:
+            if cid in chosen:
+                continue
+            if not chosen:
+                score = qsim[cid]
+            else:
+                pen = max(sim[(cid, s)] for s in chosen)
+                score = lam * qsim[cid] - mu * pen
+            # argmax, ties → smallest id (ids iterate ascending-id
+            # within equal qsim already; enforce explicitly anyway)
+            if best_score is None or score > best_score or (
+                score == best_score and cid < best_id
+            ):
+                best_id, best_score = cid, score
+        chosen.append(best_id)
+        selected.append((rank, best_id, qsim[best_id], best_score))
+
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        selected, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

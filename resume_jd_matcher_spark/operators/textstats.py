@@ -635,3 +635,53 @@ def pmi_collocations(
             F.round(F.col("pmi_raw") + F.lit(1e-9), 6).alias("pmi"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    split_col: str,
+    left_val: str,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Population stability index per token between two corpus slices
+    (rows where ``split_col == left_val`` vs the rest) — the standard
+    categorical-drift monitor for "did my new crawl / new day shift the
+    token distribution?". psi_term = (pa − pb)·ln(pa/pb), summable by
+    the caller; per-token terms are returned (not the scalar sum) so
+    the heaviest movers are inspectable and no cross-row float fold is
+    exposed.
+
+    Vocabulary = the top_n tokens by corpus-wide count that occur in
+    BOTH slices (absent-in-one tokens are excluded rather than
+    smoothed — documented boundary); probabilities renormalize over
+    that vocabulary. One explode + one map-side-combined agg; the
+    vocabulary table is ≤ top_n rows and the totals a single broadcast
+    row, so nothing scales with corpus size after the first agg."""
+    both = df.select(
+        (F.col(split_col) == left_val).alias("is_a"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = both.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    vocab = (
+        counts.orderBy((F.col("ca") + F.col("cb")).desc(), F.col("tok"))
+        .limit(top_n)
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+    )
+    tot = vocab.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    pa = F.col("ca") / F.col("ta")
+    pb = F.col("cb") / F.col("tb")
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tok").alias("token"),
+            F.round(pa, 6).alias("p_left"),
+            F.round(pb, 6).alias("p_right"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+    )

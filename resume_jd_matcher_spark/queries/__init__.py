@@ -97,12 +97,16 @@ _DRIVER_PRIORITY = [
     "dsir_weights",
     "weighted_sample",
     "token_entropy",
+    # -- round-5 mid-round additions, never driver-checked (displace
+    # five of the single-confirmed r4 greens below: heavy_hitters /
+    # tfidf_topterms / winnow_neardup / decontaminate /
+    # ensemble_neardup — never-checked > second confirmation) --
+    "hll_distinct",
+    "mmr_diversify",
+    "psi_drift",
+    "containment_neardup",
+    "gap_fill_daily",
     # -- single-confirmed r4 greens held for a second confirmation --
-    "heavy_hitters",
-    "tfidf_topterms",
-    "winnow_neardup",
-    "decontaminate",
-    "ensemble_neardup",
     "rolling_fingerprint",
     "lang_confusion",
     "stream_late_data",

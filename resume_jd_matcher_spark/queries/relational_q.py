@@ -1049,3 +1049,40 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den + F.lit(1e-9), 4).alias("ewma"),
     )
+
+
+@register(
+    "gap_fill_daily",
+    """
+WITH daily AS (
+  SELECT user_id, (ts::DATE - DATE '1970-01-01') AS day_num,
+         count(*)::BIGINT AS n_events, round(sum(value), 2) AS day_value
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day_num) AS d0, max(day_num) AS d1
+  FROM daily GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day_num FROM bounds
+)
+SELECT g.user_id, g.day_num::INT AS day_num,
+       coalesce(d.n_events, 0)::BIGINT AS n_events,
+       d.day_value,
+       last_value(d.day_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_value,
+       (d.day_value IS NULL)::INT AS is_gap
+FROM grid g
+LEFT JOIN daily d ON g.user_id = d.user_id AND g.day_num = d.day_num
+""",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/W4 [EXT]: dense daily resample with LOCF gap fill — every
+    day between each user's first and last event, observed days
+    aggregated, missing days carried forward (gap-free panels for
+    training windows / monitoring). All three stages key on user_id so
+    one hash partitioning serves agg + bounds + fill window; day
+    arithmetic is integer days-since-epoch, timezone-free
+    (operators/relational.py:gap_fill_daily)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return relational.gap_fill_daily(e)

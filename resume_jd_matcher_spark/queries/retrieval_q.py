@@ -328,3 +328,75 @@ def q_rerank_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50) -> str:
+    """Unrolled-greedy MMR oracle: step i picks the argmax of
+    0.7·qsim − 0.3·max(sim to already-picked) over the remaining pool
+    (ties → smallest vec_id), accumulated across k chained CTEs — the
+    same sequential algorithm the engine runs, in pure SQL."""
+    dot_qc = SQL_DOT.format(a="qe", b="ce")
+    nq = SQL_NORM.format(a="qe")
+    nc = SQL_NORM.format(a="ce")
+    dot_ab = SQL_DOT.format(a="a.ce", b="b.ce")
+    na = SQL_NORM.format(a="a.ce")
+    nb = SQL_NORM.format(a="b.ce")
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), c AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+), scored AS (
+  SELECT vec_id, {dot_qc} / ({nq} * {nc}) AS qsim FROM c, q
+), pool AS MATERIALIZED (
+  SELECT vec_id, qsim FROM scored ORDER BY qsim DESC, vec_id LIMIT {pool}
+), pe AS MATERIALIZED (
+  SELECT p.vec_id, c.ce FROM pool p JOIN c ON p.vec_id = c.vec_id
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, {dot_ab} / ({na} * {nb}) AS sim
+  FROM pe a, pe b WHERE a.vec_id <> b.vec_id
+), acc1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, qsim, qsim AS mmr
+  FROM pool ORDER BY qsim DESC, vec_id LIMIT 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", sel{i} AS MATERIALIZED (
+  SELECT {i} AS rank, p.vec_id, p.qsim,
+         0.7 * p.qsim - 0.3 * (SELECT max(pr.sim) FROM pairs pr
+                               WHERE pr.ida = p.vec_id
+                                 AND pr.idb IN (SELECT vec_id FROM acc{i - 1}))
+           AS mmr
+  FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})
+  ORDER BY mmr DESC, p.vec_id LIMIT 1
+), acc{i} AS MATERIALIZED (
+  SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT rank, vec_id, round(qsim, 6) AS relevance, round(mmr, 6) AS mmr_score
+FROM acc{k}"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversify", _mmr_oracle())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 retrieval [EXT]: maximal-marginal-relevance diversified
+    top-10 (Carbonell & Goldstein, SIGIR'98) over the embeddings table
+    for query vec_id=0 — the diversity re-rank that keeps dense top-k
+    from filling with near-duplicates. The corpus scoring + pool-50
+    cut is distributed (TakeOrderedAndProject); the inherently
+    sequential greedy tail runs over the bounded pool with every
+    double Spark-computed, so the unrolled-CTE oracle replays it
+    exactly (operators/retrieval.py:mmr_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    return retrieval.mmr_topk(
+        emb.select("vec_id", "embedding"), qv, k=10, pool=50
+    )

@@ -1287,3 +1287,88 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= 0.5
     )
     return clusterop.triangle_stats(pairs)
+
+
+@register(
+    "psi_drift",
+    f"""
+WITH tk AS (
+  SELECT (lang = 'en') AS is_a, unnest({SQL_TOKS.format(c='text')}) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+  FROM tk GROUP BY tok
+), ranked AS (
+  SELECT tok, ca, cb,
+         row_number() OVER (ORDER BY ca + cb DESC, tok) AS rn
+  FROM counts
+), vocab AS (
+  SELECT tok, ca, cb FROM ranked WHERE rn <= 100 AND ca > 0 AND cb > 0
+), tot AS (
+  SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM vocab
+)
+SELECT tok AS token,
+       round(ca::DOUBLE / ta, 6) AS p_left,
+       round(cb::DOUBLE / tb, 6) AS p_right,
+       round((ca::DOUBLE / ta - cb::DOUBLE / tb)
+             * ln((ca::DOUBLE / ta) / (cb::DOUBLE / tb)), 6) AS psi_term
+FROM vocab, tot
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: population-stability-index drift monitor — per-token
+    PSI terms between the English slice and the rest of the corpus
+    over the top-100 shared tokens. The categorical-drift check a
+    pipeline runs when a new crawl/day lands, next to embedding_drift's
+    vector-space version; per-term output keeps the heaviest movers
+    inspectable and avoids exposing a cross-row float sum
+    (operators/textstats.py:psi_drift)."""
+    from resume_jd_matcher_spark.operators.textstats import psi_drift
+
+    return psi_drift(
+        load_table(spark, sf_dir, "documents"), "lang", "en", top_n=100
+    )
+
+
+@register(
+    "containment_neardup",
+    f"""
+WITH w AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS w
+  FROM documents WHERE doc_id < 400
+), t AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w)-2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [] END AS sh
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM t WHERE len(sh) > 0
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id
+), i AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+  FROM e a JOIN e b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id,
+       round(i::DOUBLE / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM i
+JOIN sz sa ON sa.doc_id = left_id
+JOIN sz sb ON sb.doc_id = right_id
+WHERE round(i::DOUBLE / least(sa.n_sh, sb.n_sh), 4) >= 0.2
+""",
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 [EXT]: overlap-coefficient (containment) near-dup pairs —
+    n_inter / min(|A|,|B|) over distinct 3-gram shingles. The
+    asymmetric companion of ngram_jaccard: a short document pasted
+    inside a long one scores ~1 here while its Jaccard stays tiny, so
+    this catches subset duplication (quote farms, chunk-of-a-book
+    docs). Same shared-shingle equi-join shape — candidates never
+    corpus² (operators/dedup.py:ngram_containment_join)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return dedup.ngram_containment_join(d, n=3, min_containment=0.2)

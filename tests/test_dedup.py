@@ -213,3 +213,20 @@ def test_line_dedup_keeps_first_occurrence(spark):
     assert out[1].clean_text == shared + " unique one two three four five six"
     assert out[2].n_chunks == 1 and out[2].n_kept == 0 and out[2].clean_text == ""
     assert out[3].n_kept == 1 and out[3].clean_text.startswith("totally")
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc pasted inside a much longer one: containment ~1.0
+    (every shingle of the short doc is in the long one) while Jaccard
+    stays small (union dominated by the long doc)."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, filler + " " + short + " " + filler.upper())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cont = dedup.ngram_containment_join(df, n=3, min_containment=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment"] == 1.0
+
+    jac = dedup.ngram_jaccard_join(df, n=3, min_jaccard=0.0).collect()
+    assert jac[0]["jaccard"] < 0.1  # symmetric measure misses it

@@ -183,6 +183,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast bigram/unigram totals crossed into the
         # collocation scorer:
         "pmi_collocations",
+        # single-row broadcast slice totals crossed into the <=100-row
+        # vocabulary table:
+        "psi_drift",
         # inherits bm25's single-row stats broadcast + a single-row
         # broadcast query-token set into the 20-row rerank pool:
         "rerank_e2e",

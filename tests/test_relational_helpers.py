@@ -131,3 +131,34 @@ class TestRegressionAndEWMA:
         first = out.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
         bad = first.filter(F.abs(F.col("ewma") - F.col("value")) > 1e-6)
         assert bad.count() == 0
+
+
+def test_gap_fill_daily_locf(spark):
+    """Dense grid per user between first and last day; gap days get
+    n_events=0, NULL day_value, and the last observed value carried
+    forward."""
+    import datetime as dt
+
+    from resume_jd_matcher_spark.operators.relational import gap_fill_daily
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10), 5.0),
+        (1, dt.datetime(2026, 1, 1, 12), 7.0),
+        (1, dt.datetime(2026, 1, 4, 9), 1.5),   # 2-day gap before
+        (2, dt.datetime(2026, 1, 2, 0), 3.0),    # single-day user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["day_num"]): r
+        for r in gap_fill_daily(df).collect()
+    }
+    base = (dt.date(2026, 1, 1) - dt.date(1970, 1, 1)).days
+    assert len(out) == 5  # 4 days for user 1, 1 day for user 2
+    assert out[(1, base)]["day_value"] == 12.0
+    g = out[(1, base + 1)]
+    assert g["is_gap"] == 1 and g["n_events"] == 0
+    assert g["day_value"] is None and g["filled_value"] == 12.0
+    assert out[(1, base + 2)]["filled_value"] == 12.0
+    assert out[(1, base + 3)]["is_gap"] == 0
+    assert out[(1, base + 3)]["filled_value"] == 1.5
+    assert out[(2, base + 1)]["is_gap"] == 0

@@ -193,3 +193,40 @@ class TestRemoveDuplicatedSpans:
         rows = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=8).collect()}
         assert rows[2]["clean_text"] == "uniq2"
         assert rows[2]["n_tokens_after"] == 1
+
+
+class TestMMR:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_diversifies_across_clusters(self, spark):
+        """Query points at cluster A; plain top-3 would take all three
+        A members, MMR must interleave the B cluster by rank 3."""
+        # query at 0°; A cluster (3 identical vectors) at 30°; B at
+        # −45°. Plain top-3 = A,A,A. At rank 2: A2 scores
+        # 0.7·cos30 − 0.3·1 ≈ 0.306, B scores
+        # 0.7·cos45 − 0.3·cos75 ≈ 0.417 → MMR must pick B second.
+        a = [0.8660254, 0.5, 0.0]
+        b = [0.70710678, -0.70710678, 0.0]
+        rows = [(0, a), (1, a), (2, a), (3, b)]
+        emb = self._emb(spark, rows)
+        qv = spark.createDataFrame(
+            [([1.0, 0.0, 0.0],)], "query_embedding array<float>"
+        )
+        out = retrieval.mmr_topk(emb, qv, k=3, pool=4).collect()
+        picked = [r["vec_id"] for r in out]
+        assert picked[0] == 0  # pure relevance first (lowest id of A)
+        assert picked[1] == 3, f"MMR did not diversify to B: {picked}"
+
+    def test_rank1_is_relevance_argmax_and_k_caps(self, spark):
+        rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        emb = self._emb(spark, rows)
+        qv = spark.createDataFrame(
+            [([0.0, 1.0, 0.0, 0.0],)], "query_embedding array<float>"
+        )
+        out = retrieval.mmr_topk(emb, qv, k=10, pool=3).collect()
+        assert len(out) == 3  # k caps at pool size
+        assert out[0]["vec_id"] == 1
+        assert out[0]["relevance"] == out[0]["mmr_score"]
