@@ -149,3 +149,51 @@ def embed_query(
             F.col("jd_text")
         ).alias("query_embedding"),
     )
+
+
+def whiten_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of an
+    embedding column: z_d = (x_d − μ_d) / σ_d with corpus-wide μ/σ.
+    The pre-ANN normalization that stops high-variance dimensions from
+    dominating L2/cosine — the diagonal special case of PCA whitening
+    (full rotation needs an eigendecomposition; per-dim scaling covers
+    the common conditioning problem with one agg).
+
+    Scale shape: one posexplode → per-dim agg (map-side combined, ≤
+    n_dims output rows), stats pulled to the driver (bounded by the
+    embedding width — the Lloyd-centroid pattern), then the transform
+    is a zip_with against two literal arrays — a pure codegen'd
+    projection, NO second shuffle and no join back. μ/σ are rounded to
+    6 places before use so the transform replays bit-identically from
+    the published stats (and in the DuckDB oracle).
+
+    Output: (id, whitened ARRAY<DOUBLE>). Constant dimensions (σ=0)
+    map to 0.0 rather than NULL/inf.
+    """
+    ex = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+    ).select(id_col, "dim", F.col("x").cast("double").alias("x"))
+    stats = (
+        ex.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_pop("x"), 6).alias("sd"),
+        )
+        .orderBy("dim")
+        .collect()
+    )  # bounded: one row per embedding dimension
+    mus = F.array(*[F.lit(r["mu"]) for r in stats])
+    sds = F.array(*[F.lit(r["sd"] if r["sd"] != 0.0 else 1.0) for r in stats])
+    zeroed = F.array(*[F.lit(1.0 if r["sd"] != 0.0 else 0.0) for r in stats])
+    whitened = F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            mus,
+            lambda x, m: x - m,
+        ),
+        F.zip_with(sds, zeroed, lambda s, z: z / s),
+        lambda c, invs: c * invs,
+    )
+    return emb.select(F.col(id_col), whitened.alias("whitened"))

@@ -106,9 +106,10 @@ _DRIVER_PRIORITY = [
     "psi_drift",
     "containment_neardup",
     "gap_fill_daily",
-    # -- single-confirmed r4 greens held for a second confirmation --
+    "embedding_whiten",
+    # -- single-confirmed r4 greens held for a second confirmation
+    # (lang_confusion rotates out for embedding_whiten) --
     "rolling_fingerprint",
-    "lang_confusion",
     "stream_late_data",
     "stream_attribution_join",
     "funnel_conversion",

@@ -854,3 +854,41 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0) + F.lit(1e-12), 2
         ).alias("recall_at_5"),
     )
+
+
+@register(
+    "embedding_whiten",
+    """
+WITH ex AS (
+  SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), stats AS (
+  SELECT dim, round(avg(x), 6) AS mu, round(stddev_pop(x), 6) AS sd
+  FROM ex GROUP BY dim
+)
+SELECT e.vec_id, e.dim::INT AS dim,
+       round((e.x - s.mu)
+             * (CASE WHEN s.sd = 0.0 THEN 0.0 ELSE 1.0 / s.sd END),
+             6) AS z
+FROM ex e JOIN stats s ON e.dim = s.dim
+WHERE e.vec_id < 3
+""",
+)
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-dimension standardization (diagonal whitening) of the
+    embedding column — corpus-wide μ/σ per dim, z = (x−μ)/σ — the
+    pre-ANN conditioning step that stops high-variance dims dominating
+    distance. Stats are one map-side-combined agg (≤ n_dims rows,
+    rounded before use so the transform replays exactly); the
+    transform itself is a zip_with against literal arrays — no second
+    shuffle. Exposed long-form for the first 3 vectors
+    (operators/embedding.py:whiten_embeddings)."""
+    from resume_jd_matcher_spark.operators.embedding import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wh = whiten_embeddings(emb.select("vec_id", "embedding"))
+    return (
+        wh.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.posexplode("whitened").alias("dim", "z"))
+        .select("vec_id", F.col("dim").cast("int").alias("dim"), F.round("z", 6).alias("z"))
+    )

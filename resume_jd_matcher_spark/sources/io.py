@@ -333,3 +333,52 @@ def compact_small_files(
     )
     shutil.rmtree(old)  # promoted copy verified readable — drop the original
     return n_out
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    shuffle_col: str | None = None,
+) -> None:
+    """Training-export sink: newline-delimited JSON shards with a hard
+    per-file record cap — the format most LLM training loaders consume
+    (one JSON object per line, many similarly-sized shard files).
+
+    Each row becomes ``to_json(struct(*))`` (JVM-side JSON encoding —
+    no Python serialization in the hot path) and Spark's
+    ``maxRecordsPerFile`` enforces the shard cap inside each task, so
+    the cap holds regardless of partition sizes. With ``shuffle_col``
+    the rows are first redistributed by hash of that column, giving a
+    deterministic corpus-order-free shard assignment (the "global
+    shuffle before packing" step training pipelines want) without a
+    full sort.
+
+    NULL handling: to_json drops null fields by default, which makes
+    round-trips schema-lossy; ignoreNullFields=false keeps every
+    column on every line.
+    """
+    out = df
+    if shuffle_col is not None:
+        out = out.repartition(F.col(shuffle_col))
+    lines = out.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
+    )
+    (
+        lines.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .text(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read back JSONL shards. Pass an explicit DDL schema in
+    production — schema inference is a full extra pass over the data
+    at 100 TB; it is allowed here for tests only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -214,3 +214,26 @@ def test_synthdocs_source_deterministic_and_parallel(spark):
     cand = dedup.minhash_lsh_candidates(a).filter(F.col("est_jaccard") >= 0.5)
     planted = {(r["left_id"], r["right_id"]) for r in cand.collect()}
     assert any(r - l == 1 and r % 10 == 9 for l, r in planted)
+
+
+def test_jsonl_shards_cap_and_roundtrip(spark, tmp_path_factory):
+    """Shard files respect maxRecordsPerFile; nulls survive the
+    round-trip (ignoreNullFields=false); every row comes back."""
+    from resume_jd_matcher_spark.sources.io import read_jsonl, write_jsonl_shards
+
+    d = str(tmp_path_factory.mktemp("jsonl") / "out")
+    rows = [(i, f"doc {i}", None if i % 3 == 0 else float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    write_jsonl_shards(df.coalesce(1), d, max_records_per_file=30)
+
+    shards = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(shards) >= 4  # 100 rows / cap 30
+    for f in shards:
+        with open(os.path.join(d, f)) as fh:
+            n = sum(1 for _ in fh)
+        assert n <= 30
+
+    back = read_jsonl(spark, d, "doc_id long, text string, score double")
+    assert back.count() == 100
+    nulls = back.filter("score is null").count()
+    assert nulls == 34  # 0,3,...,99 — null column survived on every line

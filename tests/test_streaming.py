@@ -180,3 +180,29 @@ def test_session_window_stream_equals_batch(spark):
     got = run_stream_to_memory(stream, "t_session_window", output_mode="complete")
     want = q_session_window_agg(spark, SF)
     assert _rows(got) == _rows(want)
+
+
+@pytest.mark.slow
+def test_hll_sketch_streams_equal_batch(spark):
+    """The HLL register sketch is a pure max-aggregate, so it runs
+    unchanged as a streaming aggregation (complete mode): registers
+    after consuming the whole stream must equal the batch sketch —
+    the merge-by-max law that makes it a streaming/distributed
+    aggregate."""
+    from resume_jd_matcher_spark.operators.textstats import hll_sketch
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, SF)
+    got = run_stream_to_memory(
+        hll_sketch(stream, "event_type", "user_id"),
+        "hll_stream",
+        output_mode="complete",
+    )
+    want = hll_sketch(load_table(spark, SF, "events"), "event_type", "user_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
