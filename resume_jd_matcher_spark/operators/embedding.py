@@ -197,3 +197,123 @@ def whiten_embeddings(
         lambda c, invs: c * invs,
     )
     return emb.select(F.col(id_col), whitened.alias("whitened"))
+
+
+def pca_power_top1(
+    emb: DataFrame,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], float]:
+    """Top principal component of the embedding column via distributed
+    covariance + driver-side power iteration — the PCA building block
+    (dominant-variance direction for drift inspection, whitening
+    rotation, spectral outlier screens).
+
+    Distributed part (scales to 100 TB): per-dim means (one agg), then
+    the Gram matrix of centered vectors via mapInPandas — each Arrow
+    batch contributes its d×d partial ``Cᵀ·C`` (vectorized numpy
+    matmul, the sanctioned Arrow-batch kernel, same contract as
+    operators/similarity_blas), so the shuffle carries ≤ d² rows per
+    batch and corpus size never concentrates. Driver part (bounded):
+    power iteration on the collected d×d covariance — v₀ = 1/√d,
+    v ← normalize(M·v) with every iterate ROUNDED to 9 places and the
+    covariance/means rounded to 6 before use, so the whole trajectory
+    replays bit-identically from published numbers (and in the DuckDB
+    oracle's unrolled-SQL twin). Matvec/norm folds run left-to-right
+    in index order on both engines.
+
+    Returns (projections DataFrame (id, pc1_proj), eigvec, eigval):
+    pc1_proj = centered·v as a codegen'd zip_with against literal
+    arrays (no second shuffle); eigval is the Rayleigh quotient of the
+    final iterate, rounded to 6.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as _T
+
+    ex = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+    ).select(id_col, "dim", F.col("x").cast("double").alias("x"))
+    mean_rows = (
+        ex.groupBy("dim").agg(F.round(F.avg("x"), 6).alias("mu")).orderBy("dim").collect()
+    )
+    mus = [r["mu"] for r in mean_rows]
+    d = len(mus)
+    n = emb.count()
+    mus_np = np.array(mus)
+
+    gram_schema = _T.StructType(
+        [
+            _T.StructField("i", _T.IntegerType()),
+            _T.StructField("j", _T.IntegerType()),
+            _T.StructField("partial", _T.DoubleType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["_v"].tolist(), dtype=np.float64) - mus_np
+            g = mat.T @ mat
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "partial": g.ravel(),
+                }
+            )
+
+    cov_rows = (
+        emb.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+        )
+        .mapInPandas(partial_gram, schema=gram_schema)
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("partial") / n, 6).alias("c"))
+        .collect()
+    )  # bounded: d² rows
+    M = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        M[r["i"]][r["j"]] = r["c"]
+
+    v = [round(1.0 / math.sqrt(d), 9)] * d
+    for _ in range(n_iter):
+        y = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):  # left-to-right fold, mirrored in SQL
+                acc += M[i][j] * v[j]
+            y.append(acc)
+        nrm_sq = 0.0
+        for yi in y:
+            nrm_sq += yi * yi
+        nrm = math.sqrt(nrm_sq)
+        v = [round(yi / nrm, 9) for yi in y]
+    ray = 0.0
+    for i in range(d):
+        acc = 0.0
+        for j in range(d):
+            acc += M[i][j] * v[j]
+        ray += v[i] * acc
+    eigval = round(ray, 6)
+
+    mus_arr = F.array(*[F.lit(m) for m in mus])
+    v_arr = F.array(*[F.lit(c) for c in v])
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mus_arr,
+        lambda x, m: x - m,
+    )
+    proj = F.aggregate(
+        F.zip_with(centered, v_arr, lambda c, w: c * w),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    out = emb.select(F.col(id_col), F.round(proj, 6).alias("pc1_proj"))
+    return out, v, eigval

@@ -399,3 +399,50 @@ def weighted_sample(
         "es_key",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the mT5/UniMax α-sampling
+    rule): admission shares derive from the DATA — w_g ∝ n_g^α — so
+    α=1 reproduces natural proportions, α→0 flattens toward uniform,
+    and 0<α<1 up-samples small domains without a hand-written weight
+    table (``mixture_sample``'s data-driven sibling).
+
+    Group sizes are one map-side-combined count agg collected to the
+    driver (bounded by the number of domains); shares fold
+    left-to-right over groups sorted by name (the oracle replays the
+    identical fold), α=0.5 routes through sqrt (correctly-rounded on
+    both engines, unlike generic pow). Admission reuses the
+    deterministic hash-rank window: one shuffle on the group key,
+    targets ride a broadcast dim. Output: admitted (id, group) rows.
+    """
+    import math
+
+    spark = df.sparkSession
+    sizes = sorted(
+        (r[group_col], r["n"])
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    )
+    powf = math.sqrt if alpha == 0.5 else (lambda n: math.pow(n, alpha))
+    ps = [(g, powf(n)) for g, n in sizes]
+    tot = 0.0
+    for _, p in ps:  # explicit left-to-right fold, mirrored in SQL
+        tot += p
+    targets = [(g, int((total * p) / tot)) for g, p in ps]
+    tdf = spark.createDataFrame(targets, f"{group_col} string, _target int")
+    w_rank = Window.partitionBy(group_col).orderBy(
+        hash32(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .join(F.broadcast(tdf), group_col)
+        .filter(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )

@@ -107,12 +107,14 @@ _DRIVER_PRIORITY = [
     "containment_neardup",
     "gap_fill_daily",
     "embedding_whiten",
+    "temperature_mixture",
+    "pca_top_component",
     # -- single-confirmed r4 greens held for a second confirmation
-    # (lang_confusion rotates out for embedding_whiten) --
-    "rolling_fingerprint",
+    # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
+    # out for embedding_whiten / temperature_mixture /
+    # pca_top_component) --
     "stream_late_data",
     "stream_attribution_join",
-    "funnel_conversion",
     "approx_stats",
     "exact_percentiles",
     "pipeline_e2e",

@@ -591,3 +591,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(
         docs, F.size(tokens("text")), n=100
     )
+
+
+@register(
+    "temperature_mixture",
+    f"""
+WITH sz AS (
+  SELECT source AS g, count(*)::BIGINT AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY g)) AS tp FROM sz
+), tgt AS (
+  SELECT g, floor((300 * sqrt(n::DOUBLE)) / tp)::INT AS target
+  FROM sz, tot
+), rk AS (
+  SELECT doc_id, source AS g,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {SQL_HASH32.format(c='doc_id::VARCHAR')}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.g AS source FROM rk r JOIN tgt t USING (g)
+WHERE r.rn <= t.target
+""",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] temperature-scaled mixture (mT5/UniMax α-sampling,
+    α=0.5): admission shares derive from per-source corpus counts —
+    w_g ∝ √n_g — up-sampling small sources without a hand-written
+    weight table (mixture_sample's data-driven sibling). Shares fold
+    left-to-right over name-sorted groups on both engines; admission
+    is the deterministic hash-rank window
+    (operators/sampling.py:temperature_mixture)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(
+        d, alpha=0.5, total=300, group_col="source"
+    ).select("doc_id", "source")

@@ -892,3 +892,73 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("whitened").alias("dim", "z"))
         .select("vec_id", F.col("dim").cast("int").alias("dim"), F.round("z", 6).alias("z"))
     )
+
+
+def _pca_oracle(d: int = 64, n_iter: int = 8) -> str:
+    """Unrolled power-iteration oracle: distributed covariance (pair
+    join, rounded 6), then n_iter SQL matvec+normalize steps with each
+    iterate rounded to 9 — the identical trajectory the engine's
+    driver loop walks (operators/embedding.py:pca_power_top1)."""
+    head = f"""WITH ex AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), mu AS MATERIALIZED (
+  SELECT dim, round(avg(x), 6) AS mu FROM ex GROUP BY dim
+), cx AS MATERIALIZED (
+  SELECT e.vec_id, e.dim, e.x - m.mu AS c
+  FROM ex e JOIN mu m ON e.dim = m.dim
+), nn AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n FROM embeddings
+), cov AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         round(sum(a.c * b.c) / any_value(nn.n), 6) AS c
+  FROM cx a JOIN cx b ON a.vec_id = b.vec_id, nn
+  GROUP BY a.dim, b.dim
+), mrow AS MATERIALIZED (
+  SELECT i, list(c ORDER BY j) AS mr FROM cov GROUP BY i
+), v0 AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {d}),
+                        x -> round(1.0 / sqrt({d}.0), 9)) AS v
+)"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(
+            f""", it{t} AS MATERIALIZED (
+  SELECT m.i AS i,
+         list_sum(list_transform(generate_series(1, {d}),
+                  j -> m.mr[j] * p.v[j])) AS y
+  FROM mrow m, v{t - 1} p
+), v{t} AS MATERIALIZED (
+  SELECT list_transform(ys, y -> round(y / nrm, 9)) AS v
+  FROM (SELECT list(y ORDER BY i) AS ys,
+               sqrt(list_sum(list_transform(list(y ORDER BY i),
+                                            t2 -> t2 * t2))) AS nrm
+        FROM it{t})
+)"""
+        )
+    tail = f""", mulist AS MATERIALIZED (
+  SELECT list(mu ORDER BY dim) AS ml FROM mu
+)
+SELECT e.vec_id,
+       round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+             k -> (e.embedding[k]::DOUBLE - ml.ml[k]) * vf.v[k])), 6)
+         AS pc1_proj
+FROM embeddings e, mulist ml, v{n_iter} vf
+WHERE e.vec_id < 50"""
+    return head + "".join(steps) + tail
+
+
+@register("pca_top_component", _pca_oracle())
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] top principal component of the embedding column:
+    distributed centered Gram via mapInPandas partial Cᵀ·C per Arrow
+    batch (shuffle ≤ d² rows per batch), then driver power iteration
+    on the collected d×d covariance with every number rounded before
+    use so the oracle's unrolled-SQL twin replays the exact
+    trajectory. Exposes the per-vector projection for the first 50
+    ids (operators/embedding.py:pca_power_top1)."""
+    from resume_jd_matcher_spark.operators.embedding import pca_power_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj, _v, _ev = pca_power_top1(emb.select("vec_id", "embedding"), n_iter=8)
+    return proj.filter(F.col("vec_id") < 50)

@@ -102,3 +102,31 @@ def test_st_backend_udf_end_to_end(spark, tmp_path):
         2: RECORDED["resume text"],
         3: RECORDED[""],
     }
+
+
+def test_pca_top_component_captures_planted_direction(spark):
+    """Vectors spread mostly along a planted direction: the power
+    iteration must recover it (|cos| ~ 1 with the plant) and the
+    eigenvalue must be the dominant variance; projections of points on
+    opposite sides of the mean have opposite signs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.embedding import pca_power_top1
+
+    d = 8
+    plant = [1.0 / math.sqrt(2), 1.0 / math.sqrt(2)] + [0.0] * (d - 2)
+    rows = []
+    for i in range(-50, 50):
+        base = [i * 0.1 * c for c in plant]
+        base[2] += 0.001 * (i % 7)  # small off-axis noise
+        rows.append((i + 50, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    proj, v, ev = pca_power_top1(df, n_iter=12)
+    cos = abs(sum(a * b for a, b in zip(v, plant)))
+    assert cos > 0.999, f"eigvec {v} vs plant {plant}"
+    assert ev > 1.0  # dominant variance along the plant
+    got = {r["vec_id"]: r["pc1_proj"] for r in proj.collect()}
+    assert got[0] * got[99] < 0  # opposite sides of the mean

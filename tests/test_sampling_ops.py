@@ -317,3 +317,25 @@ def test_weighted_sample_pps_property(spark):
     docs2 = spark.createDataFrame([(1, 0.0), (2, None), (3, 2.0)], ["doc_id", "w"])
     kept = weighted_sample(docs2, F.col("w"), n=5).collect()
     assert {r.doc_id for r in kept} == {3}
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """α=0.5 must up-sample the small domain relative to natural
+    proportions: with 900 vs 100 rows, natural share is 10% but
+    √-scaling gives 100·√100/(√900+√100) = 25% of the admitted set;
+    α=1 reproduces natural proportions."""
+    from resume_jd_matcher_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [
+        (900 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = temperature_mixture(df, alpha=0.5, total=200, group_col="source")
+    by = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert by["small"] == 50  # 200 · (10/40)
+    assert by["big"] == 150
+
+    nat = temperature_mixture(df, alpha=1.0, total=200, group_col="source")
+    byn = {r["source"]: r["n"] for r in nat.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert byn["small"] == 20 and byn["big"] == 180
