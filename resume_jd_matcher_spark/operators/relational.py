@@ -245,11 +245,12 @@ def gap_fill_daily(
     on gap days, day_value DOUBLE NULL on gaps, filled_value DOUBLE,
     is_gap INT).
 
-    Scale shape: the agg, the bounds agg, and the fill window all key
-    on ``key_col`` — one hash partitioning serves all three (Exchange
-    reuse); the generated grid is bounded by keys × span-days, never
-    touched by a second shuffle. Day arithmetic uses integer
-    days-since-epoch (datediff from 1970-01-01), so no timezone or
+    Scale shape: the grid inherits the bounds agg's ``key_col``
+    partitioning, so the LOCF window adds no Exchange of its own; the
+    observed-days join is a broadcast at small SF and a key equi-join
+    at scale; the generated grid (bounded by keys × span-days) is
+    never itself shuffled. Day arithmetic uses integer days-since-
+    epoch (datediff from 1970-01-01), so no timezone or
     epoch-precision drift can enter the oracle compare."""
     daily = (
         events.select(

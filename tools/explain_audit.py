@@ -104,6 +104,33 @@ HEADLINERS = {
     "winsorize_stats": "two scans: bounded bucket histogram locates "
     "p01/p99 (window over bucket rows only), clip+re-agg; NO "
     "per-group sort of raw values anywhere",
+    "simhash_neardup": "fingerprint pipeline persisted across both "
+    "self-join sides (InMemoryTableScan x2); md5 runs per DISTINCT "
+    "(doc, token) with count weighting; candidates from the "
+    "(band_id, band_val) equi-join, popcount verify in-bucket",
+    "containment_neardup": "shared-shingle equi-join candidates "
+    "(posting list persisted across both sides); intersection a "
+    "map-side-combined count per pair; sizes join back by id",
+    "hll_distinct": "register build is ONE map-side-combined max-agg "
+    "(<= 2^p rows per group cross the wire); estimate an exact "
+    "scaled-integer sum per group",
+    "psi_drift": "one explode + one map-side-combined token agg; "
+    "only the <=top-N vocabulary and a single broadcast totals row "
+    "survive the agg",
+    "gap_fill_daily": "grid inherits the bounds agg's user_id "
+    "partitioning, so the LOCF window adds NO Exchange of its own; "
+    "observed days join in (broadcast at this SF, user_id equi-join "
+    "at scale); grid rows generated by sequence(), never shuffled",
+    "embedding_whiten": "per-dim stats ONE map-side-combined agg; "
+    "transform a zip_with against literal arrays — pure projection, "
+    "no join-back, no second shuffle",
+    "temperature_mixture": "group counts one hash agg (bounded "
+    "collect); admission the deterministic hash-rank window on the "
+    "group key with a broadcast target dim",
+    "pca_top_component": "Gram matrix from per-Arrow-batch C'C "
+    "partials (ArrowEvalPython/mapInPandas stage, <= d^2 rows per "
+    "batch shuffled); projection a codegen'd fold against literal "
+    "arrays",
 }
 
 
