@@ -317,3 +317,49 @@ def pca_power_top1(
     )
     out = emb.select(F.col(id_col), F.round(proj, 6).alias("pc1_proj"))
     return out, v, eigval
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from the portable md5 hash — the same literal
+    matrix is baked into the Spark expression and the oracle SQL."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) & 1 == 0 else -1
+
+
+def jl_project(
+    emb: DataFrame,
+    k: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to k dimensions with a
+    deterministic ±1/√k sign matrix (Achlioptas 2001 database-friendly
+    variant) — the cheap dimensionality reduction that preserves
+    pairwise distances within (1±ε) w.h.p., used to shrink embeddings
+    before LSH/clustering when d is large.
+
+    The sign matrix derives from the portable md5 hash, generated
+    driver-side and baked in as k literal arrays — so the projection
+    is a pure codegen'd fold per output dim (no shuffle, no Python in
+    the hot path, no stored model), and the DuckDB oracle replays it
+    from the identical literals. Output: (id, proj ARRAY<DOUBLE>).
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(k)
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    outs = []
+    for i in range(k):
+        signs = F.array(
+            *[F.lit(float(_jl_sign(i, j))) for j in range(in_dim)]
+        )
+        acc = F.aggregate(
+            F.zip_with(xs, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        outs.append(acc * F.lit(inv))
+    return emb.select(F.col(id_col), F.array(*outs).alias("proj"))

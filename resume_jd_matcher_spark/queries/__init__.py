@@ -109,6 +109,8 @@ _DRIVER_PRIORITY = [
     "embedding_whiten",
     "temperature_mixture",
     "pca_top_component",
+    "jl_projection",
+    "minhash_pr_eval",
     # -- single-confirmed r4 greens held for a second confirmation
     # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
     # out for embedding_whiten / temperature_mixture /
@@ -118,8 +120,8 @@ _DRIVER_PRIORITY = [
     "approx_stats",
     "exact_percentiles",
     "pipeline_e2e",
-    "train_test_split",
-    "cap_per_source",
+    # (train_test_split / cap_per_source rotate out for jl_projection
+    # / minhash_pr_eval — never-checked > second confirmation)
     # -- round-5 late additions awaiting hard driver signal (the four
     # r4-green anchors pack_token_budget / pii_redact /
     # corpus_clean_pipeline / stratified_sample rotate out to make

@@ -1372,3 +1372,72 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus² (operators/dedup.py:ngram_containment_join)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return dedup.ngram_containment_join(d, n=3, min_containment=0.2)
+
+
+@register(
+    "minhash_pr_eval",
+    f"""
+WITH {_MINHASH_EST_CTE},
+pred AS (
+  SELECT left_id, right_id FROM est WHERE est_jaccard >= 0.5
+), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id
+), it AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*)::BIGINT AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT left_id, right_id
+  FROM it
+  JOIN sz sa ON sa.doc_id = left_id
+  JOIN sz sb ON sb.doc_id = right_id
+  WHERE round(i::DOUBLE / (sa.n + sb.n - i), 4) >= 0.5
+), u AS (
+  SELECT coalesce(t.left_id, p.left_id) AS l,
+         coalesce(t.right_id, p.right_id) AS r,
+         (t.left_id IS NOT NULL)::INT AS is_true,
+         (p.left_id IS NOT NULL)::INT AS is_pred
+  FROM truth t
+  FULL OUTER JOIN pred p
+    ON t.left_id = p.left_id AND t.right_id = p.right_id
+)
+SELECT sum(is_true)::BIGINT AS n_true,
+       sum(is_pred)::BIGINT AS n_pred,
+       sum(is_true * is_pred)::BIGINT AS n_hit,
+       round(sum(is_true * is_pred)::DOUBLE / nullif(sum(is_pred), 0), 4)
+         AS precision,
+       round(sum(is_true * is_pred)::DOUBLE / nullif(sum(is_true), 0), 4)
+         AS recall
+FROM u
+""",
+)
+def q_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 eval [EXT]: precision/recall of the MinHash-LSH near-dup
+    screen (est_jaccard ≥ 0.5) against the EXACT token-set Jaccard
+    ground truth at the same threshold — the promotion gate a pipeline
+    runs before trusting the sketch path, ann_recall_eval's dedup
+    sibling. Both rankings build in one plan; the comparison is a
+    full-outer pair join + one agg — no collect."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pred = dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("left_id", "right_id", F.lit(1).alias("is_pred"))
+    truth = dedup.ngram_jaccard_join(d, n=1, min_jaccard=0.0).filter(
+        F.col("jaccard") >= 0.5
+    ).select("left_id", "right_id", F.lit(1).alias("is_true"))
+    u = truth.join(pred, ["left_id", "right_id"], "full_outer").select(
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.coalesce("is_pred", F.lit(0)).alias("is_pred"),
+    )
+    hit = F.sum(F.col("is_true") * F.col("is_pred"))
+    return u.agg(
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum("is_pred").cast("bigint").alias("n_pred"),
+        hit.cast("bigint").alias("n_hit"),
+        F.round(
+            hit.cast("double") / F.nullif(F.sum("is_pred"), F.lit(0)), 4
+        ).alias("precision"),
+        F.round(
+            hit.cast("double") / F.nullif(F.sum("is_true"), F.lit(0)), 4
+        ).alias("recall"),
+    )

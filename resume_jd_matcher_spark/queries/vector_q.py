@@ -962,3 +962,54 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     proj, _v, _ev = pca_power_top1(emb.select("vec_id", "embedding"), n_iter=8)
     return proj.filter(F.col("vec_id") < 50)
+
+
+def _jl_oracle(k: int = 16, d: int = 64) -> str:
+    """Oracle twin of jl_project: the same ±1 sign literals (generated
+    from the same md5 derivation), the same ascending-j fold per
+    output dim, the same 1/√k scale applied after the fold."""
+    import math
+
+    from resume_jd_matcher_spark.operators.embedding import _jl_sign
+
+    inv = repr(1.0 / math.sqrt(k))
+    rows = []
+    for i in range(k):
+        signs = ", ".join(
+            f"{float(_jl_sign(i, j))!r}" for j in range(d)
+        )
+        rows.append(
+            f"SELECT {i} AS out_dim, [{signs}]::DOUBLE[] AS s"
+        )
+    return f"""
+WITH signs AS MATERIALIZED ({' UNION ALL '.join(rows)})
+SELECT e.vec_id, g.out_dim::INT AS out_dim,
+       round(list_sum(list_transform(generate_series(1, {d}),
+             j -> e.embedding[j]::DOUBLE * g.s[j])) * {inv}, 6) AS value
+FROM embeddings e, signs g
+WHERE e.vec_id < 20
+"""
+
+
+@register("jl_projection", _jl_oracle())
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Johnson–Lindenstrauss ±1/√k random projection (Achlioptas
+    2001) of the 64-d embeddings to 16 dims — the shuffle-free
+    dimensionality reduction used before LSH/clustering at large d.
+    The deterministic md5-derived sign matrix is baked into both
+    engines as literals, so the projection is a pure codegen'd fold
+    with no stored model (operators/embedding.py:jl_project). Exposed
+    long-form for the first 20 vectors."""
+    from resume_jd_matcher_spark.operators.embedding import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pr = jl_project(emb.select("vec_id", "embedding"), k=16, in_dim=64)
+    return (
+        pr.filter(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("proj").alias("out_dim", "v"))
+        .select(
+            "vec_id",
+            F.col("out_dim").cast("int").alias("out_dim"),
+            F.round("v", 6).alias("value"),
+        )
+    )

@@ -130,3 +130,37 @@ def test_pca_top_component_captures_planted_direction(spark):
     assert ev > 1.0  # dominant variance along the plant
     got = {r["vec_id"]: r["pc1_proj"] for r in proj.collect()}
     assert got[0] * got[99] < 0  # opposite sides of the mean
+
+
+def test_jl_projection_preserves_distances_on_average(spark):
+    """JL guarantee (k=16): pairwise squared distances in the
+    projected space concentrate around the originals — the median
+    ratio over crafted pairs must sit well inside (1±0.5), and the
+    projection must be deterministic across calls."""
+    import itertools
+    import random
+
+    from resume_jd_matcher_spark.operators.embedding import jl_project
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["proj"] for r in jl_project(df).collect()}
+    orig = {
+        i: [float(np_x) for np_x in v] for i, v in rows
+    }
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = sorted(
+        sq(got[a], got[b]) / sq(orig[a], orig[b])
+        for a, b in itertools.combinations(range(20), 2)
+    )
+    med = ratios[len(ratios) // 2]
+    assert 0.5 < med < 1.5, f"median distance ratio {med}"
+
+    again = {r["vec_id"]: r["proj"] for r in jl_project(df).collect()}
+    assert got == again
