@@ -347,3 +347,108 @@ def triangle_stats(
         ).alias("clustering"),
     )
     return out
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the
+    diameter-robust alternative the hash-min loop's non-convergence
+    warning points at: alternating rounds contract the graph toward
+    per-component stars in O(log² n) rounds REGARDLESS of diameter,
+    where hash-min needs O(diameter) rounds and dies on long chains.
+
+    Both phases are pure agg+join dataflow (no neighborhood
+    collect_list, so a hub node never materializes its adjacency in
+    one task):
+
+    - large-star: m(u) = min(Γ(u) ∪ {u}) via a map-side-combined min
+      agg; every neighbor v > u re-links to m(u) (join back on u).
+    - small-star: edges canonicalized (hi, lo); m(hi) = min over its
+      smaller neighbors; hi and every other small neighbor re-link
+      to m(hi).
+
+    Convergence = the edge multiset's order-independent hash sum is
+    stable across a round (one scalar agg per round); the final star
+    edges give each node its component minimum directly. Output:
+    (node, cluster_rep), identical labels to ``connected_components``.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def edge_checksum(e: DataFrame) -> int:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # work on canonical undirected edges (lo < hi)
+    cur = (
+        sym.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = edge_checksum(cur)
+    for _ in range(max_iter):
+        both = cur.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+            cur.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        )
+        # -- large-star --
+        mins = (
+            both.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select("a", F.least("_mb", F.col("a")).alias("m"))
+        )
+        ls = (
+            both.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.least("b", "m").alias("lo"), F.greatest("b", "m").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # -- small-star over the large-star output --
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(smins, "hi")
+            .select(F.col("lo").alias("v"), F.col("m"))
+            .union(smins.select(F.col("hi").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = ss
+        cur_sum = edge_checksum(cur)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # final stars: every edge is (rep, node); nodes absent from any
+    # edge (reps themselves / isolated after contraction) label self.
+    member = cur.select(F.col("hi").alias("node"), F.col("lo").alias("rep"))
+    return (
+        all_nodes.join(member, "node", "left")
+        .select(
+            "node",
+            F.coalesce("rep", F.col("node")).alias("cluster_rep"),
+        )
+    )

@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "pca_top_component",
     "jl_projection",
     "minhash_pr_eval",
+    "dedup_clusters_star",
     # -- single-confirmed r4 greens held for a second confirmation
     # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
     # out for embedding_whiten / temperature_mixture /
@@ -119,9 +120,10 @@ _DRIVER_PRIORITY = [
     "stream_attribution_join",
     "approx_stats",
     "exact_percentiles",
-    "pipeline_e2e",
-    # (train_test_split / cap_per_source rotate out for jl_projection
-    # / minhash_pr_eval — never-checked > second confirmation)
+    # (train_test_split / cap_per_source / pipeline_e2e rotate out for
+    # jl_projection / minhash_pr_eval / dedup_clusters_star —
+    # never-checked > second confirmation; pipeline_e2e's constituent
+    # operators all hold individual driver greens)
     # -- round-5 late additions awaiting hard driver signal (the four
     # r4-green anchors pack_token_budget / pii_redact /
     # corpus_clean_pipeline / stratified_sample rotate out to make

@@ -383,3 +383,45 @@ class TestTriangleStats:
         [r] = triangle_stats(pairs).collect()
         assert r["n_triangles"] == 10  # C(5,3)
         assert r["clustering"] == pytest.approx(1.0, abs=1e-6)
+
+
+class TestStarCC:
+    def _labels(self, df):
+        return {r["node"]: r["cluster_rep"] for r in df.collect()}
+
+    def test_long_chain_converges_fast(self, spark):
+        """A 200-node path graph (diameter 199 — the case the hash-min
+        warning points at): large-star/small-star must resolve it to
+        one component labeled by the minimum within its 30-round cap."""
+        from resume_jd_matcher_spark.operators.cluster import (
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "left_id long, right_id long"
+        )
+        got = self._labels(connected_components_star(edges))
+        assert set(got.values()) == {0}
+        assert len(got) == 201
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        """Star labels == driver union-find labels on a multi-component
+        random graph (both use min-id representatives)."""
+        import random
+
+        from resume_jd_matcher_spark.operators.cluster import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(13)
+        edges = []
+        for comp in range(5):
+            nodes = list(range(comp * 100, comp * 100 + rng.randint(3, 40)))
+            for _ in range(len(nodes) * 2):
+                edges.append((rng.choice(nodes), rng.choice(nodes)))
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "left_id long, right_id long")
+        star = self._labels(connected_components_star(df))
+        uf = self._labels(connected_components(df))
+        assert star == uf
