@@ -685,3 +685,81 @@ def psi_drift(
             F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning (Sennrich et al. 2016),
+    the tokenizer-training step, as a distributed DataFrame program:
+    learn the top ``n_merges`` merge rules over the corpus word-type
+    frequency table.
+
+    Scale shape — the insight that makes BPE distributable is that it
+    operates on WORD TYPES, not the token stream: one corpus-scale agg
+    builds the (word, count) vocabulary, and every merge iteration
+    touches only that vocab-sized table (pair-count agg, map-side
+    combined) plus a 1-row argmax collect. Symbol sequences are
+    encoded as delimiter-wrapped strings (``·a··b··c·``) so applying a
+    merge is ONE native replace() — leftmost non-overlapping, exactly
+    BPE's left-to-right merge convention, byte-identical across
+    engines (no per-row Python).
+
+    Words are restricted to ``[a-z0-9]+`` so the delimiter can never
+    collide with content (mirrored in the oracle). Output: one row per
+    learned rule — (step, left_sym, right_sym, merged, pair_count) —
+    ties broken by (count desc, left asc, right asc).
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("sym", F.regexp_replace("w", "(.)", "·$1·"))
+        .persist()
+    )
+    _local_persisted = [vocab]
+    merges = []
+    try:
+        for step in range(1, n_merges + 1):
+            arr = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+            # sequence(1, 0) counts DOWN in Spark — guard single-symbol
+            # words (same gotcha as functions/text.shingles).
+            pair_arr = F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("a"),
+                        F.element_at(arr, i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            pairs = vocab.select("cnt", F.explode(pair_arr).alias("p"))
+            best = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+            merges.append((step, a, b, a + b, n))
+            vocab = vocab.withColumn(
+                "sym",
+                F.replace(
+                    F.col("sym"), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·")
+                ),
+            ).persist()
+            _local_persisted.append(vocab)
+    finally:
+        for p in _local_persisted:
+            p.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges,
+        "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
+    )

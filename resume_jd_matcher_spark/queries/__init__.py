@@ -112,12 +112,14 @@ _DRIVER_PRIORITY = [
     "jl_projection",
     "minhash_pr_eval",
     "dedup_clusters_star",
+    "bpe_merges",
     # -- single-confirmed r4 greens held for a second confirmation
     # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
     # out for embedding_whiten / temperature_mixture /
     # pca_top_component) --
     "stream_late_data",
-    "stream_attribution_join",
+    # (stream_attribution_join rotates out for bpe_merges; its
+    # stream==batch equivalence stays pytest-pinned)
     "approx_stats",
     "exact_percentiles",
     # (train_test_split / cap_per_source / pipeline_e2e rotate out for

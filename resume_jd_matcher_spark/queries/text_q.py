@@ -1483,3 +1483,56 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "cluster_rep").select(
         F.col("node").alias("doc_id"), "cluster_rep", "cluster_size"
     )
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Unrolled BPE oracle: each step counts adjacent symbol pairs over
+    the current vocab, picks the (count desc, a, b) argmax, and applies
+    it with the same delimiter-bounded replace() the engine uses."""
+    toks = SQL_TOKS.format(c="text")
+    parts = [
+        f"""WITH v0 AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS cnt,
+         regexp_replace(w, '(.)', '·\\1·', 'g') AS sym
+  FROM (SELECT unnest({toks}) AS w FROM documents) t
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w
+)"""
+    ]
+    for s in range(1, n_merges + 1):
+        parts.append(
+            f""", p{s} AS MATERIALIZED (
+  SELECT arr[i] AS a, arr[i + 1] AS b, sum(cnt)::BIGINT AS n
+  FROM (SELECT cnt, string_split(trim(sym, '·'), '··') AS arr FROM v{s - 1}) s,
+       unnest(generate_series(1, len(arr) - 1)) AS t(i)
+  GROUP BY 1, 2
+), b{s} AS MATERIALIZED (
+  SELECT {s} AS step, a, b, a || b AS merged, n
+  FROM p{s} ORDER BY n DESC, a, b LIMIT 1
+), v{s} AS MATERIALIZED (
+  SELECT w, cnt,
+         replace(sym,
+                 '·' || (SELECT a FROM b{s}) || '··' || (SELECT b FROM b{s}) || '·',
+                 '·' || (SELECT merged FROM b{s}) || '·') AS sym
+  FROM v{s - 1}
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT step, a AS left_sym, b AS right_sym, merged, n AS pair_count FROM b{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("bpe_merges", _bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: BPE tokenizer-vocabulary learning (Sennrich et al.
+    2016) — the top-6 merge rules over the corpus word-type frequency
+    table. One corpus-scale agg builds the vocab; every iteration then
+    touches only the vocab-sized table (map-side-combined pair counts
+    + a 1-row argmax), with merges applied via delimiter-bounded
+    native replace() — BPE's exact left-to-right convention, no
+    per-row Python (operators/textstats.py:bpe_learn_merges)."""
+    from resume_jd_matcher_spark.operators.textstats import bpe_learn_merges
+
+    return bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=6)

@@ -90,3 +90,34 @@ class TestEmbeddingOutliers:
         df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
         zs = [r["z"] for r in embedding_outliers(df).collect()]
         assert abs(sum(zs) / len(zs)) < 0.01
+
+
+class TestBPE:
+    def test_learns_frequency_ordered_and_recursive_merges(self, spark):
+        """5×"abab" + 3×"cd": step 1 merges the most frequent pair
+        (a,b); step 2 must build ON that merge ((ab,ab) — only
+        expressible after step 1); step 3 falls to (c,d)."""
+        from resume_jd_matcher_spark.operators.textstats import (
+            bpe_learn_merges,
+        )
+
+        rows = [(i, "abab" if i < 5 else "cd") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_learn_merges(df, n_merges=3).collect()
+        ]
+        assert got == [
+            (1, "a", "b", 10),   # 2 occurrences per "abab" word-token ×5
+            (2, "ab", "ab", 5),  # recursive: uses step-1's symbol
+            (3, "c", "d", 3),
+        ]
+
+    def test_stops_when_no_pairs_remain(self, spark):
+        from resume_jd_matcher_spark.operators.textstats import (
+            bpe_learn_merges,
+        )
+
+        df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        got = bpe_learn_merges(df, n_merges=5).collect()
+        assert got == []  # single-char words carry no pairs
