@@ -763,3 +763,96 @@ def bpe_learn_merges(
         merges,
         "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
     )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges and measure tokenizer fertility per
+    document — the encode half of the tokenizer loop, done the way
+    real tokenizers do it: merges rewrite the WORD-TYPE vocabulary
+    once, then encoding is a broadcast vocabulary lookup (word →
+    symbol count), never a per-occurrence merge loop.
+
+    Rebuilds the merge trajectory with the same deterministic
+    iterations as ``bpe_learn_merges`` (vocab-sized work), keeps the
+    final word→symbols mapping, and joins the corpus word stream
+    against it. Output per document: (id, n_words, n_symbols,
+    symbols_per_word) over the ``[a-z0-9]+`` word subset — the
+    compression/fertility stat that decides whether a vocab is big
+    enough."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("sym", F.regexp_replace("w", "(.)", "·$1·"))
+        .persist()
+    )
+    _local = [vocab]
+    try:
+        for _ in range(n_merges):
+            arr = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
+            pair_arr = F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("a"),
+                        F.element_at(arr, i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            best = (
+                vocab.select("cnt", F.explode(pair_arr).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            vocab = vocab.withColumn(
+                "sym",
+                F.replace(
+                    F.col("sym"), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·")
+                ),
+            ).persist()
+            _local.append(vocab)
+        lookup = vocab.select(
+            "w",
+            F.size(F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")).alias(
+                "n_sym"
+            ),
+        )
+        words = df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("w")
+        ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+        out = (
+            words.join(F.broadcast(lookup), "w")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_words"),
+                F.sum("n_sym").alias("n_symbols"),
+            )
+            .select(
+                id_col,
+                "n_words",
+                F.col("n_symbols").cast("bigint").alias("n_symbols"),
+                F.round(
+                    F.col("n_symbols") / F.col("n_words").cast("double"), 4
+                ).alias("symbols_per_word"),
+            )
+        )
+        return out
+    finally:
+        # The persists only accelerate the merge-learning loop's eager
+        # collects; the returned plan recomputes the (vocab-sized)
+        # chain lazily, so releasing here is safe and leak-free.
+        for p in _local:
+            p.unpersist()

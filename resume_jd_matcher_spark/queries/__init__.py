@@ -113,13 +113,14 @@ _DRIVER_PRIORITY = [
     "minhash_pr_eval",
     "dedup_clusters_star",
     "bpe_merges",
+    "bpe_encode_stats",
     # -- single-confirmed r4 greens held for a second confirmation
     # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
     # out for embedding_whiten / temperature_mixture /
     # pca_top_component) --
-    "stream_late_data",
-    # (stream_attribution_join rotates out for bpe_merges; its
-    # stream==batch equivalence stays pytest-pinned)
+    # (stream_attribution_join / stream_late_data rotate out for
+    # bpe_merges / bpe_encode_stats; their stream==batch equivalence
+    # stays pytest-pinned and the batch twins were r4-green)
     "approx_stats",
     "exact_percentiles",
     # (train_test_split / cap_per_source / pipeline_e2e rotate out for

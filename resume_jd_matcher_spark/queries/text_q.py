@@ -1524,6 +1524,28 @@ def _bpe_oracle(n_merges: int = 6) -> str:
     return "".join(parts) + "\n" + sel
 
 
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """Encode oracle: re-learn the merge trajectory (same CTE chain as
+    _bpe_oracle), then encode by word-type lookup against the final
+    vocabulary — symbol counts summed per document."""
+    learn = _bpe_oracle(n_merges)
+    # strip the final merges SELECT; keep the WITH chain through v{n}
+    chain = learn[: learn.rindex("\nSELECT")]
+    toks = SQL_TOKS.format(c="text")
+    return f"""{chain}
+, lkp AS MATERIALIZED (
+  SELECT w, len(string_split(trim(sym, '·'), '··'))::BIGINT AS n_sym
+  FROM v{n_merges}
+), words AS (
+  SELECT doc_id, unnest({toks}) AS w FROM documents
+)
+SELECT wd.doc_id, count(*)::BIGINT AS n_words,
+       sum(l.n_sym)::BIGINT AS n_symbols,
+       round(sum(l.n_sym)::DOUBLE / count(*), 4) AS symbols_per_word
+FROM words wd JOIN lkp l ON wd.w = l.w
+GROUP BY wd.doc_id"""
+
+
 @register("bpe_merges", _bpe_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 [EXT]: BPE tokenizer-vocabulary learning (Sennrich et al.
@@ -1536,3 +1558,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.textstats import bpe_learn_merges
 
     return bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+@register("bpe_encode_stats", _bpe_encode_oracle())
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: the encode half of the BPE loop — apply the learned
+    merges and measure tokenizer fertility (symbols per word) per
+    document. Encoding is a broadcast word-type lookup (word → symbol
+    count), exactly how production tokenizers amortize merges: the
+    corpus is never re-merged per occurrence
+    (operators/textstats.py:bpe_encode_stats)."""
+    from resume_jd_matcher_spark.operators.textstats import bpe_encode_stats
+
+    return bpe_encode_stats(load_table(spark, sf_dir, "documents"), n_merges=6)

@@ -121,3 +121,18 @@ class TestBPE:
         df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
         got = bpe_learn_merges(df, n_merges=5).collect()
         assert got == []  # single-char words carry no pairs
+
+    def test_encode_fertility_reflects_merges(self, spark):
+        """After learning on 5×"abab"+3×"cd", encoding maps "abab" to
+        ONE symbol (two recursive merges) and "cd" to one — fertility
+        collapses from 4/2 chars to 1 symbol per word."""
+        from resume_jd_matcher_spark.operators.textstats import (
+            bpe_encode_stats,
+        )
+
+        rows = [(i, "abab" if i < 5 else "cd") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in bpe_encode_stats(df, n_merges=3).collect()}
+        assert got[0]["n_words"] == 1 and got[0]["n_symbols"] == 1
+        assert got[7]["n_symbols"] == 1  # "cd" merged at step 3
+        assert got[0]["symbols_per_word"] == 1.0
