@@ -164,3 +164,28 @@ def test_jl_projection_preserves_distances_on_average(spark):
 
     again = {r["vec_id"]: r["proj"] for r in jl_project(df).collect()}
     assert got == again
+
+
+def test_pca_covariance_partials_merge_across_slices(spark):
+    """The per-batch CᵀC partials are mergeable by sum: computing the
+    top component over the union must equal computing it over the
+    whole table directly (determinism of the distributed Gram
+    accumulation — the property that lets per-day covariances roll
+    up)."""
+    from resume_jd_matcher_spark.operators.embedding import pca_power_top1
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    h1 = emb.filter("vec_id % 2 = 0")
+    h2 = emb.filter("vec_id % 2 = 1")
+    whole_proj, v_whole, ev_whole = pca_power_top1(emb, n_iter=8)
+    union_proj, v_union, ev_union = pca_power_top1(
+        h1.unionByName(h2), n_iter=8
+    )
+    assert v_whole == v_union
+    assert ev_whole == ev_union
+    assert sorted(map(tuple, whole_proj.collect())) == sorted(
+        map(tuple, union_proj.collect())
+    )

@@ -206,3 +206,37 @@ def test_hll_sketch_streams_equal_batch(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@pytest.mark.slow
+def test_cms_sketch_streams_equal_batch(spark):
+    """The count-min sketch is a pure sum-aggregate over (seed, col)
+    cells, so it runs unchanged as a streaming aggregation (complete
+    mode): cells after consuming the whole stream equal the batch
+    sketch — merge-by-sum, CMS's streaming law (HLL's max-merge
+    sibling test above)."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.operators.textstats import cms_sketch
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, SF).select(
+        F.col("event_type").alias("text")
+    )
+    got = run_stream_to_memory(
+        cms_sketch(stream, d=4, w=32), "cms_stream", output_mode="complete"
+    )
+    want = cms_sketch(
+        load_table(spark, SF, "events").select(
+            F.col("event_type").alias("text")
+        ),
+        d=4,
+        w=32,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
