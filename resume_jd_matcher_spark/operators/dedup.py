@@ -175,6 +175,16 @@ def simhash(
     # scan arrives as ONE split, so fan out before the explode.
     df = ensure_parallelism(df)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    return simhash_from_tokens(toks, n_bits, id_col)
+
+
+def simhash_from_tokens(
+    toks: DataFrame, n_bits: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash aggregation over a pre-tokenized (id, tok) long form —
+    the shared core of text SimHash and the byte-gram media variant
+    (operators/multimodal.media_simhash_neardup).
+    """
     # Hash each DISTINCT (doc, token) once and weight by its occurrence
     # count: sum over occurrences of ±1 == sum over distinct tokens of
     # ±count, so the result is bit-identical to the per-occurrence spec
@@ -252,6 +262,23 @@ def simhash_neardup(
     hash-partitions it, no crossJoin anywhere. The popcount verify
     inside each bucket makes the result EXACTLY equal to the all-pairs
     spec (pigeonhole guarantees no true pair is missed)."""
+    # The fingerprint pipeline (tokenize → md5 → two aggs) feeds BOTH
+    # self-join sides; persist so it runs once, not twice. Tracked in
+    # _PERSISTED for explicit release by long-lived callers.
+    sh = simhash(df, n_bits, id_col, text_col).persist()
+    _PERSISTED.append(sh)
+    return simhash_pairs(sh, max_hamming, n_bits, id_col)
+
+
+def simhash_pairs(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded candidate join + popcount verify over a fingerprint
+    table (id, simhash) — exactly equal to the all-pairs hamming spec
+    by the pigeonhole argument (see simhash_bands)."""
     n_bands = max_hamming + 1
     base, rem = divmod(n_bits, n_bands)
     specs, start = [], 0
@@ -259,12 +286,6 @@ def simhash_neardup(
         width = base + (1 if i < rem else 0)
         specs.append((i, start, width))
         start += width
-
-    # The fingerprint pipeline (tokenize → md5 → two aggs) feeds BOTH
-    # self-join sides; persist so it runs once, not twice. Tracked in
-    # _PERSISTED for explicit release by long-lived callers.
-    sh = simhash(df, n_bits, id_col, text_col).persist()
-    _PERSISTED.append(sh)
     bands = simhash_bands(sh, max_hamming, n_bits, id_col)
     a = bands.select(
         F.col(id_col).alias("left_id"),

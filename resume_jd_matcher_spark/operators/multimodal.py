@@ -126,3 +126,53 @@ def sample_frames(df: DataFrame, every: int = 64) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         (F.col("offset_mult") * every).cast("long").alias("byte_offset"),
     )
+
+
+def media_simhash_neardup(
+    media_df: DataFrame,
+    gram_bytes: int = 4,
+    max_hamming: int = 3,
+    n_bits: int = 16,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Byte-level fuzzy near-dup over BINARY media columns — the
+    decode-free first-pass dedup multimodal pipelines run (the ssdeep/
+    fuzzy-hash role): SimHash over sliding byte 4-grams of the raw
+    payload, so re-encoded-but-mostly-identical blobs pair without any
+    media library in the loop.
+
+    The blob is hexed once (native, codegen'd) and grams are substring
+    slices of the hex string; fingerprinting and the banded candidate
+    join reuse the text SimHash core (operators/dedup.py:
+    simhash_from_tokens / simhash_pairs) — identical scale shape:
+    per-(doc, gram) md5 with count weighting, map-side-combined
+    bitsums, (band_id, band_val) equi-join candidates, popcount
+    verify. Output: (left_id, right_id, hamming).
+    """
+    from resume_jd_matcher_spark.operators.dedup import (
+        simhash_from_tokens,
+        simhash_pairs,
+    )
+    from resume_jd_matcher_spark.operators import dedup as _dedup
+
+    hexed = media_df.select(
+        F.col(id_col), F.hex(F.col(media_col)).alias("hx")
+    )
+    width = 2 * gram_bytes
+    n_grams = (F.length("hx") - width) / 2 + 1  # sliding by one byte
+    grams = hexed.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.length("hx") >= width,
+                F.transform(
+                    F.sequence(F.lit(0), n_grams.cast("int") - 1),
+                    lambda i: F.col("hx").substr(i * 2 + 1, F.lit(width)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+    sh = simhash_from_tokens(grams, n_bits, id_col).persist()
+    _dedup._PERSISTED.append(sh)
+    return simhash_pairs(sh, max_hamming, n_bits, id_col)

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = [
     "dedup_clusters_star",
     "bpe_merges",
     "bpe_encode_stats",
+    "media_binary_neardup",
     # -- single-confirmed r4 greens held for a second confirmation
     # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
     # out for embedding_whiten / temperature_mixture /
@@ -122,7 +123,8 @@ _DRIVER_PRIORITY = [
     # bpe_merges / bpe_encode_stats; their stream==batch equivalence
     # stays pytest-pinned and the batch twins were r4-green)
     "approx_stats",
-    "exact_percentiles",
+    # (exact_percentiles rotates out for media_binary_neardup — its
+    # bucket-histogram rework was confirmed green in r4)
     # (train_test_split / cap_per_source / pipeline_e2e rotate out for
     # jl_projection / minhash_pr_eval / dedup_clusters_star —
     # never-checked > second confirmation; pipeline_e2e's constituent

@@ -482,3 +482,51 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.streaming.events import session_window_counts
 
     return session_window_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "media_binary_neardup",
+    """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, substr(hx, i * 2 + 1, 8) AS tok
+  FROM m, unnest(generate_series(0, (length(hx) - 8) // 2)) AS t(i)
+  WHERE length(hx) >= 8
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM g
+), b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+  GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM b GROUP BY doc_id
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_media_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 [EXT]: decode-free fuzzy near-dup over the BINARY media
+    column — SimHash on sliding byte 4-grams of the raw payload (the
+    ssdeep/fuzzy-hash role in multimodal ingest, run before any
+    decoder). Engine path reuses the text SimHash core (banded
+    equi-join candidates, popcount verify); the oracle is the
+    all-pairs hamming spec the banded plan must equal exactly
+    (operators/multimodal.py:media_simhash_neardup)."""
+    from resume_jd_matcher_spark.operators.multimodal import (
+        attach_media,
+        media_simhash_neardup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = attach_media(d)
+    return media_simhash_neardup(media)
