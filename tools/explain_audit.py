@@ -131,6 +131,13 @@ HEADLINERS = {
     "partials (ArrowEvalPython/mapInPandas stage, <= d^2 rows per "
     "batch shuffled); projection a codegen'd fold against literal "
     "arrays",
+    "media_binary_neardup": "byte grams from ONE native hex() + "
+    "substring transform (no Python, no decode); same persisted "
+    "fingerprint + (band_id, band_val) equi-join core as text "
+    "SimHash",
+    "bpe_encode_stats": "encoding is a BROADCAST word-type lookup "
+    "join — the corpus word stream never re-merges per occurrence; "
+    "per-doc fertility a map-side-combined hash agg",
 }
 
 
