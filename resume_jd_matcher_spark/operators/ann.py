@@ -468,3 +468,59 @@ def kmeans_partition(
     )
     model = km.fit(feat)
     return model.transform(feat).drop("_features")
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes
+    its exact bucket PLUS every 1-bit-flip neighbor bucket — the
+    standard recall lever that trades one more equi-join fan-out
+    (n_planes+1 probe keys per query) for the recall that would
+    otherwise need 2× the hash tables. A vector whose projection sits
+    just on the wrong side of ONE hyperplane lands in a 1-flip bucket,
+    so these are exactly the likeliest misses of the single-probe path.
+
+    Scale shape unchanged from ``lsh_bucket_topk``: probe keys explode
+    on the (broadcast) query side only; the corpus side still carries
+    ONE bucket id per row, and the candidate join stays a plain
+    equi-join. Probe buckets are distinct by construction (different
+    single-bit flips), so no candidate dedup pass is needed. Output:
+    (query_id, id, bucket, dist) top-k by exact squared-L2 re-rank.
+    """
+    c = corpus.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    q = queries.withColumn(
+        "qbucket", lsh_signature(F.col(query_vec_col), n_planes)
+    )
+    probe_arr = F.array(
+        F.col("qbucket"),
+        *[
+            F.expr(f"cast(qbucket as long) ^ {1 << j}").cast("long")
+            for j in range(n_planes)
+        ],
+    )
+    probes = q.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(probe_arr).alias("probe"),
+    )
+    cand = c.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
+    d = squared_l2(F.col(vec_col), F.col(query_vec_col))
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col), F.col("bucket"), d.alias("dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "bucket", F.round("dist", 4).alias("dist"))
+    )

@@ -1013,3 +1013,53 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("v", 6).alias("value"),
         )
     )
+
+
+_MP_FLIPS = ", ".join(f"xor(qbucket, {1 << j})" for j in range(8))
+
+
+@register(
+    "ann_multiprobe_topk",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT vec_id, e AS ce,
+         {_SQL_LSH_SIG.format(a='e', planes=_LSH_PLANES)} AS bucket
+  FROM e0
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         {_SQL_LSH_SIG.format(a='e', planes=_LSH_PLANES)} AS qbucket
+  FROM e0 WHERE vec_id < 3
+), probes AS (
+  SELECT query_id, qe, unnest([qbucket::BIGINT, {_MP_FLIPS}]) AS probe
+  FROM q
+), d AS (
+  SELECT p.query_id, c.vec_id, c.bucket,
+         {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c JOIN probes p ON c.bucket = p.probe
+), r AS (
+  SELECT query_id, vec_id, bucket, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d
+)
+SELECT query_id, vec_id, bucket, round(dist, 4) AS dist
+FROM r WHERE rn <= 5
+""",
+)
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall lever: multi-probe LSH (Lv et al. VLDB'07) — each
+    query probes its bucket plus all 1-bit-flip neighbors, recovering
+    the likeliest single-probe misses (vectors just across ONE
+    hyperplane) without doubling hash tables. Probe keys fan out on
+    the broadcast query side only; the corpus join stays a plain
+    equi-join (operators/ann.py:lsh_multiprobe_topk)."""
+    from resume_jd_matcher_spark.operators.ann import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        emb.select("vec_id", "embedding"),
+        _emb_queries(spark, sf_dir),
+        k=5,
+        n_planes=_LSH_PLANES,
+    )

@@ -239,3 +239,38 @@ def test_kmeans_ivf_recall_floor(spark):
         for r in ivf_topk(parted, q, k=5, partition_col="_kpart", n_probe=2).collect()
     }
     assert len(exact & got) / len(exact) >= 0.2
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """1-bit-flip probing must recover at least as many true top-5
+    neighbors as the exact-bucket probe, and strictly more candidates
+    reachable overall (the recall lever it exists for)."""
+    from resume_jd_matcher_spark.operators.ann import (
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+    from resume_jd_matcher_spark.operators.similarity_blas import (
+        topk_similarity_blas,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_similarity_blas(corpus, queries, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_bucket_topk(corpus, queries, k=5, n_planes=8).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_multiprobe_topk(corpus, queries, k=5, n_planes=8).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi) >= len(single)  # probes can only add candidates
