@@ -332,3 +332,86 @@ def mmr_topk(
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.5,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (id1 < id2): documents as
+    inverted-index-weighted sparse vectors, pairwise cosine via a
+    posting-list self-join — the LEXICAL document-similarity join
+    (dense cosine's bag-of-words sibling; catches paraphrase-free
+    near-dups and topical pairs that shingle dedup misses).
+
+    Scale shape: w = tf·ln((N+1)/(df+1)) per (doc, token); pairs meet
+    in an equi-join on the token, so candidate volume is Σ_t df(t)² —
+    driven by token document frequency, never corpus². ``max_df``
+    prunes tokens in more than that many documents from BOTH the
+    posting list and the norms (the near-zero-IDF stopwords that
+    dominate freq² cost while contributing least weight), keeping the
+    result exact over the capped vocabulary. The weight table persists
+    across its three consumers (norms + both join sides).
+
+    Output: (left_id, right_id, cos_sim) with cos_sim ≥ min_cosine
+    after rounding.
+    """
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.count()  # bounded scalar (one job), folded as a literal
+    w = (
+        tf.join(dfreq.filter(F.col("df") <= max_df), "token")
+        .select(
+            id_col,
+            "token",
+            (
+                F.col("tf").cast("double")
+                * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+            ).alias("w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col(id_col).alias("left_id"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("right_id"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(
+            norms.select(F.col(id_col).alias("left_id"), F.col("nrm").alias("na")),
+            "left_id",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("right_id"), F.col("nrm").alias("nb")),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")) + 1e-9, 4).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+    # Tracked in the dedup module's release registry (the one
+    # bench/tests release after materializing) — unpersisting here
+    # would evict the cache BEFORE the three consumers ever run.
+    from resume_jd_matcher_spark.operators import dedup as _dedup
+
+    _dedup._PERSISTED.append(w)
+    return out

@@ -1571,3 +1571,50 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.textstats import bpe_encode_stats
 
     return bpe_encode_stats(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+), tok AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token FROM d
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM d
+), w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf::DOUBLE * ln((nn.n + 1.0) / (dfreq.df + 1.0)) AS w
+  FROM tf JOIN dfreq USING (token), nn
+  WHERE dfreq.df <= 100
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id,
+       round(dot / (na.nrm * nb.nrm) + 1e-9, 4) AS cos_sim
+FROM dots
+JOIN norms na ON na.doc_id = left_id
+JOIN norms nb ON nb.doc_id = right_id
+WHERE round(dot / (na.nrm * nb.nrm) + 1e-9, 4) >= 0.5
+""",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: sparse TF-IDF cosine similarity join — documents as
+    inverted-index-weighted bag-of-words vectors, pairwise cosine via
+    a df-capped posting-list self-join (candidates driven by token
+    document frequency, never corpus²). The lexical document-
+    similarity join: catches topical/paraphrase pairs that exact
+    shingle dedup misses and dense embeddings need a model for
+    (operators/retrieval.py:tfidf_cosine_pairs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    from resume_jd_matcher_spark.operators.retrieval import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(d, min_cosine=0.5, max_df=100)

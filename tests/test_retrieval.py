@@ -230,3 +230,28 @@ class TestMMR:
         assert len(out) == 3  # k caps at pool size
         assert out[0]["vec_id"] == 1
         assert out[0]["relevance"] == out[0]["mmr_score"]
+
+
+class TestTfidfCosine:
+    def test_topical_pair_beats_disjoint(self, spark):
+        """Docs sharing rare terms pair high; docs sharing only a
+        ubiquitous (df-capped or low-idf) term pair low or not at
+        all."""
+        from resume_jd_matcher_spark.operators.retrieval import (
+            tfidf_cosine_pairs,
+        )
+
+        rows = [
+            (1, "spark shuffle partition codegen tungsten"),
+            (2, "spark shuffle partition codegen catalyst"),
+            (3, "gardening tulips roses compost watering"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["left_id"], r["right_id"]): r["cos_sim"]
+            for r in tfidf_cosine_pairs(df, min_cosine=0.0).collect()
+        }
+        # df=2 terms carry idf ln(4/3)≈0.29 vs the unique terms'
+        # ln(2)≈0.69, so the shared mass is ~0.41 of the norm product
+        assert got[(1, 2)] > 0.3
+        assert (1, 3) not in got  # zero shared vocabulary -> no pair
