@@ -1086,3 +1086,70 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/relational.py:gap_fill_daily)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return relational.gap_fill_daily(e)
+
+
+@register(
+    "key_skew_profile",
+    """
+WITH per_key AS (
+  SELECT o_custkey AS key, count(*)::BIGINT AS n
+  FROM orders GROUP BY o_custkey
+), hist AS (
+  SELECT (CASE WHEN n = 0 THEN 0
+               ELSE length(bin(n)) END)::INT AS log2_bucket,
+         count(*)::BIGINT AS n_keys,
+         sum(n)::BIGINT AS n_rows
+  FROM per_key GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS total_keys, sum(n)::BIGINT AS total_rows
+  FROM per_key
+), hot AS (
+  SELECT max(n)::BIGINT AS hottest FROM per_key
+)
+SELECT h.log2_bucket, h.n_keys, h.n_rows,
+       round(h.n_rows::DOUBLE / t.total_rows, 6) AS row_share,
+       round(o.hottest::DOUBLE * t.total_keys / t.total_rows, 4)
+         AS hottest_vs_mean
+FROM hist h, tot t, hot o
+""",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] join/agg-key skew diagnosis — the observability step that
+    decides WHEN the salting family (skew_salted_join/agg, AQE skew
+    split) is needed: per-key counts reduce to a log2-bucket histogram
+    (bit-length of the count — exact integer arithmetic, no float
+    log) plus the hottest-key-vs-mean ratio. Two map-side-combined
+    aggs and a ≤64-row histogram; at 100 TB this is the query you run
+    BEFORE choosing a join strategy, not after it fails."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    hist = per_key.groupBy(
+        F.expr("length(conv(n, 10, 2))").cast("int").alias("log2_bucket")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    tot = per_key.agg(
+        F.count("*").alias("total_keys"), F.sum("n").alias("total_rows")
+    )
+    hot = per_key.agg(F.max("n").alias("hottest"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "log2_bucket",
+            "n_keys",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("n_rows") / F.col("total_rows").cast("double"), 6
+            ).alias("row_share"),
+            F.round(
+                F.col("hottest").cast("double")
+                * F.col("total_keys")
+                / F.col("total_rows"),
+                4,
+            ).alias("hottest_vs_mean"),
+        )
+    )

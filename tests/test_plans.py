@@ -186,6 +186,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast slice totals crossed into the <=100-row
         # vocabulary table:
         "psi_drift",
+        # two single-row broadcast summaries (totals, hottest key)
+        # crossed into the <=64-row histogram:
+        "key_skew_profile",
         # inherits bm25's single-row stats broadcast + a single-row
         # broadcast query-token set into the 20-row rerank pool:
         "rerank_e2e",
