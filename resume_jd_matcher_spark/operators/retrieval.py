@@ -415,3 +415,71 @@ def tfidf_cosine_pairs(
 
     _dedup._PERSISTED.append(w)
     return out
+
+
+def mine_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_label_col: str = "query_label",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Full triplet mining for contrastive embedding training: per
+    anchor, the nearest SAME-label vector (excluding the anchor
+    itself) as the positive and the nearest OTHER-label vector as the
+    hard negative, with the triplet margin (neg_dist − pos_dist) that
+    a margin-loss trainer filters on (margin < α = the informative
+    triplets).
+
+    Both argmins are the same map-side-combined ``min(struct)`` hash
+    aggregate as ``hard_negatives`` — one broadcast of the anchor set,
+    one corpus stream, two partial-combined aggs, one tiny anchor-keyed
+    join. Output: (query_id, query_label, pos_id, pos_dist, neg_id,
+    neg_label, neg_dist, margin); anchors whose label has no other
+    member drop out (no positive exists).
+    """
+    from resume_jd_matcher_spark.functions.vector import squared_l2
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    paired = ensure_parallelism(corpus).crossJoin(F.broadcast(queries))
+    d = squared_l2(F.col(vec_col), F.col(query_vec_col))
+
+    pos = (
+        paired.filter(
+            (F.col(label_col) == F.col(query_label_col))
+            & (F.col(id_col) != F.col(query_id_col))
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(query_label_col),
+            F.struct(d.alias("dist"), F.col(id_col).alias("id")).alias("cand"),
+        )
+        .groupBy(query_id_col, query_label_col)
+        .agg(F.min("cand").alias("p"))
+    )
+    neg = (
+        paired.filter(F.col(label_col) != F.col(query_label_col))
+        .select(
+            F.col(query_id_col),
+            F.struct(
+                d.alias("dist"),
+                F.col(id_col).alias("id"),
+                F.col(label_col).alias("neg_label"),
+            ).alias("cand"),
+        )
+        .groupBy(query_id_col)
+        .agg(F.min("cand").alias("n"))
+    )
+    return pos.join(neg, query_id_col).select(
+        query_id_col,
+        query_label_col,
+        F.col("p.id").alias("pos_id"),
+        F.round("p.dist", 4).alias("pos_dist"),
+        F.col("n.id").alias("neg_id"),
+        F.col("n.neg_label").alias("neg_label"),
+        F.round("n.dist", 4).alias("neg_dist"),
+        F.round(F.col("n.dist") - F.col("p.dist"), 4).alias("margin"),
+    )

@@ -400,3 +400,52 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.mmr_topk(
         emb.select("vec_id", "embedding"), qv, k=10, pool=50
     )
+
+
+@register(
+    "mine_triplets",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+), d AS (
+  SELECT query_id, query_label, vec_id, c.label,
+         list_sum(list_transform(generate_series(1, len(qe)),
+                                 i -> (qe[i]-ce[i])*(qe[i]-ce[i]))) AS dist
+  FROM c, q
+), pos AS (
+  SELECT query_id, query_label, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d WHERE label = query_label AND vec_id <> query_id
+), neg AS (
+  SELECT query_id, vec_id, label, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM d WHERE label <> query_label
+)
+SELECT p.query_id, p.query_label,
+       p.vec_id AS pos_id, round(p.dist, 4) AS pos_dist,
+       n.vec_id AS neg_id, n.label AS neg_label,
+       round(n.dist, 4) AS neg_dist,
+       round(n.dist - p.dist, 4) AS margin
+FROM pos p JOIN neg n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND n.rn = 1
+""",
+)
+def q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 training-data op: full triplet mining for contrastive
+    embedding training — per anchor the nearest same-label positive
+    (self excluded) and the nearest other-label hard negative, with
+    the margin a triplet-loss trainer filters on. Two map-side-
+    combined min(struct) argmins over one broadcast-anchor corpus
+    stream (operators/retrieval.py:mine_triplets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return retrieval.mine_triplets(
+        emb.select("vec_id", "label", "embedding"), queries
+    )

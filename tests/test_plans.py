@@ -180,6 +180,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # 5-row broadcast query set crossed into the corpus scan
         # (same shape as knn_per_label):
         "hard_negatives",
+        # 8-row broadcast anchor set crossed into the corpus stream
+        # feeding two min(struct) argmins:
+        "mine_triplets",
         # single-row broadcast bigram/unigram totals crossed into the
         # collocation scorer:
         "pmi_collocations",

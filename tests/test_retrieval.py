@@ -255,3 +255,32 @@ class TestTfidfCosine:
         # ln(2)≈0.69, so the shared mass is ~0.41 of the norm product
         assert got[(1, 2)] > 0.3
         assert (1, 3) not in got  # zero shared vocabulary -> no pair
+
+
+class TestTriplets:
+    def test_positive_same_label_negative_other_margin(self, spark):
+        from resume_jd_matcher_spark.operators.retrieval import mine_triplets
+
+        corpus = spark.createDataFrame(
+            [
+                (0, 0, [0.0, 0.0]),
+                (1, 0, [0.3, 0.0]),   # nearest same-label -> positive
+                (2, 0, [2.0, 0.0]),
+                (3, 1, [0.5, 0.0]),   # nearest other-label -> negative
+                (4, 1, [9.0, 0.0]),
+                (5, 2, [7.0, 0.0]),   # label with one member: no positive
+            ],
+            "vec_id long, label int, embedding array<float>",
+        )
+        queries = corpus.filter("vec_id in (0, 5)").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        rows = {r["query_id"]: r for r in mine_triplets(corpus, queries).collect()}
+        assert set(rows) == {0}  # anchor 5 has no positive -> dropped
+        r = rows[0]
+        assert r["pos_id"] == 1 and r["neg_id"] == 3
+        assert r["pos_dist"] == pytest.approx(0.09, abs=1e-6)
+        assert r["neg_dist"] == pytest.approx(0.25, abs=1e-6)
+        assert r["margin"] == pytest.approx(0.16, abs=1e-6)
