@@ -1618,3 +1618,78 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.retrieval import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(d, min_cosine=0.5, max_df=100)
+
+
+@register(
+    "quality_aware_dedup",
+    f"""
+WITH RECURSIVE {_MINHASH_EST_CTE},
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM est WHERE est_jaccard >= 0.95
+  UNION ALL
+  SELECT right_id AS a, left_id AS b FROM est WHERE est_jaccard >= 0.95
+), reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN edges e ON e.a = reach.node
+), labels AS (
+  SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node
+), q AS (
+  SELECT l.node AS doc_id, l.cluster_rep,
+         (length(d.text) - length(replace(d.text, ' ', '')) + 1)::BIGINT
+           AS n_tokens
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+), ranked AS (
+  SELECT doc_id, cluster_rep, n_tokens,
+         row_number() OVER (PARTITION BY cluster_rep
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+  FROM q
+)
+SELECT doc_id, cluster_rep, n_tokens,
+       cluster_size::BIGINT AS cluster_size,
+       (rn = 1)::INT AS keep
+FROM ranked
+""",
+)
+def q_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 policy [EXT]: quality-aware near-dup winner selection — keep
+    the LONGEST member of each near-dup cluster (richest copy) instead
+    of the arbitrary lowest id. The keep/drop policy real curation
+    pipelines want: min-id keeps whichever crawl arrived first; this
+    ranks cluster members by a quality signal (token count here; any
+    scorer plugs into the same window) with a deterministic id
+    tie-break. One extra per-cluster rank window over the
+    connected-components labels — cluster-sized partitions, never
+    corpus-wide."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.95
+    )
+    labels = clusterop.connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )
+    # token count via the whitespace-gap identity (length - spaces + 1)
+    # so the oracle reproduces it with pure string functions
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        ).cast("bigint").alias("n_tokens"),
+    )
+    q = labels.join(toks, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    ws = Window.partitionBy("cluster_rep")
+    return q.select(
+        "doc_id",
+        "cluster_rep",
+        "n_tokens",
+        F.count("*").over(ws).cast("bigint").alias("cluster_size"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
