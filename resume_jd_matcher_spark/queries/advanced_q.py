@@ -807,3 +807,69 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+@register(
+    "score_deciles",
+    """
+WITH q AS (
+  SELECT doc_id,
+         round(0.5 * least((length(text) - length(replace(text, ' ', ''))
+                            + 1)::DOUBLE / 100.0, 1.0), 4) AS quality
+  FROM documents
+), v AS (
+  SELECT doc_id, quality, floor(quality * 1000)::BIGINT AS b FROM q
+), hist AS (
+  SELECT b, count(*)::BIGINT AS cnt FROM v GROUP BY b
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS n FROM hist
+), cdf AS (
+  SELECT b, sum(cnt) OVER (ORDER BY b)::DOUBLE / t.n AS cdf
+  FROM hist, tot t
+)
+SELECT v.doc_id, v.quality,
+       least(ceil(10.0 * c.cdf), 10)::INT AS decile
+FROM v JOIN cdf c ON v.b = c.b
+""",
+)
+def q_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] scale-safe quantile calibration: map a per-document score
+    onto corpus deciles WITHOUT a global sort/percent_rank — the
+    bucket-histogram CDF trick (exact_percentiles / winsorize family):
+    scores bucket at fixed resolution, the cumulative window runs over
+    ≤1001 BUCKET rows (never documents), and each doc joins its
+    bucket's CDF. The rank-normalization step that makes heterogeneous
+    quality signals comparable before blending; docs sharing a bucket
+    share a decile (deterministic). Score = the length component of
+    text_quality, recomputed with pure string functions so the oracle
+    replays it exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    ).cast("double")
+    q = d.select(
+        "doc_id",
+        F.round(
+            F.lit(0.5) * F.least(n_tok / 100.0, F.lit(1.0)), 4
+        ).alias("quality"),
+    )
+    v = q.withColumn("b", F.floor(F.col("quality") * 1000).cast("bigint"))
+    hist = v.groupBy("b").agg(F.count("*").alias("cnt"))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cdf", F.sum("cnt").over(w) / F.col("n").cast("double"))
+        .select("b", "cdf")
+    )
+    return v.join(F.broadcast(cdf), "b").select(
+        "doc_id",
+        "quality",
+        F.least(F.ceil(10.0 * F.col("cdf")), F.lit(10)).cast("int").alias(
+            "decile"
+        ),
+    )

@@ -192,6 +192,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # two single-row broadcast summaries (totals, hottest key)
         # crossed into the <=64-row histogram:
         "key_skew_profile",
+        # single-row broadcast total crossed into the <=1001-row
+        # bucket-CDF table:
+        "score_deciles",
         # inherits bm25's single-row stats broadcast + a single-row
         # broadcast query-token set into the 20-row rerank pool:
         "rerank_e2e",
