@@ -284,3 +284,68 @@ def gap_fill_daily(
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("day_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+def gap_fill_interpolate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily resample with LINEAR interpolation across gaps —
+    ``gap_fill_daily``'s companion for continuous metrics where
+    carry-forward understates a trend: a gap day's value is the linear
+    blend of the surrounding observed days,
+    ``prev + (next − prev) · (day − prev_day)/(next_day − prev_day)``.
+
+    Same dense-grid construction as gap_fill_daily; the interpolation
+    needs BOTH neighbors, so two ignoreNulls window passes (last()
+    looking back, first() looking forward) run over the same per-key
+    day order — one partitioning, two logical windows, no joins beyond
+    the grid's. Grid endpoints are observed days by construction, so
+    both neighbors always exist. Output: (key, day_num INT, day_value
+    DOUBLE NULL on gaps, interp_value DOUBLE, is_gap INT)."""
+    daily = (
+        events.select(
+            F.col(key_col),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("day_num"),
+            F.col(value_col),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(F.round(F.sum(value_col), 2).alias("day_value"))
+    )
+    bounds = daily.groupBy(key_col).agg(
+        F.min("day_num").alias("_d0"), F.max("day_num").alias("_d1")
+    )
+    grid = bounds.select(
+        key_col, F.explode(F.sequence("_d0", "_d1")).alias("day_num")
+    )
+    joined = grid.join(daily, [key_col, "day_num"], "left")
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("day_num")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day_num"))
+    prev_v = F.last("day_value", ignorenulls=True).over(back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(back)
+    next_v = F.first("day_value", ignorenulls=True).over(fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(fwd)
+    frac = (F.col("day_num") - prev_d).cast("double") / (
+        next_d - prev_d
+    ).cast("double")
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.select(
+        key_col,
+        F.col("day_num").cast("int").alias("day_num"),
+        "day_value",
+        F.round(interp, 4).alias("interp_value"),
+        F.col("day_value").isNull().cast("int").alias("is_gap"),
+    )

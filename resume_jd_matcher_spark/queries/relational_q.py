@@ -1153,3 +1153,57 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hottest_vs_mean"),
         )
     )
+
+
+@register(
+    "gap_fill_interpolate",
+    """
+WITH daily AS (
+  SELECT user_id, (ts::DATE - DATE '1970-01-01') AS day_num,
+         round(sum(value), 2) AS day_value
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day_num) AS d0, max(day_num) AS d1
+  FROM daily GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day_num FROM bounds
+), j AS (
+  SELECT g.user_id, g.day_num, d.day_value
+  FROM grid g
+  LEFT JOIN daily d ON g.user_id = d.user_id AND g.day_num = d.day_num
+), nb AS (
+  SELECT user_id, day_num, day_value,
+         last_value(day_value IGNORE NULLS) OVER w_back AS prev_v,
+         last_value(CASE WHEN day_value IS NOT NULL THEN day_num END
+                    IGNORE NULLS) OVER w_back AS prev_d,
+         first_value(day_value IGNORE NULLS) OVER w_fwd AS next_v,
+         first_value(CASE WHEN day_value IS NOT NULL THEN day_num END
+                     IGNORE NULLS) OVER w_fwd AS next_d
+  FROM j
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY day_num
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day_num::INT AS day_num, day_value,
+       round(CASE WHEN day_value IS NOT NULL THEN day_value
+                  ELSE prev_v + (next_v - prev_v)
+                       * (day_num - prev_d)::DOUBLE
+                       / (next_d - prev_d)::DOUBLE END,
+             4) AS interp_value,
+       (day_value IS NULL)::INT AS is_gap
+FROM nb
+""",
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/W4 [EXT]: dense daily resample with LINEAR interpolation —
+    gap_fill_daily's companion for continuous metrics where
+    carry-forward understates trends: each gap day blends the
+    surrounding observed days by its fractional position. Two
+    ignoreNulls window passes (backward last, forward first) over ONE
+    per-key partitioning; grid endpoints are observed by construction
+    so both neighbors always exist
+    (operators/relational.py:gap_fill_interpolate)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return relational.gap_fill_interpolate(e)

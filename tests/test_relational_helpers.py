@@ -162,3 +162,27 @@ def test_gap_fill_daily_locf(spark):
     assert out[(1, base + 3)]["is_gap"] == 0
     assert out[(1, base + 3)]["filled_value"] == 1.5
     assert out[(2, base + 1)]["is_gap"] == 0
+
+
+def test_gap_fill_interpolate_linear_blend(spark):
+    """A 3-day gap between observed values 10.0 and 2.0 interpolates
+    linearly (8, 6, 4); observed days keep their own value."""
+    import datetime as dt
+
+    from resume_jd_matcher_spark.operators.relational import (
+        gap_fill_interpolate,
+    )
+
+    rows = [
+        (1, dt.datetime(2026, 2, 1, 9), 10.0),
+        (1, dt.datetime(2026, 2, 5, 9), 2.0),  # 3 gap days between
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    base = (dt.date(2026, 2, 1) - dt.date(1970, 1, 1)).days
+    out = {r["day_num"]: r for r in gap_fill_interpolate(df).collect()}
+    assert len(out) == 5
+    assert out[base]["interp_value"] == 10.0 and out[base]["is_gap"] == 0
+    assert out[base + 1]["interp_value"] == 8.0
+    assert out[base + 2]["interp_value"] == 6.0
+    assert out[base + 3]["interp_value"] == 4.0
+    assert out[base + 4]["interp_value"] == 2.0
