@@ -1693,3 +1693,70 @@ def q_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(ws).cast("bigint").alias("cluster_size"),
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+@register(
+    "corpus_health_scorecard",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         {SQL_TOKS.format(c='text')} AS toks,
+         length(text) AS nc,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), q AS (
+  SELECT doc_id, source, fp,
+         len(toks) AS ntok,
+         len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+           / nullif(len(toks), 0) AS stop_r,
+         len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+           / nullif(nc, 0) AS digit_r
+  FROM t
+), scored AS (
+  SELECT doc_id, source, fp, ntok,
+         round(0.5 * least(ntok::DOUBLE / 100.0, 1.0)
+             + 0.3 * (1.0 - least(stop_r * 2.0, 1.0))
+             + 0.2 * (1.0 - least(digit_r * 10.0, 1.0)) + 1e-9, 4) AS quality
+  FROM q
+), fpc AS (
+  SELECT fp, count(*)::BIGINT AS n FROM scored GROUP BY fp
+)
+SELECT s.source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(s.quality) + 1e-9, 4) AS mean_quality,
+       round(avg(s.ntok) + 1e-9, 2) AS mean_tokens,
+       sum((f.n > 1)::BIGINT)::BIGINT AS dup_docs,
+       round(sum((f.n > 1)::BIGINT)::DOUBLE / count(*) + 1e-9, 4) AS dup_share
+FROM scored s JOIN fpc f ON s.fp = f.fp
+GROUP BY s.source
+""",
+)
+def q_corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source corpus health rollup — the monitoring view a
+    curation pipeline publishes per ingest batch: document counts,
+    mean blended quality (text_quality's formula, rounded per doc
+    before averaging), mean length, and exact-duplicate share via the
+    corpus-wide fingerprint counts. Three map-side-combined aggs + one
+    fingerprint equi-join; every input signal is an individually
+    oracle-verified operator, composed here into one scan-and-roll
+    plan."""
+    from resume_jd_matcher_spark.functions.text import fingerprint_md5
+    from resume_jd_matcher_spark.operators.textstats import text_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    q = text_quality(d).select("doc_id", "n_tokens", "quality")
+    base = d.select("doc_id", "source", fingerprint_md5("text").alias("fp"))
+    fpc = base.groupBy("fp").agg(F.count("*").alias("n"))
+    joined = base.join(q, "doc_id").join(fpc, "fp")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality") + F.lit(1e-9), 4).alias("mean_quality"),
+        F.round(F.avg("n_tokens") + F.lit(1e-9), 2).alias("mean_tokens"),
+        F.sum((F.col("n") > 1).cast("bigint")).alias("dup_docs"),
+        F.round(
+            F.sum((F.col("n") > 1).cast("bigint"))
+            / F.count("*").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("dup_share"),
+    )
