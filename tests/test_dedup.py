@@ -230,3 +230,23 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
 
     jac = dedup.ngram_jaccard_join(df, n=3, min_jaccard=0.0).collect()
     assert jac[0]["jaccard"] < 0.1  # symmetric measure misses it
+
+
+def test_quality_aware_dedup_keeps_longest_member(spark, monkeypatch):
+    """The keep flag lands on the longest cluster member, not the
+    lowest id (the policy difference vs min-id reps)."""
+    from resume_jd_matcher_spark.queries.text_q import q_quality_aware_dedup
+    import resume_jd_matcher_spark.queries.text_q as tq
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),              # near-dup of 1 (same token set)
+        (1, base + " " + base),  # same set, double length -> keeper
+        (2, "unrelated text entirely about something else altogether"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(tq, "load_table", lambda s, d, n: df)
+    out = {r["doc_id"]: r for r in q_quality_aware_dedup(spark, "ignored").collect()}
+    cluster = {d: r for d, r in out.items() if r["cluster_size"] > 1}
+    assert set(cluster) == {0, 1}
+    assert out[1]["keep"] == 1 and out[0]["keep"] == 0  # longest wins, not min id
