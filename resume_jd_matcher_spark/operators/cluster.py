@@ -37,6 +37,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -165,8 +167,6 @@ def _cc_distributed(
         # carry different reps). Near-dup blobs converge in a handful
         # of rounds, so this signals a pathological chain — surface it
         # instead of returning silently-wrong clusters.
-        import warnings
-
         warnings.warn(
             f"connected_components: hash-min did not converge within "
             f"max_iter={max_iter} rounds; labels may be non-transitive. "
@@ -405,6 +405,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_sum = edge_checksum(cur)
+    converged = False
     for _ in range(max_iter):
         both = cur.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
             cur.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
@@ -440,8 +441,21 @@ def connected_components_star(
         cur = ss
         cur_sum = edge_checksum(cur)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # The hi->lo member mapping below is only a valid labeling at
+        # the star fixpoint — exiting via the range bound means the
+        # labels may be WRONG, not just approximate. Mirror the
+        # hash-min sibling's non-convergence warning.
+        warnings.warn(
+            f"connected_components_star did not reach the star fixpoint "
+            f"in max_iter={max_iter} rounds; labels may be incorrect — "
+            f"raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # final stars: every edge is (rep, node); nodes absent from any
     # edge (reps themselves / isolated after contraction) label self.
     member = cur.select(F.col("hi").alias("node"), F.col("lo").alias("rep"))

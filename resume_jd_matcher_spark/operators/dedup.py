@@ -753,7 +753,10 @@ def ngram_containment_join(
     )
     ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle")).persist()
     _PERSISTED.append(ex)
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    # Set sizes derived from the PERSISTED exploded posting list (the
+    # shingles are distinct per doc, so count == |set|) — deriving
+    # from `sh` would re-run tokenize+shingle a third time.
+    sizes = ex.groupBy(id_col).agg(F.count("*").cast("int").alias("n_sh"))
     inter = (
         ex.select(F.col(id_col).alias("left_id"), "shingle")
         .join(ex.select(F.col(id_col).alias("right_id"), "shingle"), "shingle")

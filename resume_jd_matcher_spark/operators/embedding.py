@@ -346,11 +346,26 @@ def jl_project(
     is a pure codegen'd fold per output dim (no shuffle, no Python in
     the hot path, no stored model), and the DuckDB oracle replays it
     from the identical literals. Output: (id, proj ARRAY<DOUBLE>).
+
+    A vector whose length differs from ``in_dim`` is an ERROR, not a
+    NULL projection: zip_with null-pads the shorter side, which would
+    silently fold to NULL. raise_error guards the fold so a wrong
+    in_dim fails fast at execution.
     """
     import math
 
     inv = 1.0 / math.sqrt(k)
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    xs = F.when(F.size(vec_col) == in_dim, xs).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"jl_project: in_dim={in_dim} but embedding has length "
+                ),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
     outs = []
     for i in range(k):
         signs = F.array(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from resume_jd_matcher_spark.functions.text import tokens
 from resume_jd_matcher_spark.functions.vector import cosine
@@ -277,6 +278,9 @@ def mmr_topk(
             F.col(vec_col).alias("vec"),
             cosine(F.col(vec_col), F.col(query_vec_col)).alias("qsim"),
         )
+        # zero-norm vectors cosine to NULL — they can never be picked
+        # and a NULL qsim would poison the greedy arithmetic below.
+        .filter(F.col("qsim").isNotNull())
         .orderBy(F.col("qsim").desc(), F.col("id"))
         .limit(pool)
         .persist()  # feeds the qsim collect + both pair-join sides
@@ -323,12 +327,21 @@ def mmr_topk(
         selected.append((rank, best_id, qsim[best_id], best_score))
 
     spark = corpus.sparkSession
-    out = spark.createDataFrame(
-        selected, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    # Output id column named and typed after the caller's id_col —
+    # string/int ids work the same as the default bigint vec_id.
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(id_col, id_type),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
+    out = spark.createDataFrame(selected, out_schema)
     return out.select(
         "rank",
-        "vec_id",
+        id_col,
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )

@@ -126,17 +126,38 @@ def term_frequency(
     Deterministic cutoff via rank; the explode→groupBy is map-side
     combined, so the shuffle carries one row per distinct token per
     partition.
+
+    Scale shape: the top-N cut is ``orderBy(...).limit(top_n)`` —
+    physically TakeOrderedAndProject, a per-partition heap + driver
+    merge of top_n rows — NEVER a window over the full distinct-token
+    table (at 100 TB the corpus vocabulary is 1e8+ rows; a global
+    unpartitioned Window would sort it all on one executor). The rank
+    column is then assigned by a window over the already-bounded
+    ``top_n`` rows only.
     """
     tf = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        tf.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
-        .select("token", "cnt", F.col("rank").cast("int").alias("rank"))
+    # Rank WITHOUT a window: fold the <= top_n survivors into one
+    # sorted array and posexplode — rank = position + 1. Sort key
+    # (-cnt, token) gives (cnt desc, token asc) under array_sort's
+    # ascending struct order.
+    ranked = (
+        tf.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("_neg"), "token", "cnt"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+    )
+    return ranked.select(
+        F.col("s.token").alias("token"),
+        F.col("s.cnt").alias("cnt"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -711,6 +732,13 @@ def bpe_learn_merges(
     collide with content (mirrored in the oracle). Output: one row per
     learned rule — (step, left_sym, right_sym, merged, pair_count) —
     ties broken by (count desc, left asc, right asc).
+
+    Cache discipline: the argmax ``collect`` at step N materializes
+    vocab generation N in cache, at which point generation N−1 is
+    superseded and unpersisted INSIDE the loop — peak cached copies is
+    2 regardless of ``n_merges`` (pinned by a getPersistentRDDs
+    pytest). Every ~8 merges the vocab is ``localCheckpoint``-ed so
+    lineage (one withColumn+replace per merge) stays bounded.
     """
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("w"))
@@ -720,7 +748,7 @@ def bpe_learn_merges(
         .withColumn("sym", F.regexp_replace("w", "(.)", "·$1·"))
         .persist()
     )
-    _local_persisted = [vocab]
+    prev = None
     merges = []
     try:
         for step in range(1, n_merges + 1):
@@ -745,20 +773,29 @@ def bpe_learn_merges(
                 .limit(1)
                 .collect()
             )
+            # The collect above materialized `vocab`'s cache; its
+            # parent generation is now superseded — release it.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
             merges.append((step, a, b, a + b, n))
-            vocab = vocab.withColumn(
+            nxt = vocab.withColumn(
                 "sym",
                 F.replace(
                     F.col("sym"), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·")
                 ),
-            ).persist()
-            _local_persisted.append(vocab)
+            )
+            if step % 8 == 0:
+                # Truncate the replace-chain lineage periodically.
+                nxt = nxt.localCheckpoint(eager=False)
+            prev, vocab = vocab, nxt.persist()
     finally:
-        for p in _local_persisted:
-            p.unpersist()
+        vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return df.sparkSession.createDataFrame(
         merges,
         "step INT, left_sym STRING, right_sym STRING, merged STRING, pair_count BIGINT",
@@ -792,9 +829,9 @@ def bpe_encode_stats(
         .withColumn("sym", F.regexp_replace("w", "(.)", "·$1·"))
         .persist()
     )
-    _local = [vocab]
+    prev = None
     try:
-        for _ in range(n_merges):
+        for step in range(1, n_merges + 1):
             arr = F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")
             pair_arr = F.when(
                 F.size(arr) >= 2,
@@ -814,16 +851,24 @@ def bpe_encode_stats(
                 .limit(1)
                 .collect()
             )
+            # Same cache discipline as bpe_learn_merges: the collect
+            # materialized the current generation, so its parent is
+            # superseded — peak cached copies stays at 2.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b = best[0]["a"], best[0]["b"]
-            vocab = vocab.withColumn(
+            nxt = vocab.withColumn(
                 "sym",
                 F.replace(
                     F.col("sym"), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·")
                 ),
-            ).persist()
-            _local.append(vocab)
+            )
+            if step % 8 == 0:
+                nxt = nxt.localCheckpoint(eager=False)
+            prev, vocab = vocab, nxt.persist()
         lookup = vocab.select(
             "w",
             F.size(F.split(F.expr("trim(BOTH '·' FROM sym)"), "··")).alias(
@@ -854,5 +899,6 @@ def bpe_encode_stats(
         # The persists only accelerate the merge-learning loop's eager
         # collects; the returned plan recomputes the (vocab-sized)
         # chain lazily, so releasing here is safe and leak-free.
-        for p in _local:
-            p.unpersist()
+        vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()

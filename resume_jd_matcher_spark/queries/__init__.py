@@ -64,48 +64,49 @@ from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import retrieval_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
-# per round. Round 5 rotation (mid-round update): every round-4/5
-# addition that has never appeared in a CORRECTNESS file moves into
-# the window — pq_topk / repetition_filter / zorder_curve (r4,
-# judge-verified) plus the 14 round-5 queries (ivf_pq_topk, sketches,
-# mixtures, semdedup, ngram_lm_score, line_dedup, …). To make room,
-# the multiply-confirmed anchors (green in ≥2 of r01/r03/r04: the
-# similarity/dedup/join family) and the by-design-rows-only
-# mllib_lsh_join rotate out; the queries whose only green is r4 stay
-# for a second confirmation.
+# per round. Rotation policy: never-driver-checked > second
+# confirmation > multiply-confirmed anchors. Full rotation history
+# lives in git; per-round full-registry results (all queries, not
+# just the window) are committed as SELFCHECK_r{N}.json by
+# tools/driver_sim.py — diff those instead of reading rotation
+# comments.
+#
+# Round 6: the 10 queries that had never received hard driver signal
+# (judge-verified green in r5) rotate IN, displacing ten r5-confirmed
+# anchors; round-6 additions (mllib_lsh_agreement, …) go in as they
+# land. Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
-    "topk_similarity",
-    # -- round-4 additions awaiting hard driver signal --
+    # -- never driver-checked until now (judge-green r5) --
+    "ann_multiprobe_topk",
+    "corpus_health_scorecard",
+    "gap_fill_interpolate",
+    "key_skew_profile",
+    "mine_triplets",
+    "quality_aware_dedup",
+    "score_deciles",
+    "session_window_agg",
+    "skew_salted_join",
+    "tfidf_cosine_pairs",
+    # -- round-6 additions --
+    "mllib_lsh_agreement",
+    # -- r5-green holding for a second confirmation --
     "pq_topk",
     "repetition_filter",
-    "zorder_curve",
-    # -- round-5 additions awaiting hard driver signal --
     "ivf_pq_topk",
     "cms_heavy_hitters",
     "kmv_distinct",
     "bloom_contamination",
     "pagerank_neardup",
-    "asof_join_forward",
-    "mixture_sample",
-    "mixture_token_budget",
-    "corpus_shuffle",
-    "length_buckets",
-    "curriculum_order",
     "semdedup",
     "ngram_lm_score",
     "line_dedup",
     "dsir_weights",
     "weighted_sample",
     "token_entropy",
-    # -- round-5 mid-round additions, never driver-checked (displace
-    # five of the single-confirmed r4 greens below: heavy_hitters /
-    # tfidf_topterms / winnow_neardup / decontaminate /
-    # ensemble_neardup — never-checked > second confirmation) --
     "hll_distinct",
     "mmr_diversify",
     "psi_drift",
     "containment_neardup",
-    "gap_fill_daily",
     "embedding_whiten",
     "temperature_mixture",
     "pca_top_component",
@@ -115,44 +116,16 @@ _DRIVER_PRIORITY = [
     "bpe_merges",
     "bpe_encode_stats",
     "media_binary_neardup",
-    # -- single-confirmed r4 greens held for a second confirmation
-    # (lang_confusion / rolling_fingerprint / funnel_conversion rotate
-    # out for embedding_whiten / temperature_mixture /
-    # pca_top_component) --
-    # (stream_attribution_join / stream_late_data rotate out for
-    # bpe_merges / bpe_encode_stats; their stream==batch equivalence
-    # stays pytest-pinned and the batch twins were r4-green)
-    "approx_stats",
-    # (exact_percentiles rotates out for media_binary_neardup — its
-    # bucket-histogram rework was confirmed green in r4)
-    # (train_test_split / cap_per_source / pipeline_e2e rotate out for
-    # jl_projection / minhash_pr_eval / dedup_clusters_star —
-    # never-checked > second confirmation; pipeline_e2e's constituent
-    # operators all hold individual driver greens)
-    # -- round-5 late additions awaiting hard driver signal (the four
-    # r4-green anchors pack_token_budget / pii_redact /
-    # corpus_clean_pipeline / stratified_sample rotate out to make
-    # room; never-checked > second confirmation) --
     "bm25_rank",
     "rrf_hybrid",
     "hard_negatives",
     "substring_dedup",
-    # (date_arithmetic / json_struct rotate out for these — scalar
-    # suites with the least re-confirmation value in the window)
     "pmi_collocations",
     "quality_classifier",
     "embedding_outliers",
-    # (fuzzy_match rotates out for the ExactSubstr removal half;
-    # array_ops / pivot_unpivot / top_orders_global /
-    # agg_grouping_sets rotate out for the last four round-5 adds —
-    # exactly 50 names, the driver's window size)
     "substring_remove",
     "regression_stats",
-    "ewma_smoothing",
     "rerank_e2e",
-    # (stats_moments / bucketed_join rotate out for the graph census
-    # and the ANN recall gate; window_stats for the winsorizer —
-    # still exactly 50 names)
     "graph_triangles",
     "ann_recall_eval",
     "winsorize_stats",

@@ -760,8 +760,19 @@ def q_ensemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own scale-safe candidate path (banded equi-joins); the vote is
     one union + hash agg. Ensembling kills each method's
     false-positive mode (LSH band collisions, SimHash short-doc
-    noise) without an O(N²) verify pass."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    noise) without an O(N²) verify pass.
+
+    The filtered document scan feeds all THREE signal paths, so it is
+    persisted once here (tracked in dedup._PERSISTED for release by
+    bench / long-lived sessions) — without it the corpus is re-scanned
+    and re-tokenized once per signal."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .persist()
+    )
+    dedup._PERSISTED.append(d)
     mh = (
         dedup.minhash_lsh_candidates(d, n_hashes=16, rows_per_band=4)
         .filter(F.col("est_jaccard") >= 0.7)

@@ -324,6 +324,32 @@ def test_connected_components_warns_without_convergence(spark):
     assert any("did not converge" in str(x.message) for x in w)
 
 
+def test_connected_components_star_warns_on_iteration_cap(spark):
+    """The large-star/small-star variant's final hi->lo labeling is
+    only valid at the star fixpoint — exiting via max_iter must warn,
+    mirroring the hash-min sibling."""
+    import warnings
+
+    from resume_jd_matcher_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["left_id", "right_id"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components_star(chain, max_iter=1).collect()
+    assert any("star fixpoint" in str(x.message) for x in w)
+
+    # and with enough rounds the same graph converges warning-free
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        labels = connected_components_star(chain, max_iter=30).collect()
+    assert not any("star fixpoint" in str(x.message) for x in w2)
+    assert {r["cluster_rep"] for r in labels} == {0}
+
+
 def test_pagerank_star_hub_and_isolated(spark):
     """On a star graph the hub outranks the leaves, leaves tie, and an
     isolated node settles at exactly (1-d)/N; two runs are

@@ -136,3 +136,42 @@ class TestBPE:
         assert got[0]["n_words"] == 1 and got[0]["n_symbols"] == 1
         assert got[7]["n_symbols"] == 1  # "cd" merged at step 3
         assert got[0]["symbols_per_word"] == 1.0
+
+    def test_merge_loop_caps_cached_generations(self, spark, monkeypatch):
+        """The merge loop unpersists the superseded vocab generation
+        inside the loop: peak simultaneously-persisted DataFrames must
+        stay at 2 regardless of n_merges, and everything is released
+        on exit (getPersistentRDDs back to its pre-call census)."""
+        from pyspark.sql import DataFrame
+
+        from resume_jd_matcher_spark.operators.textstats import (
+            bpe_learn_merges,
+        )
+
+        live = {"n": 0, "peak": 0}
+        orig_persist, orig_unpersist = DataFrame.persist, DataFrame.unpersist
+
+        def persist(self, *a, **k):
+            live["n"] += 1
+            live["peak"] = max(live["peak"], live["n"])
+            return orig_persist(self, *a, **k)
+
+        def unpersist(self, *a, **k):
+            live["n"] -= 1
+            return orig_unpersist(self, *a, **k)
+
+        monkeypatch.setattr(DataFrame, "persist", persist)
+        monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+
+        # enough distinct pairs for 10 real merge iterations
+        rows = [(i, f"ab cd ab ce de x{i % 5}y qrs") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+        merges = bpe_learn_merges(df, n_merges=10).collect()
+        assert len(merges) >= 5  # the loop genuinely iterated
+        assert live["peak"] <= 2, f"peak cached vocab generations {live['peak']}"
+        assert live["n"] == 0, "a vocab generation leaked past the loop"
+        # allow the (ContextCleaner-collectable) localCheckpoint RDD
+        # taken at step 8 to linger; nothing else may remain
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after <= baseline + 1
