@@ -49,8 +49,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL).
+
+    ``try_divide``, not ``/``: under ANSI mode (Spark 4 default) a
+    plain division by a zero norm throws instead of yielding the
+    documented NULL."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def faiss_score(dist: Column) -> Column:

@@ -496,3 +496,87 @@ def mine_triplets(
         F.round("n.dist", 4).alias("neg_dist"),
         F.round(F.col("n.dist") - F.col("p.dist"), 4).alias("margin"),
     )
+
+
+def margin_bitext_mine(
+    emb: DataFrame,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    nbr_k: int = 4,
+    min_margin: float = 1.0,
+    max_src_id: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"): for each source-group vector, find the target-group
+    vector maximizing the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((nbr(x) + nbr(y)) / 2)
+
+    where nbr(v) is the mean cosine of v's top-``nbr_k`` neighbors in
+    the opposite group — raw cosine over-selects "hub" sentences that
+    are close to everything; dividing by the neighborhood mean cancels
+    the hubness (the trick that makes mined bitext usable as training
+    pairs). Forward mining: the best target per source, kept when
+    margin > ``min_margin``.
+
+    Scale shape: the source side is bounded (``max_src_id``,
+    broadcast) so scoring is a broadcast join streamed over the target
+    group; both neighborhood means are rank-window + hash-agg keyed on
+    their own id (partitioned windows, never global). At corpus scale
+    the candidate generation swaps to the ANN path (operators/ann.py)
+    exactly like exact top-k does — the margin algebra is unchanged.
+
+    Output: (src_id, tgt_id, cos, margin), one row per mined source.
+    """
+    from resume_jd_matcher_spark.functions.vector import cosine
+
+    src = emb.filter(
+        (F.col(label_col) == src_label) & (F.col(id_col) < max_src_id)
+    ).select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_se"))
+    tgt = emb.filter(F.col(label_col) == tgt_label).select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_te")
+    )
+    sims = (
+        tgt.crossJoin(F.broadcast(src))
+        .select("src_id", "tgt_id", cosine("_se", "_te").alias("cos"))
+        .filter(F.col("cos").isNotNull())
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.col("cos").desc(), F.col("src_id"))
+    ranked = sims.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    xn = (
+        ranked.filter(F.col("rx") <= nbr_k)
+        .groupBy("src_id")
+        .agg(F.avg("cos").alias("xn"))
+    )
+    yn = (
+        ranked.filter(F.col("ry") <= nbr_k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cos").alias("yn"))
+    )
+    margined = (
+        sims.join(F.broadcast(xn), "src_id")
+        .join(yn, "tgt_id")
+        .withColumn(
+            "margin", F.col("cos") / ((F.col("xn") + F.col("yn")) / 2)
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    return (
+        margined.withColumn("rb", F.row_number().over(wbest))
+        .filter((F.col("rb") == 1) & (F.col("margin") > min_margin))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("cos") + F.lit(1e-9), 6).alias("cos"),
+            F.round(F.col("margin") + F.lit(1e-9), 6).alias("margin"),
+        )
+    )

@@ -446,3 +446,104 @@ def temperature_mixture(
         .filter(F.col("_rn") <= F.col("_target"))
         .drop("_rn", "_target")
     )
+
+
+def negative_sampling(
+    df: DataFrame,
+    k: int = 4,
+    vocab_size: int = 200,
+    n_bins: int = 64,
+    weight_scale: int = 1000,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic unigram^0.75 negative sampling (Mikolov et al.
+    2013, word2vec's noise distribution): draw ``k`` negative tokens
+    per document from P(w) ∝ count(w)^0.75 over the top
+    ``vocab_size`` corpus tokens — the contrastive-pair generator for
+    embedding training, with hash draws instead of RNG so every run
+    (and the DuckDB oracle) reproduces the same samples.
+
+    All sampling arithmetic is INTEGER: weights are
+    round(cnt^0.75 · weight_scale) BIGINT, the CDF is an integer
+    cumulative sum over the bounded vocabulary (order-exact on both
+    engines — float cumsums are not, DuckDB windows sum via segment
+    trees), and the draw is r = hash32(id:j#seed) mod Σw. Inversion
+    is the binned-range-join pattern (operators/relational.py
+    range_join_binned): each vocab interval [lo, hi) expands to the
+    integer bins it covers, draws join on bin = r·B div Σw — an
+    equi-join with ≤ (Σw span)/B interval checks per draw, never a
+    draws × vocab nested loop.
+
+    Scale shape: the vocab fit is one token hash agg cut to
+    vocab_size by TakeOrderedAndProject; CDF + bins live on the
+    ≤1000-row bounded vocab (asserted) and broadcast; draws are
+    docs × k rows joined to the broadcast bin table. Σw must stay
+    below 2³¹ (hash32's range) for the modulo to cover the CDF —
+    asserted at fit time; raise weight granularity, not corpus size,
+    if it trips.
+
+    Output: (id, j, neg_token) — k rows per document.
+    """
+    assert vocab_size <= 1000, "sampling vocabulary is a bounded broadcast dim"
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select(
+            "tok",
+            "cnt",
+            F.round(F.pow(F.col("cnt").cast("double"), 0.75) * weight_scale)
+            .cast("bigint")
+            .alias("wt"),
+        )
+    )
+    w_cdf = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = vocab.select(
+        "tok",
+        "cnt",
+        "wt",
+        F.sum("wt").over(w_cdf).alias("hi"),
+    ).select("tok", "cnt", "wt", (F.col("hi") - F.col("wt")).alias("lo"), "hi")
+    total_row = cdf.agg(F.max("hi").alias("w_total")).collect()[0]
+    w_total = int(total_row["w_total"])
+    assert 0 < w_total < 2**31, "integer CDF must fit hash32's range"
+
+    bins = cdf.select(
+        "tok",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo * {n_bins} DIV {w_total}"),
+                F.expr(f"(hi - 1) * {n_bins} DIV {w_total}"),
+            )
+        ).alias("bin"),
+    )
+    draws = df.select(F.col(id_col)).select(
+        id_col, F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    )
+    r = (
+        hash32(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+                F.lit(f"#{seed}"),
+            )
+        )
+        % w_total
+    )
+    drawn = draws.select(id_col, "j", r.alias("r")).withColumn(
+        "bin", F.expr(f"r * {n_bins} DIV {w_total}")
+    )
+    return (
+        drawn.join(F.broadcast(bins), "bin")
+        .filter((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        .select(id_col, F.col("j").cast("int").alias("j"), F.col("tok").alias("neg_token"))
+    )

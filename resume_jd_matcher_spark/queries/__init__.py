@@ -62,6 +62,7 @@ from resume_jd_matcher_spark.queries import advanced_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import retrieval_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import analytics_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -89,20 +90,24 @@ _DRIVER_PRIORITY = [
     "tfidf_cosine_pairs",
     # -- round-6 additions --
     "mllib_lsh_agreement",
+    "keyword_tag",
+    "skill_coverage",
+    "cohort_retention",
+    "wilson_ranking",
+    "seasonal_adjust",
+    "benford_dq",
+    "negative_sampling",
+    "margin_bitext",
+    "heaps_law",
+    "ngram_diversity",
+    "rolling_anomaly",
+    "inverted_index",
+    "align_uniformity",
     # -- r5-green holding for a second confirmation --
-    "pq_topk",
-    "repetition_filter",
-    "ivf_pq_topk",
-    "cms_heavy_hitters",
-    "kmv_distinct",
-    "bloom_contamination",
-    "pagerank_neardup",
     "semdedup",
     "ngram_lm_score",
     "line_dedup",
     "dsir_weights",
-    "weighted_sample",
-    "token_entropy",
     "hll_distinct",
     "mmr_diversify",
     "psi_drift",
@@ -124,11 +129,8 @@ _DRIVER_PRIORITY = [
     "quality_classifier",
     "embedding_outliers",
     "substring_remove",
-    "regression_stats",
     "rerank_e2e",
     "graph_triangles",
-    "ann_recall_eval",
-    "winsorize_stats",
 ]
 
 

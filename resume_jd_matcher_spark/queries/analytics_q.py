@@ -1,0 +1,561 @@
+"""Corpus/event analytics queries: cohort retention, Wilson-bound
+source ranking, day-of-week seasonal adjustment, Benford data-quality
+screen (SURVEY.md §2.D A4 / §2.E W4 [EXT] — the monitoring layer a
+training-data pipeline runs beside dedup/quality filtering).
+
+Portability contracts shared with the oracles:
+- timestamps exposed as epoch BIGINT (never raw);
+- day-of-week computed as ``floor(epoch/86400) % 7`` (0 = Thursday,
+  1970-01-01) — both engines' native dayofweek disagree on week
+  origin, the modulo doesn't;
+- every float rounded in-query on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+
+@register(
+    "cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), sizes AS (
+  SELECT cohort, count(*)::BIGINT AS cohort_users FROM firsts GROUP BY cohort
+), ret AS (
+  SELECT f.cohort,
+         (date_diff('day', f.cohort, a.wk) / 7)::INT AS offset_weeks,
+         count(DISTINCT a.user_id)::BIGINT AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY f.cohort, offset_weeks
+)
+SELECT floor(epoch(r.cohort))::BIGINT AS cohort_epoch,
+       r.offset_weeks,
+       s.cohort_users,
+       r.n_active,
+       round(r.n_active / s.cohort_users::DOUBLE, 4) AS retention
+FROM ret r JOIN sizes s USING (cohort)
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: weekly cohort retention — users grouped by the
+    week of their first event; for each (cohort, week offset) the
+    share of the cohort still active. The standard growth-analytics
+    triangle.
+
+    Scale shape: first-activity is one user-keyed hash agg; the
+    active-week set is a distinct on (user, week) — both map-side
+    combinable; the retention agg re-keys on (cohort, offset). The
+    cohort-size dim is |weeks|-bounded and broadcast. No windows, no
+    corpus² anywhere."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").alias("cohort_users")
+    )
+    ret = (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("offset_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort").select(
+        F.unix_timestamp("cohort").alias("cohort_epoch"),
+        "offset_weeks",
+        "cohort_users",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.col("cohort_users").cast("double"), 4
+        ).alias("retention"),
+    )
+
+
+@register(
+    "wilson_ranking",
+    """
+WITH per_src AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_keep
+  FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs, n_keep,
+         round(n_keep / n_docs::DOUBLE, 4) AS keep_rate,
+         round(
+           (n_keep / n_docs::DOUBLE + 1.9208 / n_docs
+            - 1.96 * sqrt((n_keep / n_docs::DOUBLE) * (1 - n_keep / n_docs::DOUBLE) / n_docs
+                          + 0.9604 / (n_docs * n_docs::DOUBLE)))
+           / (1 + 3.8416 / n_docs) + 1e-9, 4) AS wilson_lower
+  FROM per_src
+)
+SELECT source, n_docs, n_keep, keep_rate, wilson_lower,
+       row_number() OVER (ORDER BY wilson_lower DESC, source)::INT AS rank
+FROM scored
+""",
+)
+def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: rank corpus sources by the Wilson score lower bound
+    (z = 1.96) of their quality keep-rate — the small-sample-robust
+    ranking (Wilson 1927; the "how not to sort by average rating"
+    correction): a source with 3/3 good docs must NOT outrank one
+    with 95/100. z² = 3.8416 folded in as literals on both engines.
+
+    Scale shape: one source-keyed hash agg over the corpus; the
+    scored table is |sources|-bounded, so the rank runs over a
+    bounded dimension (collect_list/posexplode, no unbounded
+    window)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_chars") >= 300).cast("bigint")).alias("n_keep"),
+    )
+    p = F.col("n_keep") / F.col("n_docs").cast("double")
+    n = F.col("n_docs")
+    wilson = (
+        p
+        + F.lit(1.9208) / n
+        - F.lit(1.96)
+        * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n * n.cast("double")))
+    ) / (1 + F.lit(3.8416) / n)
+    scored = per_src.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.round(p, 4).alias("keep_rate"),
+        F.round(wilson + F.lit(1e-9), 4).alias("wilson_lower"),
+    )
+    # |sources| is a bounded dimension: rank via one sorted-array fold
+    ranked = scored.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("wilson_lower")).alias("_neg"),
+                    "source",
+                    "n_docs",
+                    "n_keep",
+                    "keep_rate",
+                    "wilson_lower",
+                )
+            )
+        ).alias("arr")
+    ).select(F.posexplode("arr").alias("pos", "s"))
+    return ranked.select(
+        F.col("s.source").alias("source"),
+        F.col("s.n_docs").alias("n_docs"),
+        F.col("s.n_keep").alias("n_keep"),
+        F.col("s.keep_rate").alias("keep_rate"),
+        F.col("s.wilson_lower").alias("wilson_lower"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
+@register(
+    "seasonal_adjust",
+    """
+WITH daily AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT AS day_num,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, day_num
+), dow AS (
+  SELECT event_type, day_num % 7 AS dow_bucket, avg(n::DOUBLE) AS dow_mean
+  FROM daily GROUP BY event_type, dow_bucket
+), overall AS (
+  SELECT event_type, avg(n::DOUBLE) AS all_mean FROM daily GROUP BY event_type
+)
+SELECT d.event_type,
+       d.day_num * 86400 AS day_epoch,
+       d.n,
+       (d.day_num % 7)::INT AS dow_bucket,
+       round(w.dow_mean / o.all_mean + 1e-9, 4) AS seasonal_index,
+       round(d.n / (w.dow_mean / o.all_mean) + 1e-9, 4) AS adjusted_n
+FROM daily d
+JOIN dow w ON d.event_type = w.event_type AND d.day_num % 7 = w.dow_bucket
+JOIN overall o ON d.event_type = o.event_type
+""",
+)
+def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: day-of-week seasonal decomposition of the daily event
+    count — index = dow-mean / overall-mean per event type, adjusted
+    series = raw / index (classical multiplicative deseasonalizing,
+    the first step of an ops-metrics anomaly pipeline; weekday/weekend
+    cycles otherwise drown real shifts). Day-of-week is
+    ``floor(epoch/86400) % 7`` — identical on both engines regardless
+    of week-origin conventions.
+
+    Scale shape: raw events collapse to the daily grain FIRST (one
+    map-side-combinable agg); the dow and overall dims are 7×types and
+    types-bounded, broadcast back onto the daily table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day_num"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.count("*").alias("n"))
+    )
+    dow = daily.groupBy(
+        "event_type", (F.col("day_num") % 7).alias("dow_bucket")
+    ).agg(F.avg(F.col("n").cast("double")).alias("dow_mean"))
+    overall = daily.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("all_mean")
+    )
+    idx = F.col("dow_mean") / F.col("all_mean")
+    return (
+        daily.withColumn("dow_bucket", F.col("day_num") % 7)
+        .join(F.broadcast(dow), ["event_type", "dow_bucket"])
+        .join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            (F.col("day_num") * 86400).alias("day_epoch"),
+            "n",
+            F.col("dow_bucket").cast("int").alias("dow_bucket"),
+            F.round(idx + F.lit(1e-9), 4).alias("seasonal_index"),
+            F.round(F.col("n") / idx + F.lit(1e-9), 4).alias("adjusted_n"),
+        )
+    )
+
+
+@register(
+    "benford_dq",
+    """
+WITH digits AS (
+  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit
+  FROM orders WHERE o_totalprice >= 1
+), counts AS (
+  SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit
+), tot AS (SELECT sum(n)::DOUBLE AS total FROM counts)
+SELECT d.digit,
+       coalesce(c.n, 0)::BIGINT AS n,
+       round(coalesce(c.n, 0) / t.total + 1e-9, 6) AS observed_p,
+       round(log10(1 + 1.0 / d.digit) + 1e-9, 6) AS expected_p,
+       round(t.total * pow(coalesce(c.n, 0) / t.total - log10(1 + 1.0 / d.digit), 2)
+             / log10(1 + 1.0 / d.digit) + 1e-9, 6) AS chi2_term
+FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+LEFT JOIN counts c USING (digit)
+CROSS JOIN tot t
+""",
+)
+def q_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/DQ [EXT]: Benford's-law first-digit screen on order totals —
+    observed first-significant-digit distribution vs log10(1+1/d),
+    with per-digit chi-square contributions (Σ over the 9 rows is the
+    test statistic; a synthetic-uniform price column FAILS this
+    screen, which is the point of running it as data-quality
+    monitoring on financial-ish columns).
+
+    Scale shape: one 9-bucket hash agg over the scan + a broadcast of
+    the 1-row total; the digit dimension is a 9-row local range."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    dim = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_p = F.log10(1 + 1.0 / F.col("digit"))
+    obs_p = F.coalesce("n", F.lit(0)) / F.col("total")
+    return (
+        dim.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.round(obs_p + F.lit(1e-9), 6).alias("observed_p"),
+            F.round(exp_p + F.lit(1e-9), 6).alias("expected_p"),
+            F.round(
+                F.col("total") * F.pow(obs_p - exp_p, 2) / exp_p + F.lit(1e-9),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_SQL_TOKS = "string_split_regex(trim(lower({c})), '\\s+')"
+
+
+@register(
+    "heaps_law",
+    f"""
+WITH per_src AS (
+  SELECT source,
+         count(*)::BIGINT AS n_tokens,
+         count(DISTINCT tok)::BIGINT AS n_types
+  FROM (
+    SELECT source, unnest({_SQL_TOKS.format(c='text')}) AS tok
+    FROM documents
+  ) GROUP BY source
+), fit AS (
+  SELECT round(regr_slope(ln(n_types::DOUBLE), ln(n_tokens::DOUBLE)) + 1e-9, 4) AS beta,
+         round(exp(regr_intercept(ln(n_types::DOUBLE), ln(n_tokens::DOUBLE))) + 1e-9, 4) AS k,
+         round(regr_r2(ln(n_types::DOUBLE), ln(n_tokens::DOUBLE)) + 1e-9, 4) AS r2
+  FROM per_src
+)
+SELECT p.source, p.n_tokens, p.n_types,
+       round(p.n_types / p.n_tokens::DOUBLE + 1e-9, 4) AS ttr,
+       f.beta, f.k, f.r2
+FROM per_src p CROSS JOIN fit f
+""",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: vocabulary-growth diagnostics — per-source type/token
+    counts with type-token ratio, plus a corpus-level Heaps'-law fit
+    V = k·T^beta via log-log OLS over the source points (Heaps 1978;
+    natural text sits at beta ≈ 0.4-0.6 — template/boilerplate
+    corpora fall far below, making beta a corpus-health signal).
+
+    Scale shape: per-source token totals and distinct-type counts are
+    source-keyed hash aggs (distinct via the standard two-phase
+    expansion); the OLS fit is one regr_* agg over the
+    |sources|-bounded points, crossed back as a single broadcast
+    row."""
+    d = load_table(spark, sf_dir, "documents")
+    from resume_jd_matcher_spark.functions.text import tokens
+
+    per_tok = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    per_src = per_tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("n_types").cast("double"))
+    eps = F.lit(1e-9)
+    fit = per_src.agg(
+        F.round(F.regr_slope(ly, lx) + eps, 4).alias("beta"),
+        F.round(F.exp(F.regr_intercept(ly, lx)) + eps, 4).alias("k"),
+        F.round(F.regr_r2(ly, lx) + eps, 4).alias("r2"),
+    )
+    return per_src.crossJoin(F.broadcast(fit)).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens").cast("double") + eps, 4).alias("ttr"),
+        "beta",
+        "k",
+        "r2",
+    )
+
+
+@register(
+    "ngram_diversity",
+    f"""
+WITH t AS (
+  SELECT source, {_SQL_TOKS.format(c='text')} AS toks FROM documents
+), bi AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+)
+SELECT source,
+       count(*)::BIGINT AS n_bigrams,
+       count(DISTINCT bg)::BIGINT AS n_distinct,
+       round(count(DISTINCT bg) / count(*)::DOUBLE + 1e-9, 4) AS distinct_2
+FROM bi GROUP BY source
+""",
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: distinct-n diversity (the distinct-2 metric of Li et
+    al. 2016, "A Diversity-Promoting Objective Function") per source —
+    the share of bigram occurrences that are unique. Low distinct-2
+    flags template/boilerplate-heavy sources that per-doc repetition
+    filters miss (each doc clean, source degenerate).
+
+    Scale shape: pre-aggregate to (source, bigram, n) FIRST (one
+    map-side-combinable hash agg — the distinct), then roll up per
+    source; avoids Spark's multi-distinct Expand, which would double
+    the exploded stream."""
+    from resume_jd_matcher_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bi = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bg = bi.groupBy("source", "bg").agg(F.count("*").alias("n"))
+    return per_bg.groupBy("source").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.count("*") / F.sum("n").cast("double") + F.lit(1e-9), 4
+        ).alias("distinct_2"),
+    )
+
+
+@register(
+    "rolling_anomaly",
+    """
+WITH daily AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT AS day_num,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, day_num
+), stats AS (
+  SELECT event_type, day_num, n,
+         count(*)   OVER w AS w_n,
+         sum(n)     OVER w AS w_sum,
+         sum(n * n) OVER w AS w_sumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       day_num * 86400 AS day_epoch,
+       n,
+       round(w_sum / w_n::DOUBLE + 1e-9, 4) AS trail_mean,
+       CASE WHEN (w_sumsq - w_sum * w_sum / w_n::DOUBLE) > 0 THEN
+         round((n - w_sum / w_n::DOUBLE)
+               / sqrt((w_sumsq - w_sum * w_sum / w_n::DOUBLE) / (w_n - 1)) + 1e-9,
+               4) END AS z,
+       CASE WHEN (w_sumsq - w_sum * w_sum / w_n::DOUBLE) > 0 THEN
+         CASE WHEN abs((n - w_sum / w_n::DOUBLE)
+               / sqrt((w_sumsq - w_sum * w_sum / w_n::DOUBLE) / (w_n - 1))) > 2.5
+              THEN 1 ELSE 0 END
+       ELSE CASE WHEN n::DOUBLE != w_sum / w_n::DOUBLE THEN 1 ELSE 0 END
+       END AS is_anomaly
+FROM stats WHERE w_n >= 4
+""",
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: trailing-window anomaly detection on the daily event
+    count — z-score of each day against its own previous ≤7 days
+    (frame excludes the current row, so a spike can't mask itself).
+    Variance comes from EXACT INTEGER window sums (Σn, Σn²) — counts
+    are integers, so the moments are bit-identical on both engines
+    where float running sums would not be (segment-tree vs streaming
+    accumulation).
+
+    Scale shape: raw events collapse to the daily grain first; the
+    window is partitioned by event_type over day-grain rows (≤366/yr
+    per type), never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day_num"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day_num",
+        "n",
+        F.count("*").over(w).alias("w_n"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sumsq"),
+    ).filter(F.col("w_n") >= 4)
+    mean = F.col("w_sum") / F.col("w_n").cast("double")
+    ss = F.col("w_sumsq") - F.col("w_sum") * F.col("w_sum") / F.col("w_n").cast(
+        "double"
+    )
+    var = ss / (F.col("w_n") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    eps = F.lit(1e-9)
+    # A perfectly flat trailing window (ss == 0) has no scale: z is
+    # NULL by definition and any departure from the constant IS the
+    # anomaly — mirrored branch-for-branch in the oracle (a plain
+    # division would also throw under ANSI mode).
+    return stats.select(
+        "event_type",
+        (F.col("day_num") * 86400).alias("day_epoch"),
+        "n",
+        F.round(mean + eps, 4).alias("trail_mean"),
+        F.when(ss > 0, F.round(z + eps, 4)).alias("z"),
+        F.when(
+            ss > 0, F.when(F.abs(z) > 2.5, F.lit(1)).otherwise(F.lit(0))
+        )
+        .otherwise(
+            F.when(F.col("n").cast("double") != mean, F.lit(1)).otherwise(F.lit(0))
+        )
+        .alias("is_anomaly"),
+    )
+
+
+@register(
+    "inverted_index",
+    f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS.format(c='text')})) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM t GROUP BY tok
+  ORDER BY df DESC, tok LIMIT 20
+)
+SELECT d.tok AS token, d.df,
+       array_to_string(list_sort(list(i.doc_id))[1:10], ',') AS posting_head
+FROM df d JOIN t i USING (tok)
+GROUP BY d.tok, d.df
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: capped inverted-index build — posting lists for the
+    top-20 document-frequency terms, each truncated to its 10 lowest
+    doc ids (the deterministic "head" a search system materializes;
+    full postings for stopword-frequency terms are exactly what an
+    indexer does NOT store). The df cut is TakeOrderedAndProject; the
+    posting assembly joins the BROADCAST 20-term dim against the
+    distinct (doc, token) stream — corpus-sized work is one explode +
+    two hash aggs."""
+    from resume_jd_matcher_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    top = (
+        stream.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return (
+        stream.join(F.broadcast(top), "tok")
+        .groupBy("tok", "df")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("posting_head")
+        )
+        .select(F.col("tok").alias("token"), "df", "posting_head")
+    )

@@ -449,3 +449,54 @@ def q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.mine_triplets(
         emb.select("vec_id", "label", "embedding"), queries
     )
+
+
+@register(
+    "margin_bitext",
+    f"""
+WITH src AS (
+  SELECT vec_id AS src_id, embedding::DOUBLE[] AS se
+  FROM embeddings WHERE label = 0 AND vec_id < 200
+), tgt AS (
+  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS te
+  FROM embeddings WHERE label = 1
+), sims AS (
+  SELECT src_id, tgt_id,
+         ({SQL_DOT.format(a='se', b='te')})
+           / (({SQL_NORM.format(a='se')}) * ({SQL_NORM.format(a='te')})) AS cos
+  FROM src, tgt
+), ranked AS (
+  SELECT src_id, tgt_id, cos,
+         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rx,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS ry
+  FROM sims WHERE cos IS NOT NULL
+), xn AS (
+  SELECT src_id, avg(cos) AS xn FROM ranked WHERE rx <= 4 GROUP BY src_id
+), yn AS (
+  SELECT tgt_id, avg(cos) AS yn FROM ranked WHERE ry <= 4 GROUP BY tgt_id
+), margined AS (
+  SELECT s.src_id, s.tgt_id, s.cos,
+         s.cos / ((x.xn + y.yn) / 2) AS margin
+  FROM sims s JOIN xn x USING (src_id) JOIN yn y USING (tgt_id)
+  WHERE s.cos IS NOT NULL
+), best AS (
+  SELECT src_id, tgt_id, cos, margin,
+         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rb
+  FROM margined
+)
+SELECT src_id, tgt_id,
+       round(cos + 1e-9, 6) AS cos,
+       round(margin + 1e-9, 6) AS margin
+FROM best WHERE rb = 1 AND margin > 1.0
+""",
+)
+def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] margin-based parallel-pair mining (Artetxe & Schwenk 2019;
+    operators/retrieval.margin_bitext_mine): best cross-group match
+    per source vector by RATIO margin — cosine divided by the mean of
+    both sides' top-4 neighborhood cosines, canceling hubness. Labels
+    0/1 stand in for the two languages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.margin_bitext_mine(
+        emb, src_label=0, tgt_label=1, nbr_k=4, min_margin=1.0, max_src_id=200
+    )

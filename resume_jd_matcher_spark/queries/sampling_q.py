@@ -627,3 +627,45 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_mixture(
         d, alpha=0.5, total=300, group_col="source"
     ).select("doc_id", "source")
+
+
+_NS_HASH = SQL_HASH32.format(
+    c="doc_id::VARCHAR || ':' || j::VARCHAR || '#7'"
+)
+
+
+@register(
+    "negative_sampling",
+    f"""
+WITH tokstream AS (
+  SELECT unnest({SQL_TOKS.format(c='text')}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*)::BIGINT AS cnt FROM tokstream GROUP BY tok
+  ORDER BY cnt DESC, tok LIMIT 200
+), wts AS (
+  SELECT tok, cnt, round(pow(cnt, 0.75) * 1000)::BIGINT AS wt FROM vocab
+), cdf AS (
+  SELECT tok, wt,
+         (sum(wt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING))::BIGINT AS hi
+  FROM wts
+), iv AS (SELECT tok, hi - wt AS lo, hi FROM cdf),
+tot AS (SELECT max(hi) AS w FROM iv),
+draws AS (
+  SELECT doc_id, j, ({_NS_HASH}) % t.w AS r
+  FROM documents, (SELECT unnest(generate_series(1, 4)) AS j) js, tot t
+)
+SELECT d.doc_id, d.j::INT AS j, i.tok AS neg_token
+FROM draws d JOIN iv i ON d.r >= i.lo AND d.r < i.hi
+""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] word2vec-style unigram^0.75 negative sampling
+    (operators/sampling.py negative_sampling): k=4 deterministic
+    hash draws per document from the integer CDF over the top-200
+    vocabulary, inverted via the binned-range equi-join. The oracle
+    replays the identical integer CDF with a plain interval join
+    (correctness side doesn't need the bin optimization)."""
+    from resume_jd_matcher_spark.operators.sampling import negative_sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return negative_sampling(d, k=4, vocab_size=200, seed=7)

@@ -1771,3 +1771,107 @@ def q_corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_share"),
     )
+
+
+_TAG_DICT = [
+    "filter",
+    "hash join",
+    "merge join",
+    "sort",
+    "spark",
+    "stream",
+    "vector scan",
+    "window agg",
+]
+_TAG_DICT_SQL = "', '".join(_TAG_DICT)
+
+_TAG_CANDS_CTE = f"""
+t AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+), uni AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS cand FROM t
+), bi AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1]))) AS cand
+  FROM t WHERE len(toks) >= 2
+), cands AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+)"""
+
+
+@register(
+    "keyword_tag",
+    f"""
+WITH dic AS (
+  SELECT unnest(['{_TAG_DICT_SQL}']) AS cand
+), {_TAG_CANDS_CTE.lstrip()},
+hits AS (
+  SELECT doc_id, count(*)::INT AS n_matched,
+         array_to_string(list_sort(list(cand)), ',') AS matched_keywords
+  FROM cands JOIN dic USING (cand) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_matched, 0)::INT AS n_matched,
+       coalesce(h.matched_keywords, '') AS matched_keywords
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def q_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: FlashText-style dictionary keyword tagging
+    (operators/tagging.py) — the dictionary is a broadcast dim joined
+    against the corpus's distinct token + bigram-shingle stream, so
+    cost is O(corpus tokens) regardless of dictionary size (never a
+    per-row N-alternation regex). Multi-word keywords ("hash join")
+    match as units via same-arity shingles."""
+    from resume_jd_matcher_spark.operators.tagging import keyword_tag
+
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_tag(d, _TAG_DICT)
+
+
+@register(
+    "skill_coverage",
+    f"""
+WITH dic AS (
+  SELECT unnest(['{_TAG_DICT_SQL}', 'verilog']) AS cand
+), {_TAG_CANDS_CTE.lstrip()},
+n AS (SELECT count(*) AS n_docs FROM documents),
+matches AS (
+  SELECT doc_id, cand FROM cands JOIN dic USING (cand)
+), idf AS (
+  SELECT dic.cand,
+         coalesce(ln((n.n_docs + 1) / (df.df + 1)), ln(n.n_docs + 1)) AS idf
+  FROM dic
+  CROSS JOIN n
+  LEFT JOIN (SELECT cand, count(*)::DOUBLE AS df FROM matches GROUP BY cand) df
+    USING (cand)
+), tot AS (SELECT sum(idf) AS idf_total FROM idf),
+per_doc AS (
+  SELECT m.doc_id, count(*)::INT AS n_matched, sum(i.idf) AS idf_sum
+  FROM matches m JOIN idf i USING (cand) GROUP BY m.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_matched, 0)::INT AS n_matched,
+       round(coalesce(p.n_matched, 0) / 9.0, 4) AS coverage,
+       round(coalesce(p.idf_sum, 0.0) / t.idf_total + 1e-9, 4) AS idf_coverage,
+       CASE WHEN round(coalesce(p.n_matched, 0) / 9.0, 4) >= 0.8 THEN 'high'
+            WHEN round(coalesce(p.n_matched, 0) / 9.0, 4) >= 0.5 THEN 'medium'
+            ELSE 'low' END AS band
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+CROSS JOIN tot t
+""",
+)
+def q_skill_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/A1 [EXT]: JD-keyword coverage scoring per document
+    (operators/tagging.py) — plain coverage |doc∩jd|/|jd| plus
+    idf-weighted coverage (rare skills count more; 'verilog' is in
+    the JD but absent corpus-wide, exercising the unseen-term idf
+    path), banded with the reference's high/medium/low thresholds
+    (templates/bulk_result.html:34-40)."""
+    from resume_jd_matcher_spark.operators.tagging import skill_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return skill_coverage(d, _TAG_DICT + ["verilog"])

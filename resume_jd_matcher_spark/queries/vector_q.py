@@ -1063,3 +1063,78 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=_LSH_PLANES,
     )
+
+
+@register(
+    "align_uniformity",
+    f"""
+WITH s AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id < 250
+), c AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS la, b.label AS lb,
+         2.0 - 2.0 * ({SQL_DOT.format(a='a.e', b='b.e')})
+           / (({SQL_NORM.format(a='a.e')}) * ({SQL_NORM.format(a='b.e')})) AS d2
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+), al AS (
+  SELECT count(*)::BIGINT AS n_pos, avg(d2) AS alignment
+  FROM c WHERE la = lb
+), un AS (
+  SELECT count(*)::BIGINT AS n_all, ln(avg(exp(-2.0 * d2))) AS uniformity
+  FROM c
+)
+SELECT al.n_pos, un.n_all,
+       round(al.alignment + 1e-9, 6) AS alignment,
+       round(un.uniformity + 1e-9, 6) AS uniformity
+FROM al CROSS JOIN un
+""",
+)
+def q_align_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] embedding-space quality metrics of Wang & Isola 2020
+    ("Understanding Contrastive Representation Learning through
+    Alignment and Uniformity"): alignment = mean squared distance of
+    NORMALIZED same-label pairs (lower = positives cluster);
+    uniformity = log mean Gaussian-potential over all pairs (lower =
+    mass spreads over the hypersphere). The pair a collapsing encoder
+    fails: great alignment, terrible uniformity — the standard
+    monitor for embedding training runs.
+
+    Normalized squared distance computed as 2 − 2·cos via the shared
+    deterministic cosine fold. The pair base is a BOUNDED sample
+    (vec_id < 250, asserted ≤ 1024 rows) — at corpus scale this metric
+    is always sampled; pair volume is sample², never corpus²."""
+    from resume_jd_matcher_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") < 250).select("vec_id", "label", "embedding")
+    n_sample = s.count()
+    assert n_sample <= 1024, "alignment/uniformity runs on a bounded sample"
+    a = s.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = s.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "la",
+            "lb",
+            (F.lit(2.0) - F.lit(2.0) * cosine("ea", "eb")).alias("d2"),
+        )
+    )
+    al = pairs.filter(F.col("la") == F.col("lb")).agg(
+        F.count("*").alias("n_pos"), F.avg("d2").alias("alignment")
+    )
+    un = pairs.agg(
+        F.count("*").alias("n_all"),
+        F.log(F.avg(F.exp(F.lit(-2.0) * F.col("d2")))).alias("uniformity"),
+    )
+    eps = F.lit(1e-9)
+    return al.crossJoin(F.broadcast(un)).select(
+        "n_pos",
+        "n_all",
+        F.round(F.col("alignment") + eps, 6).alias("alignment"),
+        F.round(F.col("uniformity") + eps, 6).alias("uniformity"),
+    )

@@ -201,6 +201,21 @@ def test_registry_wide_no_cartesian_products(spark):
         # two single-row summaries (degree census x triangle count)
         # crossed for the final one-row output:
         "graph_triangles",
+        # single-row broadcast digit total crossed into the 9-row
+        # digit dim:
+        "benford_dq",
+        # single-row broadcast idf normalizer crossed into the per-doc
+        # base (the idf table itself is a dictionary-bounded equi-join):
+        "skill_coverage",
+        # bounded (max_src_id) broadcast source side crossed into the
+        # target-group scan — the standard similarity crossJoin shape:
+        "margin_bitext",
+        # single-row broadcast Heaps fit crossed onto the
+        # |sources|-bounded table:
+        "heaps_law",
+        # bounded (<=1024 asserted) broadcast sample side for the
+        # pairwise base + a single-row uniformity summary crossed in:
+        "align_uniformity",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):
@@ -249,3 +264,41 @@ def test_salted_join_matches_plain_join(spark):
     assert [tuple(sorted(r.asDict().items())) for r in got] == [
         tuple(sorted(r.asDict().items())) for r in want
     ]
+
+
+def test_term_frequency_no_global_window(spark):
+    """Top-N vocab cut must lower to TakeOrderedAndProject; rank comes
+    from the bounded-array posexplode — NO Window node anywhere (the
+    r5 version sorted the whole vocabulary in one partition)."""
+    from resume_jd_matcher_spark.operators.textstats import term_frequency
+
+    plan = physical_plan(term_frequency(load_table(spark, SF, "documents")))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_negative_sampling_is_binned_equi_join(spark):
+    """CDF inversion must be the binned-range equi-join (broadcast bin
+    table), never a draws x vocab nested loop."""
+    from resume_jd_matcher_spark.operators.sampling import negative_sampling
+
+    plan = physical_plan(
+        negative_sampling(load_table(spark, SF, "documents"), k=2, vocab_size=50)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_keyword_tag_routes_by_dictionary_size(spark):
+    """Small dictionary → the literal array_intersect projection (no
+    join, no shuffle at all); large dictionary → the broadcast-join
+    route over the exploded candidate stream."""
+    from resume_jd_matcher_spark.operators.tagging import keyword_tag
+
+    d = load_table(spark, SF, "documents")
+    small = physical_plan(keyword_tag(d, ["hash join", "spark"]))
+    assert "Join" not in small and "Exchange" not in small
+    big = physical_plan(keyword_tag(d, [f"kw{i}" for i in range(400)]))
+    assert "BroadcastHashJoin" in big
+    assert "CartesianProduct" not in big

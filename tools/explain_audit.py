@@ -138,6 +138,52 @@ HEADLINERS = {
     "bpe_encode_stats": "encoding is a BROADCAST word-type lookup "
     "join — the corpus word stream never re-merges per occurrence; "
     "per-doc fertility a map-side-combined hash agg",
+    "term_frequency": "top-N vocab cut = TakeOrderedAndProject over "
+    "map-side-combined token counts; rank from the bounded-array "
+    "posexplode — NO Window node (r5 sorted the whole vocabulary in "
+    "one partition)",
+    "ensemble_neardup": "filtered document scan persisted ONCE and "
+    "read by all three signal paths (InMemoryTableScan x3), not "
+    "re-tokenized per signal",
+    "mllib_lsh_agreement": "MLlib candidates from the exploded "
+    "hash-table equi-join; exact distances recomputed via bounded id "
+    "joins so the oracle fold matches bit-for-bit",
+    "cohort_retention": "first-activity and active-week aggs both "
+    "keyed on user_id; cohort-size dim |weeks|-bounded broadcast; "
+    "no windows anywhere",
+    "wilson_ranking": "one source-keyed hash agg; rank over the "
+    "|sources|-bounded array fold, no unbounded window",
+    "seasonal_adjust": "raw events collapse to the daily grain "
+    "FIRST; dow and overall dims (7 x types, types) broadcast back",
+    "benford_dq": "one 9-bucket map-side-combined hash agg + a "
+    "single-row broadcast total; digit dim is a local 9-row range",
+    "negative_sampling": "integer CDF over the bounded vocab; draws "
+    "equi-join the BROADCAST bin table (binned-range-join pattern) — "
+    "never a draws x vocab nested loop",
+    "margin_bitext": "bounded source side broadcast into the scoring "
+    "join; neighborhood means are partitioned rank windows + keyed "
+    "hash aggs; best-pair pick a per-source window",
+    "heaps_law": "per-source type/token counts are source-keyed hash "
+    "aggs; the log-log OLS fit one regr_* agg over the bounded "
+    "source points, crossed back as a single broadcast row",
+    "ngram_diversity": "pre-aggregated to (source, bigram, n) first "
+    "(map-side combined) then rolled up — no multi-distinct Expand "
+    "doubling the exploded stream",
+    "rolling_anomaly": "events collapse to the daily grain before "
+    "the window; trailing frame runs over day-grain rows partitioned "
+    "by event_type; moments are exact integer window sums",
+    "inverted_index": "df cut = TakeOrderedAndProject; posting "
+    "assembly joins the BROADCAST 20-term dim against the distinct "
+    "(doc, token) stream",
+    "align_uniformity": "bounded-sample (asserted) broadcast pair "
+    "base; both metrics map-side-combined aggs over the pair stream; "
+    "summaries cross as single rows",
+    "keyword_tag": "small dict: literal array_intersect projection — "
+    "NO join, NO shuffle; large dict: broadcast-join route (pinned "
+    "by test_keyword_tag_routes_by_dictionary_size)",
+    "skill_coverage": "matched sets from the no-join literal route, "
+    "persisted once across df/idf/per-doc consumers; idf dims "
+    "dictionary-bounded broadcasts",
 }
 
 
