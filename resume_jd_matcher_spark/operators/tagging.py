@@ -48,6 +48,11 @@ def matched_keyword_array(
 ) -> DataFrame:
     """(id, matched ARRAY<STRING> sorted) — the per-document matched
     keyword SET, via the size-appropriate route."""
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    # the tokenize+shingle projection is the cost; don't let a
+    # single-file scan serialize it onto one core
+    df = ensure_parallelism(df)
     groups = _by_arity(keywords)
     toks = tokens(text_col)
     if sum(len(v) for v in groups.values()) <= LITERAL_DICT_MAX:

@@ -331,9 +331,10 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion); the OLS fit is one regr_* agg over the
     |sources|-bounded points, crossed back as a single broadcast
     row."""
-    d = load_table(spark, sf_dir, "documents")
     from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     per_tok = d.select(
         "source", F.explode(tokens("text")).alias("tok")
     )
@@ -390,8 +391,9 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     source; avoids Spark's multi-distinct Expand, which would double
     the exploded stream."""
     from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     bi = d.select(
         "source",
@@ -538,8 +540,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc, token) stream — corpus-sized work is one explode +
     two hash aggs."""
     from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     stream = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )

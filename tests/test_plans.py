@@ -298,7 +298,10 @@ def test_keyword_tag_routes_by_dictionary_size(spark):
 
     d = load_table(spark, SF, "documents")
     small = physical_plan(keyword_tag(d, ["hash join", "spark"]))
-    assert "Join" not in small and "Exchange" not in small
+    # no join anywhere; the only Exchange allowed is the
+    # ensure_parallelism round-robin repartition of the scan
+    assert "Join" not in small
+    assert "hashpartitioning" not in small
     big = physical_plan(keyword_tag(d, [f"kw{i}" for i in range(400)]))
     assert "BroadcastHashJoin" in big
     assert "CartesianProduct" not in big
