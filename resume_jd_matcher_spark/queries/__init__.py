@@ -103,9 +103,9 @@ _DRIVER_PRIORITY = [
     "rolling_anomaly",
     "inverted_index",
     "align_uniformity",
+    "quantile_normalize",
     # -- r5-green holding for a second confirmation --
     "semdedup",
-    "ngram_lm_score",
     "line_dedup",
     "dsir_weights",
     "hll_distinct",
@@ -130,7 +130,6 @@ _DRIVER_PRIORITY = [
     "embedding_outliers",
     "substring_remove",
     "rerank_e2e",
-    "graph_triangles",
 ]
 
 

@@ -562,3 +562,110 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("tok").alias("token"), "df", "posting_head")
     )
+
+
+@register(
+    "quantile_normalize",
+    """
+WITH v AS (
+  SELECT doc_id, source, least(n_chars, 2000)::BIGINT AS b FROM documents
+), shist AS (
+  SELECT source, b, count(*)::BIGINT AS cnt FROM v GROUP BY source, b
+), scdf AS (
+  SELECT source, b,
+         (sum(cnt) OVER (PARTITION BY source ORDER BY b))::DOUBLE
+           / (sum(cnt) OVER (PARTITION BY source))::DOUBLE AS cdf
+  FROM shist
+), phist AS (
+  SELECT b, count(*)::BIGINT AS cnt FROM v GROUP BY b
+), ptot AS (SELECT sum(cnt)::BIGINT AS n FROM phist),
+pcdf AS (
+  SELECT b, (sum(cnt) OVER (ORDER BY b))::DOUBLE / t.n AS cdf
+  FROM phist, ptot t
+), qmap AS (
+  SELECT k.k, min(p.b) AS pooled_b
+  FROM (SELECT unnest(generate_series(1, 20)) AS k) k
+  JOIN pcdf p ON p.cdf >= k.k / 20.0
+  GROUP BY k.k
+)
+SELECT v.doc_id, v.source, v.b AS n_chars_b,
+       round(s.cdf + 1e-9, 4) AS src_cdf,
+       least(ceil(s.cdf * 20), 20)::INT AS qbin,
+       q.pooled_b AS norm_chars
+FROM v
+JOIN scdf s ON v.source = s.source AND v.b = s.b
+JOIN qmap q ON least(ceil(s.cdf * 20), 20) = q.k
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cross-source quantile normalization (the microarray-era
+    normalization, Bolstad et al. 2003, applied to corpus scores):
+    map each document's score onto its SOURCE's quantile, then read
+    off the POOLED distribution's value at that quantile — after
+    which every source's score distribution is comparable (a source
+    that systematically over-scores no longer dominates mixtures).
+
+    Scale shape: both CDFs live on BUCKET histograms (score capped to
+    ≤2000 buckets), never raw rows — the per-source CDF window is
+    partitioned by source over bucket rows; the pooled inverse-CDF is
+    a 20-row quantile map built from a bounded bucket×20 theta join
+    and broadcast back; each doc joins its (source, bucket) CDF by
+    equi-join. The score_deciles trick, generalized to
+    distribution-to-distribution mapping."""
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_chars"), F.lit(2000)).cast("bigint").alias("b"),
+    )
+    shist = v.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source").orderBy("b").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy("source")
+    scdf = shist.select(
+        "source",
+        "b",
+        (
+            F.sum("cnt").over(w_cum).cast("double")
+            / F.sum("cnt").over(w_all).cast("double")
+        ).alias("cdf"),
+    )
+    phist = v.groupBy("b").agg(F.count("*").alias("cnt"))
+    ptot = phist.agg(F.sum("cnt").alias("n"))
+    w_p = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pcdf = (
+        phist.crossJoin(F.broadcast(ptot))
+        .withColumn("cdf", F.sum("cnt").over(w_p) / F.col("n").cast("double"))
+        .select("b", "cdf")
+    )
+    ks = spark.range(1, 21).select(F.col("id").cast("int").alias("k"))
+    qmap = (
+        ks.join(
+            F.broadcast(pcdf), F.col("cdf") >= F.col("k") / F.lit(20.0)
+        )
+        .groupBy("k")
+        .agg(F.min("b").alias("pooled_b"))
+    )
+    qbin = F.least(F.ceil(F.col("cdf") * 20), F.lit(20)).cast("int")
+    return (
+        v.join(scdf, ["source", "b"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("b").alias("n_chars_b"),
+            F.round(F.col("cdf") + F.lit(1e-9), 4).alias("src_cdf"),
+            qbin.alias("qbin"),
+        )
+        .join(F.broadcast(qmap), F.col("qbin") == F.col("k"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars_b",
+            "src_cdf",
+            "qbin",
+            F.col("pooled_b").alias("norm_chars"),
+        )
+    )

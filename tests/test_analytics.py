@@ -378,3 +378,47 @@ class TestBatch3Analytics:
             assert s["alignment"] > c["alignment"]
         finally:
             mp.undo()
+
+
+class TestQuantileNormalize:
+    def test_shifted_sources_align(self, spark, monkeypatch):
+        """Source B = source A's scores + 500 (pure shift). After
+        quantile normalization both sources map onto the SAME pooled
+        values at the same within-source quantiles."""
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        rows = []
+        for i in range(100):
+            rows.append((i, "x", "en", "A", 100 + i))
+            rows.append((1000 + i, "x", "en", "B", 600 + i))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        out = analytics_q.q_quantile_normalize(spark, "ignored").collect()
+        by_doc = {r["doc_id"]: r for r in out}
+        # same within-source rank -> same normalized value
+        for i in range(100):
+            assert by_doc[i]["qbin"] == by_doc[1000 + i]["qbin"]
+            assert by_doc[i]["norm_chars"] == by_doc[1000 + i]["norm_chars"]
+        # normalized values come from the pooled support
+        pooled = {r["norm_chars"] for r in out}
+        support = set(range(100, 200)) | set(range(600, 700))
+        assert pooled <= support
+
+    def test_cdf_monotone_in_score(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        rows = [(i, "x", "en", "s", 10 * i) for i in range(1, 30)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        out = sorted(
+            analytics_q.q_quantile_normalize(spark, "ignored").collect(),
+            key=lambda r: r["n_chars_b"],
+        )
+        cdfs = [r["src_cdf"] for r in out]
+        norms = [r["norm_chars"] for r in out]
+        assert cdfs == sorted(cdfs)
+        assert norms == sorted(norms)

@@ -216,6 +216,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # bounded (<=1024 asserted) broadcast sample side for the
         # pairwise base + a single-row uniformity summary crossed in:
         "align_uniformity",
+        # bounded bucketx20 theta join building the pooled 20-row
+        # inverse-CDF map + a single-row total crossed in:
+        "quantile_normalize",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -184,6 +184,10 @@ HEADLINERS = {
     "skill_coverage": "matched sets from the no-join literal route, "
     "persisted once across df/idf/per-doc consumers; idf dims "
     "dictionary-bounded broadcasts",
+    "quantile_normalize": "both CDFs on bucket histograms (source "
+    "window partitioned by source over bucket rows); pooled "
+    "inverse-CDF a 20-row broadcast map; docs join by (source, "
+    "bucket) equi-join — no global sort, no percent_rank over rows",
 }
 
 
