@@ -422,3 +422,43 @@ class TestQuantileNormalize:
         norms = [r["norm_chars"] for r in out]
         assert cdfs == sorted(cdfs)
         assert norms == sorted(norms)
+
+
+class TestNegativeSamplingCDF:
+    def test_integer_cdf_partitions_range(self, spark):
+        """The vocab intervals [lo, hi) must tile [0, W) exactly (no
+        gap, no overlap) and every draw's r must land in exactly one
+        interval — the invariant that makes the binned inversion
+        correct."""
+        from pyspark.sql import functions as F
+        from resume_jd_matcher_spark.functions.text import tokens
+
+        rows = [(i, "aa bb bb cc cc cc dd dd dd dd x" + str(i % 3))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vocab = (
+            df.select(F.explode(tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(7)
+            .select("tok", "cnt",
+                    F.round(F.pow(F.col("cnt").cast("double"), 0.75) * 1000)
+                    .cast("bigint").alias("wt"))
+        ).collect()
+        # replay the operator's CDF in python
+        ivs, acc = [], 0
+        for r in sorted(vocab, key=lambda r: (-r["cnt"], r["tok"])):
+            ivs.append((r["tok"], acc, acc + r["wt"]))
+            acc += r["wt"]
+        W = acc
+        assert ivs[0][1] == 0 and ivs[-1][2] == W
+        for (_, _lo, hi), (_, lo2, _) in zip(ivs, ivs[1:]):
+            assert hi == lo2  # no gap, no overlap
+
+        from resume_jd_matcher_spark.operators.sampling import negative_sampling
+        out = negative_sampling(df, k=3, vocab_size=7).collect()
+        tok_of = {t: (lo, hi) for t, lo, hi in ivs}
+        assert len(out) == 60 * 3
+        for r in out:
+            lo, hi = tok_of[r["neg_token"]]
+            assert hi - lo > 0 and 0 <= lo < hi <= W
