@@ -104,6 +104,7 @@ _DRIVER_PRIORITY = [
     "inverted_index",
     "align_uniformity",
     "quantile_normalize",
+    "bootstrap_ci",
     # -- r5-green holding for a second confirmation --
     "semdedup",
     "line_dedup",
@@ -129,7 +130,6 @@ _DRIVER_PRIORITY = [
     "quality_classifier",
     "embedding_outliers",
     "substring_remove",
-    "rerank_e2e",
 ]
 
 

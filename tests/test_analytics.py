@@ -462,3 +462,35 @@ class TestNegativeSamplingCDF:
         for r in out:
             lo, hi = tok_of[r["neg_token"]]
             assert hi - lo > 0 and 0 <= lo < hi <= W
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_mean_and_narrows_with_n(self, spark):
+        from resume_jd_matcher_spark.operators.bootstrap import bootstrap_mean_ci
+
+        def make(n, grp):
+            return [(i, grp, float(50 + (i * 37) % 100)) for i in range(n)]
+
+        df = spark.createDataFrame(
+            make(200, "small") + make(5000, "big"),
+            "event_id long, event_type string, value double",
+        )
+        out = {r["event_type"]: r for r in bootstrap_mean_ci(
+            df, "event_type", "value", "event_id").collect()}
+        for g in ("small", "big"):
+            r = out[g]
+            assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+            assert r["n_replicates"] == 32
+        wid = lambda r: r["ci_hi"] - r["ci_lo"]  # noqa: E731
+        assert wid(out["big"]) < wid(out["small"])  # CI narrows with n
+
+    def test_deterministic(self, spark):
+        from resume_jd_matcher_spark.operators.bootstrap import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [(i, "t", float(i % 17)) for i in range(300)],
+            "event_id long, event_type string, value double",
+        )
+        a = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
+        b = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
+        assert a == b

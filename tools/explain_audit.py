@@ -188,6 +188,9 @@ HEADLINERS = {
     "window partitioned by source over bucket rows); pooled "
     "inverse-CDF a 20-row broadcast map; docs join by (source, "
     "bucket) equi-join — no global sort, no percent_rank over rows",
+    "bootstrap_ci": "all 32 resamples live in ONE map-side-combined "
+    "hash agg (64 partial sums per group); replicate means a bounded "
+    "array sort — the corpus is never scanned or resampled B times",
 }
 
 
