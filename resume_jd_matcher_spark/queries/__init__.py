@@ -105,6 +105,7 @@ _DRIVER_PRIORITY = [
     "align_uniformity",
     "quantile_normalize",
     "bootstrap_ci",
+    "stream_static_enrich",
     # -- r5-green holding for a second confirmation --
     "semdedup",
     "line_dedup",
@@ -129,7 +130,6 @@ _DRIVER_PRIORITY = [
     "pmi_collocations",
     "quality_classifier",
     "embedding_outliers",
-    "substring_remove",
 ]
 
 

@@ -530,3 +530,35 @@ def q_media_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = attach_media(d)
     return media_simhash_neardup(media)
+
+
+@register(
+    "stream_static_enrich",
+    """
+WITH tier AS (
+  SELECT user_id,
+         CASE WHEN count(*) >= 60 THEN 'heavy' ELSE 'light' END AS tier
+  FROM events GROUP BY user_id
+)
+SELECT floor(epoch(date_trunc('day', e.ts)))::BIGINT AS day_epoch,
+       t.tier, e.event_type, count(*)::BIGINT AS n
+FROM events e JOIN tier t USING (user_id)
+GROUP BY 1, 2, 3
+""",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G batch twin of the STREAM-STATIC enrichment join — the one
+    streaming join shape the suite didn't yet pin (stream-stream and
+    stateful sessions are covered): arriving events join a broadcast
+    OFFLINE dimension (user activity tier), then tumbling per-(tier,
+    type) counts. tests/test_streaming.py asserts the real streamed
+    run over the replayed file source produces IDENTICAL rows; this
+    batch twin is the oracle surface (identical projection, same
+    window grain)."""
+    from resume_jd_matcher_spark.streaming.events import (
+        stream_static_enrich,
+        user_tier_dim,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_static_enrich(ev, user_tier_dim(ev))

@@ -309,3 +309,40 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
         "n_events",
         "total_value",
     )
+
+
+def user_tier_dim(events_batch: DataFrame, threshold: int = 60) -> DataFrame:
+    """Static enrichment dimension computed OFFLINE from the batch
+    table: user → activity tier ('heavy' ≥ threshold lifetime events).
+    The canonical stream-static pattern: the dim is fixed for the life
+    of the streaming query and broadcast into every micro-batch."""
+    return events_batch.groupBy("user_id").agg(
+        F.when(F.count("*") >= threshold, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("tier")
+    )
+
+
+def stream_static_enrich(
+    events: DataFrame, tier_dim: DataFrame, width: str = "1 day"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each arriving
+    event joins the broadcast static tier dim (no state, no watermark
+    needed for the join itself — the static side never changes), then
+    tumbling per-(tier, type) counts.
+
+    Scale shape: stream-static joins in Structured Streaming execute
+    the batch join per micro-batch with the static side broadcast —
+    state stores hold only the windowed aggregation, bounded by
+    (windows in flight) × tiers × types."""
+    return (
+        events.join(F.broadcast(tier_dim), "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "tier", "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
+            "tier",
+            "event_type",
+            "n",
+        )
+    )

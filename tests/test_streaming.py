@@ -240,3 +240,25 @@ def test_cms_sketch_streams_equal_batch(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static enrichment: the static tier dim is computed once
+    in batch; the streamed run over the replayed file source must
+    produce exactly the batch twin's rows."""
+    from resume_jd_matcher_spark.queries.stream_q import q_stream_static_enrich
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+        user_tier_dim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dim = user_tier_dim(load_table(spark, sf, "events"))
+    stream = stream_static_enrich(read_events_stream(spark, sf), dim)
+    got = run_stream_to_memory(stream, "t_static_enrich", output_mode="complete")
+    want = q_stream_static_enrich(spark, sf)
+    key = lambda r: (r["day_epoch"], r["tier"], r["event_type"], r["n"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
