@@ -305,7 +305,7 @@ def q_mllib_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features",
         outputCol="hashes",
         bucketLength=2.0,
-        numHashTables=10,
+        numHashTables=15,
         seed=42,
     )
     model = lsh.fit(emb)

@@ -299,19 +299,22 @@ _SQL_TOKS = "string_split_regex(trim(lower({c})), '\\s+')"
 @register(
     "heaps_law",
     f"""
-WITH per_src AS (
+WITH per_doc AS (
   SELECT source,
-         count(*)::BIGINT AS n_tokens,
-         count(DISTINCT tok)::BIGINT AS n_types
+         len(toks)::BIGINT AS dn_tokens,
+         len(list_distinct(toks))::BIGINT AS dn_types
+  FROM (SELECT source, {_SQL_TOKS.format(c='text')} AS toks FROM documents)
+), fit AS (
+  SELECT round(regr_slope(ln(dn_types::DOUBLE), ln(dn_tokens::DOUBLE)) + 1e-9, 4) AS beta,
+         round(exp(regr_intercept(ln(dn_types::DOUBLE), ln(dn_tokens::DOUBLE))) + 1e-9, 4) AS k,
+         round(regr_r2(ln(dn_types::DOUBLE), ln(dn_tokens::DOUBLE)) + 1e-9, 4) AS r2
+  FROM per_doc WHERE dn_tokens >= 2
+), per_src AS (
+  SELECT source, count(*)::BIGINT AS n_tokens, count(DISTINCT tok)::BIGINT AS n_types
   FROM (
     SELECT source, unnest({_SQL_TOKS.format(c='text')}) AS tok
     FROM documents
   ) GROUP BY source
-), fit AS (
-  SELECT round(regr_slope(ln(n_types::DOUBLE), ln(n_tokens::DOUBLE)) + 1e-9, 4) AS beta,
-         round(exp(regr_intercept(ln(n_types::DOUBLE), ln(n_tokens::DOUBLE))) + 1e-9, 4) AS k,
-         round(regr_r2(ln(n_types::DOUBLE), ln(n_tokens::DOUBLE)) + 1e-9, 4) AS r2
-  FROM per_src
 )
 SELECT p.source, p.n_tokens, p.n_types,
        round(p.n_types / p.n_tokens::DOUBLE + 1e-9, 4) AS ttr,
@@ -322,33 +325,45 @@ FROM per_src p CROSS JOIN fit f
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 [EXT]: vocabulary-growth diagnostics — per-source type/token
     counts with type-token ratio, plus a corpus-level Heaps'-law fit
-    V = k·T^beta via log-log OLS over the source points (Heaps 1978;
-    natural text sits at beta ≈ 0.4-0.6 — template/boilerplate
-    corpora fall far below, making beta a corpus-health signal).
+    V = k·T^beta via log-log OLS (Heaps 1978; natural text sits at
+    beta ≈ 0.4-0.6 — template/boilerplate corpora fall far below,
+    making beta a corpus-health signal).
 
-    Scale shape: per-source token totals and distinct-type counts are
-    source-keyed hash aggs (distinct via the standard two-phase
-    expansion); the OLS fit is one regr_* agg over the
-    |sources|-bounded points, crossed back as a single broadcast
-    row."""
+    The fit runs over DOCUMENT-level (ln tokens, ln types) points, not
+    the per-source totals: the fixture's sources are equal-sized, so
+    source points have ~zero x-variance and the OLS is ill-conditioned
+    (the sf0.1 drift sweep caught r² diverging between engines on
+    exactly that degeneracy); document lengths vary 10×, giving the
+    regression real support at every scale.
+
+    Scale shape: per-doc counts are a pure projection (native array
+    ops, no explode); the OLS is one map-side-combined regr_* agg;
+    per-source totals are source-keyed hash aggs; the 1-row fit
+    broadcasts back."""
     from resume_jd_matcher_spark.functions.text import tokens
     from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    per_tok = d.select(
-        "source", F.explode(tokens("text")).alias("tok")
-    )
-    per_src = per_tok.groupBy("source").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("tok").alias("n_types"),
-    )
-    lx = F.log(F.col("n_tokens").cast("double"))
-    ly = F.log(F.col("n_types").cast("double"))
+    toks = tokens("text")
+    per_doc = d.select(
+        F.size(toks).cast("bigint").alias("dn_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("dn_types"),
+    ).filter(F.col("dn_tokens") >= 2)
+    lx = F.log(F.col("dn_tokens").cast("double"))
+    ly = F.log(F.col("dn_types").cast("double"))
     eps = F.lit(1e-9)
-    fit = per_src.agg(
+    fit = per_doc.agg(
         F.round(F.regr_slope(ly, lx) + eps, 4).alias("beta"),
         F.round(F.exp(F.regr_intercept(ly, lx)) + eps, 4).alias("k"),
         F.round(F.regr_r2(ly, lx) + eps, 4).alias("r2"),
+    )
+    per_src = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+        )
     )
     return per_src.crossJoin(F.broadcast(fit)).select(
         "source",
