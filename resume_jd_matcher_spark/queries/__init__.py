@@ -106,6 +106,7 @@ _DRIVER_PRIORITY = [
     "quantile_normalize",
     "bootstrap_ci",
     "stream_static_enrich",
+    "event_transitions",
     # -- r5-green holding for a second confirmation --
     "semdedup",
     "line_dedup",
@@ -129,7 +130,6 @@ _DRIVER_PRIORITY = [
     "substring_dedup",
     "pmi_collocations",
     "quality_classifier",
-    "embedding_outliers",
 ]
 
 

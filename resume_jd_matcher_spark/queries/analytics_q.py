@@ -742,3 +742,56 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(
         ev, group_col="event_type", value_col="value", key_col="event_id"
     )
+
+
+@register(
+    "event_transitions",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type
+  FROM ordered WHERE next_type IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n FROM pairs
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, sum(n)::BIGINT AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n / t.n_from::DOUBLE + 1e-9, 4) AS p
+FROM counts c JOIN totals t USING (from_type)
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: first-order Markov transition matrix of the event
+    stream — per user, each event pairs with its successor (lead over
+    the per-user time order); transition counts row-normalize into
+    P(next | current). The behavioral-model summary (and anomaly
+    baseline: a transition whose live p drifts from this table is a
+    funnel break).
+
+    Scale shape: ONE per-user window sort (partitioned by user_id —
+    state per task is one user's events), then two |types|²-bounded
+    hash aggs; the row-normalizer joins a |types|-bounded broadcast
+    dim. Deterministic tie-break (ts, event_id) in the ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from").cast("double") + F.lit(1e-9), 4).alias("p"),
+    )

@@ -494,3 +494,37 @@ class TestBootstrapCI:
         a = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
         b = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
         assert a == b
+
+
+class TestEventTransitions:
+    def test_known_chain(self, spark, monkeypatch):
+        import datetime as dt
+
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        # user 1: a->b->a->b ; user 2: a->c
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 1), 1, "a", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 2), 1, "b", 0.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 3), 1, "a", 0.0, "{}"),
+            (4, dt.datetime(2024, 1, 1, 4), 1, "b", 0.0, "{}"),
+            (5, dt.datetime(2024, 1, 1, 1), 2, "a", 0.0, "{}"),
+            (6, dt.datetime(2024, 1, 1, 2), 2, "c", 0.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        out = {(r["from_type"], r["to_type"]): r for r in
+               analytics_q.q_event_transitions(spark, "ignored").collect()}
+        assert out[("a", "b")]["n"] == 2
+        assert out[("a", "c")]["n"] == 1
+        assert out[("b", "a")]["n"] == 1
+        assert out[("a", "b")]["p"] == pytest.approx(2 / 3, abs=1e-4)
+        # rows of the matrix sum to 1
+        from collections import defaultdict
+        rowsum = defaultdict(float)
+        for (f, t), r in out.items():
+            rowsum[f] += r["p"]
+        for f, s in rowsum.items():
+            assert s == pytest.approx(1.0, abs=1e-3)

@@ -191,6 +191,9 @@ HEADLINERS = {
     "bootstrap_ci": "all 32 resamples live in ONE map-side-combined "
     "hash agg (64 partial sums per group); replicate means a bounded "
     "array sort — the corpus is never scanned or resampled B times",
+    "event_transitions": "ONE per-user window sort; transition counts "
+    "and row normalizer are |types|^2-bounded hash aggs + a broadcast "
+    "dim join",
 }
 
 
