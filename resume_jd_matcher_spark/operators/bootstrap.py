@@ -29,11 +29,7 @@ from resume_jd_matcher_spark.functions.text import hash32
 _POIS_T = (0.36788, 0.73576, 0.91970, 0.98101)
 
 
-def poisson1_weight(key: Column, replicate: int) -> Column:
-    """Deterministic Poisson(1) draw for (row key, replicate index)."""
-    u = hash32(
-        F.concat(key.cast("string"), F.lit(f":b{replicate}"))
-    ) / F.lit(4294967296.0)
+def _poisson1_from_u(u: Column) -> Column:
     return (
         F.when(u < _POIS_T[0], F.lit(0))
         .when(u < _POIS_T[1], F.lit(1))
@@ -42,6 +38,21 @@ def poisson1_weight(key: Column, replicate: int) -> Column:
         .otherwise(F.lit(4))
         .cast("bigint")
     )
+
+
+def poisson1_weight(key: Column, replicate: int) -> Column:
+    """Deterministic Poisson(1) draw for (row key, replicate index).
+
+    One md5 feeds FOUR replicates (md5 has 32 hex chars = four
+    independent 8-hex 32-bit uniforms), so B replicates cost B/4
+    hashes per row, not B — the md5 per row-group is materialized once
+    in a projection before the aggregate (see bootstrap_mean_ci)."""
+    g, lane = divmod(replicate, 4)
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":h{g}")))
+    u = F.conv(F.substring(h, 1 + 8 * lane, 8), 16, 10).cast("long") / F.lit(
+        4294967296.0
+    )
+    return _poisson1_from_u(u)
 
 
 def bootstrap_mean_ci(
@@ -63,17 +74,38 @@ def bootstrap_mean_ci(
     n_replicates) with floats rounded to 4.
     """
     assert n_replicates <= 64, "replicate count is a constant, not data-sized"
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    # the per-row hash work is the cost; don't let a single-file scan
+    # serialize it onto one core
+    df = ensure_parallelism(df)
     key = F.col(key_col)
     v = F.col(value_col).cast("double")
+    # materialize the B/4 md5 digests ONCE per row in a projection (a
+    # dedicated column per digest — inlining the hash into each of the
+    # four lanes' aggregate inputs would recompute it per lane)
+    n_groups = (n_replicates + 3) // 4
+    hashed = df.select(
+        F.col(group_col),
+        v.alias("_v"),
+        *[
+            F.md5(F.concat(key.cast("string"), F.lit(f":h{g}"))).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
     aggs = [
         F.count("*").alias("n"),
-        F.sum(v).alias("_sv"),
+        F.sum(F.col("_v")).alias("_sv"),
     ]
     for b in range(n_replicates):
-        w = poisson1_weight(key, b)
-        aggs.append(F.sum(v * w).alias(f"_wv{b}"))
+        grp, lane = divmod(b, 4)
+        u = F.conv(
+            F.substring(F.col(f"_h{grp}"), 1 + 8 * lane, 8), 16, 10
+        ).cast("long") / F.lit(4294967296.0)
+        w = _poisson1_from_u(u)
+        aggs.append(F.sum(F.col("_v") * w).alias(f"_wv{b}"))
         aggs.append(F.sum(w).alias(f"_w{b}"))
-    g = df.groupBy(group_col).agg(*aggs)
+    g = hashed.groupBy(group_col).agg(*aggs)
     # replicate means as a bounded array; a replicate whose total
     # weight is 0 (vanishingly rare beyond tiny groups) is dropped
     # from the order statistics via filter()

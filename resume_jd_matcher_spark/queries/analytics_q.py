@@ -687,13 +687,18 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_sql(n_replicates: int = 32) -> str:
-    h = "('0x' || substr(md5(event_id::VARCHAR || ':b{b}'), 1, 8))::BIGINT / 4294967296.0"
+    # one md5 per FOUR replicates: digest g yields four 8-hex uniforms
+    # (lanes), mirroring operators/bootstrap.poisson1_weight
+    h = (
+        "('0x' || substr(md5(event_id::VARCHAR || ':h{g}'), {start}, 8))"
+        "::BIGINT / 4294967296.0"
+    )
     w = (
         "CASE WHEN {u} < 0.36788 THEN 0 WHEN {u} < 0.73576 THEN 1 "
         "WHEN {u} < 0.91970 THEN 2 WHEN {u} < 0.98101 THEN 3 ELSE 4 END"
     )
     wcols = ",\n         ".join(
-        f"({w.format(u=h.format(b=b))})::BIGINT AS w{b}"
+        f"({w.format(u=h.format(g=b // 4, start=1 + 8 * (b % 4)))})::BIGINT AS w{b}"
         for b in range(n_replicates)
     )
     sums = ",\n       ".join(
