@@ -1,7 +1,11 @@
-"""Corpus/event analytics queries: cohort retention, Wilson-bound
-source ranking, day-of-week seasonal adjustment, Benford data-quality
-screen (SURVEY.md §2.D A4 / §2.E W4 [EXT] — the monitoring layer a
-training-data pipeline runs beside dedup/quality filtering).
+"""Corpus/event analytics queries (SURVEY.md §2.D A4 / §2.E W4 [EXT]
+— the monitoring layer a training-data pipeline runs beside
+dedup/quality filtering): cohort retention, Wilson-bound source
+ranking, day-of-week seasonal adjustment, Benford data-quality
+screen, Heaps'-law vocabulary-growth fit, distinct-n diversity,
+trailing-window anomaly z-scores, capped inverted-index heads,
+cross-source quantile normalization, one-pass bootstrap CIs, and the
+Markov event-transition matrix.
 
 Portability contracts shared with the oracles:
 - timestamps exposed as epoch BIGINT (never raw);
