@@ -90,6 +90,26 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         f.write(result + "\n")
     print(result)
+    # The driver parses the TAIL of stdout; the full per-query line is
+    # ~6 KB and overflows the capture window (BENCH_r05/r06 both came
+    # back "parsed": null). Emit a compact summary LAST so the tail
+    # parse always lands on a complete JSON line; full detail stays in
+    # the line above and in the durable BENCH.json.
+    slowest = max(timings, key=timings.get)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(names),
+                "max_query": slowest,
+                "max_query_s": timings[slowest],
+                "queries": {"_detail": "see BENCH.json"},
+            }
+        )
+    )
     spark.stop()
 
 

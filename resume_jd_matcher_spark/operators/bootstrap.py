@@ -123,15 +123,25 @@ def bootstrap_mean_ci(
     )
     sorted_means = F.array_sort(means)
     # clamp the order-statistic indices to the surviving replicate
-    # count (element_at past the end throws under ANSI)
+    # count (element_at past the end throws under ANSI); when EVERY
+    # replicate drew weight 0 (possible only for 1-2-row groups) the
+    # means array is empty and element_at(arr, 0) ALWAYS throws in
+    # Spark (indices are 1-based) — guard to NULL, matching the
+    # DuckDB oracle's out-of-range NULL
     lo_idx = F.least(F.lit(lo_rank), F.size(means))
     hi_idx = F.least(F.lit(hi_rank), F.size(means))
     eps = F.lit(1e-9)
+
+    def _ci(idx):
+        return F.when(
+            F.size(means) > 0, F.round(F.element_at(sorted_means, idx) + eps, 4)
+        )
+
     return g.select(
         group_col,
         "n",
         F.round(F.col("_sv") / F.col("n").cast("double") + eps, 4).alias("mean"),
-        F.round(F.element_at(sorted_means, lo_idx) + eps, 4).alias("ci_lo"),
-        F.round(F.element_at(sorted_means, hi_idx) + eps, 4).alias("ci_hi"),
+        _ci(lo_idx).alias("ci_lo"),
+        _ci(hi_idx).alias("ci_hi"),
         F.size(means).cast("int").alias("n_replicates"),
     )

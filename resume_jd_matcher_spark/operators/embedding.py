@@ -350,13 +350,18 @@ def jl_project(
     A vector whose length differs from ``in_dim`` is an ERROR, not a
     NULL projection: zip_with null-pads the shorter side, which would
     silently fold to NULL. raise_error guards the fold so a wrong
-    in_dim fails fast at execution.
+    in_dim fails fast at execution. A NULL embedding is NOT a length
+    mismatch — it takes an explicit NULL branch (size(NULL) is NULL,
+    which would otherwise fall through to the error arm) and
+    propagates to a NULL projection, as before the guard.
     """
     import math
 
     inv = 1.0 / math.sqrt(k)
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    xs = F.when(F.size(vec_col) == in_dim, xs).otherwise(
+    xs = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast("array<double>")
+    ).when(F.size(vec_col) == in_dim, xs).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(

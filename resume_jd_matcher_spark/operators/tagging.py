@@ -56,12 +56,17 @@ def matched_keyword_array(
     groups = _by_arity(keywords)
     toks = tokens(text_col)
     if sum(len(v) for v in groups.values()) <= LITERAL_DICT_MAX:
-        matched: Column | None = None
+        # seed with an empty array (not None) so an EMPTY dictionary
+        # yields zero matches instead of array_sort(None) TypeError,
+        # and coalesce at the end so NULL text (NULL tokens → NULL
+        # intersect → NULL union) degrades to zero matches like the
+        # broadcast route's left-join coalesce
+        matched: Column = F.array().cast("array<string>")
         for n, kws in sorted(groups.items()):
             lit = F.array(*[F.lit(k) for k in kws])
             arr = F.array_distinct(toks) if n == 1 else shingles(toks, n)
-            part = F.array_intersect(arr, lit)
-            matched = part if matched is None else F.array_union(matched, part)
+            matched = F.array_union(matched, F.array_intersect(arr, lit))
+        matched = F.coalesce(matched, F.array().cast("array<string>"))
         return df.select(F.col(id_col), F.array_sort(matched).alias("matched"))
     # large-dictionary route: explode distinct candidates, broadcast join
     spark = df.sparkSession

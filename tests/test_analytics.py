@@ -42,6 +42,25 @@ class TestKeywordTag:
         big = keyword_tag(df, ["alpha"] + [f"kw{i}" for i in range(200)]).collect()[0]
         assert small["matched_keywords"] == big["matched_keywords"] == "alpha"
 
+    def test_empty_dictionary_and_null_text_degrade_to_zero(self, spark):
+        # ADVICE r6: empty keyword list used to hit array_sort(None)
+        # TypeError; NULL text used to yield NULL matched where the
+        # SQL oracle coalesces to 0. Both routes must degrade to
+        # zero matches.
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in keyword_tag(df, []).collect()}
+        assert out[1]["n_matched"] == 0 and out[1]["matched_keywords"] == ""
+        out = {r["doc_id"]: r for r in keyword_tag(df, ["alpha"]).collect()}
+        assert out[1]["n_matched"] == 1
+        assert out[2]["n_matched"] == 0 and out[2]["matched_keywords"] == ""
+        # broadcast route (dict > LITERAL_DICT_MAX) same NULL-text story
+        big = ["alpha"] + [f"kw{i}" for i in range(300)]
+        out = {r["doc_id"]: r for r in keyword_tag(df, big).collect()}
+        assert out[1]["n_matched"] == 1
+        assert out[2]["n_matched"] == 0 and out[2]["matched_keywords"] == ""
+
 
 class TestSkillCoverage:
     def test_idf_weights_rare_over_common(self, spark):
@@ -494,6 +513,25 @@ class TestBootstrapCI:
         a = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
         b = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
         assert a == b
+
+    def test_singleton_groups_never_throw(self, spark):
+        # ADVICE r6: if every replicate draws total weight 0 the means
+        # array is empty and element_at(arr, 0) throws (1-based
+        # indices). Can't force that astronomically-rare draw, but the
+        # guard must at minimum survive many 1-row groups (the only
+        # shape where it can occur) and keep ci_lo <= ci_hi when
+        # present.
+        from resume_jd_matcher_spark.operators.bootstrap import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [(i, f"g{i}", float(i)) for i in range(50)],
+            "event_id long, event_type string, value double",
+        )
+        rows = bootstrap_mean_ci(df, "event_type", "value", "event_id").collect()
+        assert len(rows) == 50
+        for r in rows:
+            if r["ci_lo"] is not None and r["ci_hi"] is not None:
+                assert r["ci_lo"] <= r["ci_hi"]
 
 
 class TestEventTransitions:

@@ -166,6 +166,29 @@ def test_jl_projection_preserves_distances_on_average(spark):
     assert got == again
 
 
+def test_jl_projection_null_vec_propagates_wrong_dim_raises(spark):
+    """ADVICE r6: a NULL embedding must propagate to a NULL projection
+    (size(NULL) is NULL and used to fall through to the raise_error
+    arm, aborting the job); a genuinely wrong-length vector must still
+    fail fast."""
+    import pytest as _pytest
+
+    from resume_jd_matcher_spark.operators.embedding import jl_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, None)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["proj"] for r in jl_project(df).collect()}
+    assert got[0] is not None and len(got[0]) == 16
+    assert got[1] is None or all(x is None for x in got[1])
+
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="jl_project"):
+        jl_project(bad).collect()
+
+
 def test_pca_covariance_partials_merge_across_slices(spark):
     """The per-batch CᵀC partials are mergeable by sum: computing the
     top component over the union must equal computing it over the
