@@ -62,6 +62,26 @@ def dedup_exact(
     )
 
 
+def minhash_signatures_from_tokens(
+    toks: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures over a pre-tokenized DISTINCT (id, tok) long
+    form — the shared core that lets ensemble_neardup feed MinHash and
+    SimHash from ONE exploded token stream instead of tokenizing the
+    corpus once per signal."""
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return (
+        toks.select(id_col, "tok", F.explode(seeds).alias("seed"))
+        .select(
+            id_col,
+            "seed",
+            seeded_hash32(F.col("tok"), F.col("seed")).alias("hv"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("hv").alias("mh"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,
@@ -79,17 +99,7 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
-    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    return (
-        toks.select(id_col, "tok", F.explode(seeds).alias("seed"))
-        .select(
-            id_col,
-            "seed",
-            seeded_hash32(F.col("tok"), F.col("seed")).alias("hv"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("hv").alias("mh"))
-    )
+    return minhash_signatures_from_tokens(toks, n_hashes, id_col)
 
 
 def lsh_bands(
@@ -128,6 +138,25 @@ def minhash_lsh_candidates(
     # Tracked in _PERSISTED for explicit release by long-lived callers.
     sigs = minhash_signatures(df, n_hashes, id_col, text_col).persist()
     _PERSISTED.append(sigs)
+    return _minhash_lsh_from_sigs(sigs, rows_per_band, id_col)
+
+
+def minhash_lsh_candidates_from_tokens(
+    toks: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """minhash_lsh_candidates over a pre-tokenized DISTINCT (id, tok)
+    long form (see minhash_signatures_from_tokens)."""
+    sigs = minhash_signatures_from_tokens(toks, n_hashes, id_col).persist()
+    _PERSISTED.append(sigs)
+    return _minhash_lsh_from_sigs(sigs, rows_per_band, id_col)
+
+
+def _minhash_lsh_from_sigs(
+    sigs: DataFrame, rows_per_band: int, id_col: str
+) -> DataFrame:
     bands = lsh_bands(sigs, rows_per_band, id_col)
 
     a = bands.select(
@@ -192,6 +221,15 @@ def simhash_from_tokens(
     # ~3-5× fewer rows for natural-language token distributions. The
     # count agg is map-side combined, so the shuffle shrinks too.
     counted = toks.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    return simhash_from_counted(counted, n_bits, id_col)
+
+
+def simhash_from_counted(
+    counted: DataFrame, n_bits: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash over the (id, tok, cnt) occurrence-count grain — the
+    entry point that shares ensemble_neardup's one exploded+counted
+    token stream with MinHash instead of re-tokenizing."""
     hv = counted.select(
         id_col,
         "cnt",

@@ -1,0 +1,116 @@
+"""Exact per-group interpolated percentiles via the two-scan
+bucket-histogram plan — the scale-safe replacement for
+``percentile()``'s ObjectHashAggregate, which buffers every group
+value in executor memory (~20M doubles per group at sf10, OOM at
+100 TB).
+
+Scan 1 builds a bounded histogram on integer buckets
+``floor(value)`` (map-side combined; histogram size is capped by the
+value domain — for unbounded domains widen to ``floor(value/width)``),
+then a tiny per-group cumulative-count window over buckets locates,
+for each percentile target rank t = p*(n-1)+1, the bucket holding
+ranks floor(t) and ceil(t) plus the rank offset inside that bucket.
+Scan 2 broadcast-semi-joins the input down to just those ≤2·|pcts|
+buckets per group, ranks the handful of surviving rows, and picks the
+bracketing values; interpolation follows quantile_cont semantics
+(v = v_lo + frac*(v_hi - v_lo)).
+
+No stage ever holds a group's raw values: peak state is the bucket
+histogram (bounded) and the bracketing-bucket row slice. Extracted in
+round 7 from queries/advanced_q.q_exact_percentiles so approx_stats'
+in-engine exact verifier shares the same scale-safe plan (its first
+r7 spelling put ``percentile()`` in the same aggregate as a
+``countDistinct`` — the distinct-agg Expand rewrite then carried a
+full percentile buffer per (group, distinct-key) partial group, a
+209 s pathology at sf0.1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_percentiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: Sequence[tuple[str, float]],
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per
+    ``group_col``: one output row per group with one column per
+    ``(tag, p)`` in ``pcts`` (quantile_cont / percentile() semantics,
+    unrounded). See module docstring for the two-scan plan."""
+    spark = df.sparkSession
+    l = df.select(
+        group_col, value_col, F.floor(value_col).alias("_b")
+    )
+    hist = l.groupBy(group_col, "_b").agg(F.count("*").alias("_cnt"))
+    totals = hist.groupBy(group_col).agg(F.sum("_cnt").alias("_n"))
+    wb = Window.partitionBy(group_col).orderBy("_b")
+    whist = hist.join(F.broadcast(totals), group_col).withColumn(
+        "_cum", F.sum("_cnt").over(wb)
+    )
+    targets = spark.createDataFrame(
+        [(tag, p, kind) for tag, p in pcts for kind in ("lo", "hi")],
+        "_tag string, _p double, _kind string",
+    )
+    # Bucket with cumulative count `_cum` covers integer ranks
+    # (_cum-_cnt, _cum]; rank k lives in it iff _cum >= k > _cum-_cnt.
+    spec = (
+        whist.crossJoin(F.broadcast(targets))
+        .withColumn("_t", F.col("_p") * (F.col("_n") - 1) + 1)
+        .withColumn(
+            "_k",
+            F.when(F.col("_kind") == "lo", F.floor("_t")).otherwise(
+                F.ceil("_t")
+            ),
+        )
+        .filter(
+            (F.col("_cum") >= F.col("_k"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
+        )
+        .select(
+            group_col,
+            "_b",
+            (F.col("_k") - F.col("_cum") + F.col("_cnt")).alias("_kb"),
+            F.concat("_tag", F.lit("_"), "_kind").alias("_slot"),
+        )
+        # ≤ 2·|pcts|·|groups| rows; persisted so the two broadcast
+        # consumers below don't each re-run the histogram job (and its
+        # input scan).
+        .persist()
+    )
+    buckets = spec.select(group_col, "_b").distinct()
+    wr = Window.partitionBy(group_col, "_b").orderBy(value_col)
+    picked = (
+        l.join(F.broadcast(buckets), [group_col, "_b"])
+        .withColumn("_rn", F.row_number().over(wr))
+        .join(
+            F.broadcast(spec).withColumnRenamed("_kb", "_rn"),
+            [group_col, "_b", "_rn"],
+        )
+    )
+    slot_aggs = [
+        F.max(
+            F.when(F.col("_slot") == f"{tag}_{kind}", F.col(value_col))
+        ).alias(f"_{tag}_{kind}")
+        for tag, _ in pcts
+        for kind in ("lo", "hi")
+    ]
+    out = picked.groupBy(group_col).agg(*slot_aggs).join(
+        F.broadcast(totals), group_col
+    )
+    out_cols = [F.col(group_col)]
+    for tag, p in pcts:
+        t = F.lit(p) * (F.col("_n") - 1) + 1
+        frac = t - F.floor(t)
+        out_cols.append(
+            (
+                F.col(f"_{tag}_lo")
+                + frac * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
+            ).alias(tag)
+        )
+    return out.select(*out_cols)

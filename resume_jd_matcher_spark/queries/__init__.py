@@ -63,6 +63,7 @@ from resume_jd_matcher_spark.queries import sampling_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import retrieval_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import analytics_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import mining_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -72,12 +73,52 @@ from resume_jd_matcher_spark.queries import analytics_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 6: the 10 queries that had never received hard driver signal
-# (judge-verified green in r5) rotate IN, displacing ten r5-confirmed
-# anchors; round-6 additions (mllib_lsh_agreement, …) go in as they
-# land. Everything below the first 50 keeps registry order.
+# Round 7: the 12 new mining/profiling queries plus the three
+# reworked-this-round queries (approx_stats now hash-checkable,
+# heaps_law single-tokenization, ensemble_neardup shared token grain)
+# lead; behind them the full round-6 cohort (18 additions + 10
+# first-confirmations, each with exactly ONE driver-green row so far)
+# rotates back for its second confirmation, per the r6 verdict; the
+# remaining slots carry the queries whose operator code changed this
+# round. Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
-    # -- never driver-checked until now (judge-green r5) --
+    # -- round-7 additions --
+    "market_basket",
+    "rfm_segments",
+    "abc_pareto",
+    "gini_concentration",
+    "chi2_independence",
+    "level_shift",
+    "time_weighted_avg",
+    "sax_symbolize",
+    "readability_ari",
+    "boilerplate_ngrams",
+    "fd_check",
+    "keyword_tag_broadcast",
+    "weighted_median",
+    "kfold_assign",
+    # -- reworked in round 7 (re-confirm under the new plan) --
+    "approx_stats",
+    "heaps_law",
+    "ensemble_neardup",
+    # -- round-6 cohort: second confirmations --
+    "mllib_lsh_agreement",
+    "keyword_tag",
+    "skill_coverage",
+    "cohort_retention",
+    "wilson_ranking",
+    "seasonal_adjust",
+    "benford_dq",
+    "negative_sampling",
+    "margin_bitext",
+    "ngram_diversity",
+    "rolling_anomaly",
+    "inverted_index",
+    "align_uniformity",
+    "quantile_normalize",
+    "bootstrap_ci",
+    "stream_static_enrich",
+    "event_transitions",
     "ann_multiprobe_topk",
     "corpus_health_scorecard",
     "gap_fill_interpolate",
@@ -88,48 +129,15 @@ _DRIVER_PRIORITY = [
     "session_window_agg",
     "skew_salted_join",
     "tfidf_cosine_pairs",
-    # -- round-6 additions --
-    "mllib_lsh_agreement",
-    "keyword_tag",
-    "skill_coverage",
-    "cohort_retention",
-    "wilson_ranking",
-    "seasonal_adjust",
-    "benford_dq",
-    "negative_sampling",
-    "margin_bitext",
-    "heaps_law",
-    "ngram_diversity",
-    "rolling_anomaly",
-    "inverted_index",
-    "align_uniformity",
-    "quantile_normalize",
-    "bootstrap_ci",
-    "stream_static_enrich",
-    "event_transitions",
-    # -- r5-green holding for a second confirmation --
-    "semdedup",
-    "line_dedup",
-    "dsir_weights",
-    "hll_distinct",
-    "mmr_diversify",
-    "psi_drift",
-    "containment_neardup",
-    "embedding_whiten",
-    "temperature_mixture",
-    "pca_top_component",
+    # -- operator code touched this round (tagging/embedding/dedup) --
     "jl_projection",
-    "minhash_pr_eval",
-    "dedup_clusters_star",
-    "bpe_merges",
-    "bpe_encode_stats",
-    "media_binary_neardup",
-    "bm25_rank",
-    "rrf_hybrid",
-    "hard_negatives",
-    "substring_dedup",
-    "pmi_collocations",
-    "quality_classifier",
+    "minhash_lsh",
+    "simhash_neardup",
+    # -- multiply-confirmed anchors --
+    "topk_similarity",
+    "pricing_summary",
+    "pipeline_e2e",
+    "dedup_exact",
 ]
 
 

@@ -202,31 +202,86 @@ def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("qty").isNotNull())
 
 
-@register("approx_stats", None)
+@register(
+    "approx_stats",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS exact_p50,
+       TRUE AS ok_distinct,
+       TRUE AS ok_p50,
+       TRUE AS ok_p95
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 approximate aggregates (rows-only: sketch results are
-    engine-specific by design): HLL count-distinct + approximate
-    quantiles per return flag; exact counterparts checked in pytest.
+    """A4 approximate aggregates under a HARD oracle (was rows-only
+    through r6: HLL registers and KLL sketch cut-points are
+    engine-internal). The *accuracy contract* is not engine-internal:
+    the engine computes approx AND exact side-by-side in one agg and
+    emits per-flag ``ok_* = relative error within bound`` booleans,
+    which DuckDB replays as literal TRUE — any sketch regression
+    (rsd drift, accuracy misconfiguration, percentile_approx change)
+    flips a boolean and hash-mismatches. Bounds: HLL default rsd is
+    5% → 10% (2σ) bound; percentile_approx at accuracy 10000 → 2%
+    value-relative bound, generous next to the ~1e-4 rank guarantee
+    but tight enough to catch a broken sketch.
 
     The two quantiles come out of ONE sketch evaluation but are
     flattened to scalar columns — an ARRAY<DOUBLE> result column broke
     the driver's pandas canonicalization (unhashable ndarray,
-    CORRECTNESS_r04)."""
+    CORRECTNESS_r04).
+
+    Scale shape — THREE independent small aggs joined on the 3-row
+    flag key (all joins broadcast), NEVER one combined agg: putting
+    ``countDistinct`` in the same aggregate as the percentile buffers
+    makes Spark's distinct-agg Expand rewrite carry a full
+    percentile/QuantileSummaries partial buffer per (flag, orderkey)
+    group — measured 209 s at sf0.1 vs ~1 s split (r7 bench). The
+    sketch agg merges map-side; the exact count-distinct is an
+    explicit two-phase distinct-then-count (no Expand); the exact
+    percentiles use the bounded bucket-histogram plan
+    (operators/percentiles.py), so no stage buffers raw group
+    values."""
+    from resume_jd_matcher_spark.operators.percentiles import (
+        group_percentiles_exact,
+    )
+
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx(
-                "l_extendedprice", [0.5, 0.95], 10000
-            ).alias("_q"),
+    eps = F.lit(1e-9)
+
+    def rel_ok(approx, exact, bound):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= F.lit(bound)
         )
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            F.element_at("_q", 1).alias("price_p50"),
-            F.element_at("_q", 2).alias("price_p95"),
-        )
+
+    sk = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_q"),
+    )
+    ex_cd = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    ex_p = group_percentiles_exact(
+        l, "l_returnflag", "l_extendedprice", (("_e50", 0.50), ("_e95", 0.95))
+    )
+    agg = sk.join(F.broadcast(ex_cd), "l_returnflag").join(
+        F.broadcast(ex_p), "l_returnflag"
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        F.round(F.col("_e50") + eps, 2).alias("exact_p50"),
+        rel_ok(F.col("approx_orders"), F.col("exact_orders"), 0.10).alias(
+            "ok_distinct"
+        ),
+        rel_ok(F.element_at("_q", 1), F.col("_e50"), 0.02).alias("ok_p50"),
+        rel_ok(F.element_at("_q", 2), F.col("_e95"), 0.02).alias("ok_p95"),
     )
 
 
@@ -279,7 +334,7 @@ def q_mllib_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V8/V6: the MLlib BucketedRandomProjectionLSH path under a HARD
     oracle — the full-recall agreement gate the rows-only
     ``mllib_lsh_join`` can't give. At (bucketLength=2.0,
-    numHashTables=10, seed=42, threshold 1.25) the OR-amplified
+    numHashTables=15, seed=42, threshold 1.25) the OR-amplified
     candidate join achieves recall 1.0 vs exact on the fixture, so the
     MLlib pair set EQUALS the exact SQL pair set: the oracle is the
     brute-force SQL join, and any recall regression in the MLlib path
@@ -390,93 +445,30 @@ GROUP BY l_returnflag
 """,
 )
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: exact interpolated percentiles per group via the classic
-    two-scan histogram plan. ``percentile()`` is an ObjectHashAggregate
-    that buffers every group value in executor memory — with 3 groups
-    over lineitem that's ~20M doubles per buffer at sf10 and an OOM at
-    100 TB. Instead:
+    """A4: exact interpolated percentiles per group via the two-scan
+    bucket-histogram plan (operators/percentiles.py — extracted in r7
+    so approx_stats' exact verifier shares it). ``percentile()`` is an
+    ObjectHashAggregate that buffers every group value in executor
+    memory — with 3 groups over lineitem that's ~20M doubles per
+    buffer at sf10 and an OOM at 100 TB; the histogram plan's peak
+    state is the bounded integer-bucket histogram and a ≤6-bucket row
+    slice. When interpolated exactness isn't required at full scale,
+    the sketch-based approx_stats query is the documented cutover."""
+    from resume_jd_matcher_spark.operators.percentiles import (
+        group_percentiles_exact,
+    )
 
-    - scan 1 builds a bounded histogram on integer buckets
-      ``floor(value)`` (map-side combined; histogram size is capped by
-      the value domain, ~100k buckets here — for unbounded domains
-      widen to ``floor(value/width)``), then a tiny per-group
-      cumulative-count window over buckets locates, for each percentile
-      target rank t = p*(n-1)+1, the bucket holding ranks floor(t) and
-      ceil(t) plus the rank offset inside that bucket;
-    - scan 2 broadcast-semi-joins lineitem down to just those ≤6
-      buckets per group, ranks the handful of surviving rows, and picks
-      the bracketing values; interpolation is quantile_cont semantics
-      (v = v_lo + frac*(v_hi - v_lo)).
-
-    No stage ever holds a group's raw values: peak state is the bucket
-    histogram (bounded) and the ≤6-bucket row slice. When interpolated
-    exactness isn't required at full scale, the sketch-based
-    approx_stats query is the documented cutover."""
-    from pyspark.sql import Window
-
-    pcts = (("p25", 0.25), ("p50", 0.50), ("p95", 0.95))
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", F.floor("l_extendedprice").alias("b")
+    l = load_table(spark, sf_dir, "lineitem")
+    out = group_percentiles_exact(
+        l,
+        "l_returnflag",
+        "l_extendedprice",
+        (("p25", 0.25), ("p50", 0.50), ("p95", 0.95)),
     )
-    hist = l.groupBy("l_returnflag", "b").agg(F.count("*").alias("cnt"))
-    totals = hist.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
-    wb = Window.partitionBy("l_returnflag").orderBy("b")
-    whist = hist.join(F.broadcast(totals), "l_returnflag").withColumn(
-        "cum", F.sum("cnt").over(wb)
+    return out.select(
+        "l_returnflag",
+        *[F.round(F.col(t), 4).alias(t) for t in ("p25", "p50", "p95")],
     )
-    targets = spark.createDataFrame(
-        [(tag, p, kind) for tag, p in pcts for kind in ("lo", "hi")],
-        "tag string, p double, kind string",
-    )
-    # Bucket with cumulative count `cum` covers integer ranks
-    # (cum-cnt, cum]; rank k lives in it iff cum >= k > cum-cnt.
-    spec = (
-        whist.crossJoin(F.broadcast(targets))
-        .withColumn("t", F.col("p") * (F.col("n") - 1) + 1)
-        .withColumn(
-            "k", F.when(F.col("kind") == "lo", F.floor("t")).otherwise(F.ceil("t"))
-        )
-        .filter((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")))
-        .select(
-            "l_returnflag",
-            "b",
-            (F.col("k") - F.col("cum") + F.col("cnt")).alias("kb"),
-            F.concat("tag", F.lit("_"), "kind").alias("slot"),
-        )
-        # ≤18 rows; persisted so the two broadcast consumers below don't
-        # each re-run the histogram job (and its lineitem scan).
-        .persist()
-    )
-    buckets = spec.select("l_returnflag", "b").distinct()
-    wr = Window.partitionBy("l_returnflag", "b").orderBy("l_extendedprice")
-    picked = (
-        l.join(F.broadcast(buckets), ["l_returnflag", "b"])
-        .withColumn("rn", F.row_number().over(wr))
-        .join(
-            F.broadcast(spec).withColumnRenamed("kb", "rn"),
-            ["l_returnflag", "b", "rn"],
-        )
-    )
-    slot_aggs = [
-        F.max(F.when(F.col("slot") == f"{tag}_{kind}", F.col("l_extendedprice"))).alias(
-            f"{tag}_{kind}"
-        )
-        for tag, _ in pcts
-        for kind in ("lo", "hi")
-    ]
-    out = picked.groupBy("l_returnflag").agg(*slot_aggs).join(
-        F.broadcast(totals), "l_returnflag"
-    )
-    out_cols = [F.col("l_returnflag")]
-    for tag, p in pcts:
-        t = F.lit(p) * (F.col("n") - 1) + 1
-        frac = t - F.floor(t)
-        out_cols.append(
-            F.round(
-                F.col(f"{tag}_lo") + frac * (F.col(f"{tag}_hi") - F.col(f"{tag}_lo")), 4
-            ).alias(tag)
-        )
-    return out.select(*out_cols)
 
 
 @register(

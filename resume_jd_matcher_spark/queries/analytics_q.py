@@ -340,34 +340,50 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly that degeneracy); document lengths vary 10×, giving the
     regression real support at every scale.
 
-    Scale shape: per-doc counts are a pure projection (native array
-    ops, no explode); the OLS is one map-side-combined regr_* agg;
-    per-source totals are source-keyed hash aggs; the 1-row fit
-    broadcasts back."""
+    Scale shape (r7 rework — the corpus was previously scanned AND
+    tokenized twice, once per side): ONE scan → ONE explode → ONE
+    rollup(source, doc_id) with count + countDistinct(tok). The
+    (source, doc_id) grouping level IS the per-doc fit points and the
+    (source) level IS the per-source totals, so both consumers read
+    the same materialized rollup output — bounded at n_docs +
+    n_sources + 1 rows, the only thing stored. localCheckpoint (not
+    persist: the two consumers form a self-join whose
+    DeduplicateRelations expr-ID rewrite defeats cache-plan matching,
+    silently recomputing one side from parquet — observed in the r7
+    plan) truncates lineage so BOTH branches provably read the one
+    materialized RDD. The Expand the rollup inserts triples rows
+    BEFORE the map-side partial-distinct combine, which is still far
+    cheaper at 100 TB than a second full corpus scan +
+    re-tokenization."""
     from resume_jd_matcher_spark.functions.text import tokens
     from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
-    per_doc = d.select(
-        F.size(toks).cast("bigint").alias("dn_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("dn_types"),
-    ).filter(F.col("dn_tokens") >= 2)
-    lx = F.log(F.col("dn_tokens").cast("double"))
-    ly = F.log(F.col("dn_types").cast("double"))
+    grain = (
+        d.select("source", "doc_id", F.explode(toks).alias("tok"))
+        .rollup("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.countDistinct("tok").alias("n_typ"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint()
+    )
+    # gid 0 = (source, doc_id) rows; gid 1 = (source) rows; gid 3 = ()
+    per_doc = grain.filter(F.col("gid") == 0).filter(F.col("n_toks") >= 2)
+    lx = F.log(F.col("n_toks").cast("double"))
+    ly = F.log(F.col("n_typ").cast("double"))
     eps = F.lit(1e-9)
     fit = per_doc.agg(
         F.round(F.regr_slope(ly, lx) + eps, 4).alias("beta"),
         F.round(F.exp(F.regr_intercept(ly, lx)) + eps, 4).alias("k"),
         F.round(F.regr_r2(ly, lx) + eps, 4).alias("r2"),
     )
-    per_src = (
-        d.select("source", F.explode(toks).alias("tok"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("tok").alias("n_types"),
-        )
+    per_src = grain.filter(F.col("gid") == 1).select(
+        "source",
+        F.col("n_toks").alias("n_tokens"),
+        F.col("n_typ").alias("n_types"),
     )
     return per_src.crossJoin(F.broadcast(fit)).select(
         "source",

@@ -1,0 +1,1065 @@
+"""Data-mining / profiling queries (round 7, SURVEY.md §2.D/§2.E
+[EXT] — the catalog-profiling layer a training-data pipeline runs
+over its relational side): market-basket brand affinity, RFM customer
+segmentation, ABC/Pareto revenue classification, Gini concentration,
+chi-squared independence, level-shift changepoint screen,
+time-weighted averages over irregular series, SAX symbolization,
+ARI readability, per-source boilerplate n-grams, and functional-
+dependency data-quality checks.
+
+The ABC and Gini queries run on ``operators/prefix.global_prefix`` —
+the two-phase distributed prefix-scan that replaces the
+single-partition ``Window.orderBy`` scale-killer for global
+rank/cumsum (see that module's docstring).
+
+Portability contracts shared with the oracles (FIXTURES.md):
+- money folded to integer cents via ``floor(x*100 + 0.5)`` BEFORE any
+  sum — integer accumulation is associative, so running totals match
+  the oracle bit-for-bit regardless of partitioning; float running
+  sums would not;
+- event values folded to integer micros the same way;
+- day grain = ``floor(epoch_seconds/86400)`` (repo-wide convention);
+- every exposed float rounded in-query on both sides with the +1e-9
+  tie-dodge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+_SQL_TOKS = "string_split_regex(trim(lower({c})), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Market basket: brand co-occurrence within orders
+# ---------------------------------------------------------------------------
+
+@register(
+    "market_basket",
+    """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+cnts AS (SELECT p_brand, count(*)::BIGINT AS cnt FROM baskets GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*)::BIGINT AS support
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+)
+SELECT p.brand_a, p.brand_b, p.support,
+       round(p.support / n.n_orders::DOUBLE + 1e-9, 6) AS supp_frac,
+       round(p.support * n.n_orders / (ca.cnt * cb.cnt)::DOUBLE + 1e-9, 4) AS lift
+FROM pairs p
+CROSS JOIN n
+JOIN cnts ca ON ca.p_brand = p.brand_a
+JOIN cnts cb ON cb.p_brand = p.brand_b
+WHERE p.support >= 2
+""",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J2 [EXT]: market-basket affinity — support and lift for
+    brand pairs co-occurring in an order (Agrawal-Srikant A-priori's
+    pair stage, the k=2 sweet spot that covers most production
+    affinity use). Items are rolled up to p_brand so the pair space
+    is dimension-bounded (|brands|² ≤ 625), not part².
+
+    Scale shape: baskets = one distinct on (order, brand) — map-side
+    combinable; the pair generator is a SELF-EQUI-JOIN keyed on
+    l_orderkey (never a cross join): per-order fanout is C(brands per
+    order, 2), bounded by the order's line count, so the candidate
+    stream is O(Σ per-order pairs) — linear-ish in lineitem. Brand
+    counts and the order total are broadcast back. part is a
+    broadcast dim into the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    cnts = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    a = baskets.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = baskets.select(
+        F.col("l_orderkey").alias("rk"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b.rk) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    eps = F.lit(1e-9)
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(
+            F.broadcast(cnts.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(cnts.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(
+                F.col("support") / F.col("n_orders").cast("double") + eps, 6
+            ).alias("supp_frac"),
+            F.round(
+                F.col("support")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+                + eps,
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "rfm_segments",
+    """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+cust AS (
+  SELECT o_custkey,
+         floor(date_diff('second', max(o_orderdate), a.mx) / 86400.0)::BIGINT AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS monetary_cents
+  FROM orders CROSS JOIN anchor a GROUP BY o_custkey, a.mx
+), q AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2, quantile_cont(recency_days, 0.75) AS r3,
+         quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2, quantile_cont(frequency, 0.75) AS f3,
+         quantile_cont(monetary_cents, 0.25) AS m1, quantile_cont(monetary_cents, 0.5) AS m2, quantile_cont(monetary_cents, 0.75) AS m3
+  FROM cust
+)
+SELECT c.o_custkey AS custkey, c.recency_days, c.frequency, c.monetary_cents,
+       (CASE WHEN c.recency_days <= q.r1 THEN 4 WHEN c.recency_days <= q.r2 THEN 3 WHEN c.recency_days <= q.r3 THEN 2 ELSE 1 END)::INT AS r_score,
+       (CASE WHEN c.frequency <= q.f1 THEN 1 WHEN c.frequency <= q.f2 THEN 2 WHEN c.frequency <= q.f3 THEN 3 ELSE 4 END)::INT AS f_score,
+       (CASE WHEN c.monetary_cents <= q.m1 THEN 1 WHEN c.monetary_cents <= q.m2 THEN 2 WHEN c.monetary_cents <= q.m3 THEN 3 ELSE 4 END)::INT AS m_score,
+       'R' || (CASE WHEN c.recency_days <= q.r1 THEN 4 WHEN c.recency_days <= q.r2 THEN 3 WHEN c.recency_days <= q.r3 THEN 2 ELSE 1 END)
+           || 'F' || (CASE WHEN c.frequency <= q.f1 THEN 1 WHEN c.frequency <= q.f2 THEN 2 WHEN c.frequency <= q.f3 THEN 3 ELSE 4 END)
+           || 'M' || (CASE WHEN c.monetary_cents <= q.m1 THEN 1 WHEN c.monetary_cents <= q.m2 THEN 2 WHEN c.monetary_cents <= q.m3 THEN 3 ELSE 4 END) AS segment
+FROM cust c CROSS JOIN q
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: RFM customer segmentation — recency (days since last
+    order vs the corpus anchor), frequency (order count), monetary
+    (lifetime cents), each quartile-scored 1-4 and concatenated into
+    the classic 'R4F2M1' segment code.
+
+    Scale shape: customer grain is ONE hash agg over orders; quartile
+    boundaries are a single 1-row percentile agg broadcast back (NOT
+    an ntile window — ntile over all customers is a single-partition
+    sort at scale). Money is integer cents so the per-customer sums
+    are order-insensitive; boundaries interpolate the same exact
+    integers on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("mx"))
+                    - F.unix_timestamp(F.max("o_orderdate"))
+                )
+                / 86400.0
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+    )
+    q = cust.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(col, q1, q2, q3, invert):
+        hi, lo = (4, 1) if not invert else (1, 4)
+        steps = (2, 3) if not invert else (3, 2)
+        return (
+            F.when(F.col(col) <= F.col(q1), F.lit(lo))
+            .when(F.col(col) <= F.col(q2), F.lit(steps[0]))
+            .when(F.col(col) <= F.col(q3), F.lit(steps[1]))
+            .otherwise(F.lit(hi))
+            .cast("int")
+        )
+
+    r_s = score("recency_days", "r1", "r2", "r3", invert=True)
+    f_s = score("frequency", "f1", "f2", "f3", invert=False)
+    m_s = score("monetary_cents", "m1", "m2", "m3", invert=False)
+    return cust.crossJoin(F.broadcast(q)).select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        F.concat(
+            F.lit("R"), r_s.cast("string"),
+            F.lit("F"), f_s.cast("string"),
+            F.lit("M"), m_s.cast("string"),
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "abc_pareto",
+    """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT sum(rev_cents)::BIGINT AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, rev_cents,
+         row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+  FROM rev
+)
+SELECT r.l_partkey AS partkey, r.rev_cents, r.rnk::BIGINT AS rnk,
+       round(r.cum_cents / t.t::DOUBLE + 1e-9, 6) AS cum_share,
+       CASE WHEN r.cum_cents / t.t::DOUBLE <= 0.80 THEN 'A'
+            WHEN r.cum_cents / t.t::DOUBLE <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r CROSS JOIN tot t
+""",
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A4 [EXT]: ABC (Pareto) classification of parts by revenue —
+    global revenue rank, cumulative revenue share, and the 80/95
+    class cut. The textbook inventory-analysis query whose naive
+    Spark spelling is the single-partition-window scale-killer.
+
+    Scale shape: runs on operators/prefix.global_prefix — a
+    range-shuffle sort + per-partition offset scan, so the only
+    unpartitioned window in the plan covers n_partitions summary
+    rows, never the part dimension. Revenue is folded to integer
+    cents BEFORE summing: the running total is then associative and
+    matches the oracle's strict left-to-right window sum exactly."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "rev_cents",
+            (-F.col("rev_cents")).alias("_neg"),
+        )
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("t"))
+    ranked = global_prefix(
+        rev, ["_neg", "partkey"], "rev_cents", sum_type="bigint"
+    )
+    share = F.col("cum_sum") / F.col("t").cast("double")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "partkey",
+        "rev_cents",
+        F.col("rank").alias("rnk"),
+        F.round(share + F.lit(1e-9), 6).alias("cum_share"),
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gini_concentration",
+    """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rnk FROM spend
+)
+SELECT count(*)::BIGINT AS n_customers,
+       sum(cents)::BIGINT AS total_cents,
+       round((2.0 * sum(rnk * cents)::BIGINT) / (count(*) * sum(cents)::BIGINT)::DOUBLE
+             - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
+FROM ranked
+""",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Gini coefficient of customer spend concentration via
+    the order-statistics identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    spend sorted ascending — the standard inequality measure for
+    "how head-heavy is this corpus/revenue distribution".
+
+    Scale shape: customer spend is one hash agg (integer cents);
+    the global ascending rank comes from operators/prefix.
+    global_prefix (range sort + bounded offset scan — NO
+    single-partition window); the final reduction is a 1-row agg of
+    exact integer products, so the double arithmetic at the end is
+    bit-identical to the oracle's. Ties in spend don't affect
+    Σ(i·xᵢ): equal x under any tie order yield the same sum."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    ranked = global_prefix(
+        spend, ["cents", "o_custkey"], "cents", sum_type="bigint"
+    )
+    n = F.count("*")
+    tot = F.sum("cents")
+    s = F.sum(F.col("rank") * F.col("cents"))
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        tot.cast("bigint").alias("total_cents"),
+        F.round(
+            (2.0 * s) / (n * tot).cast("double")
+            - (n + F.lit(1.0)) / n
+            + F.lit(1e-9),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence
+# ---------------------------------------------------------------------------
+
+@register(
+    "chi2_independence",
+    """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS obs
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), dims AS (
+  SELECT n.c_nationkey, s.c_mktsegment
+  FROM (SELECT DISTINCT c_nationkey FROM customer) n
+  CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+), full_cells AS (
+  SELECT d.c_nationkey, d.c_mktsegment, coalesce(c.obs, 0)::BIGINT AS obs
+  FROM dims d LEFT JOIN cells c USING (c_nationkey, c_mktsegment)
+), rt AS (SELECT c_nationkey, sum(obs)::BIGINT AS r FROM full_cells GROUP BY c_nationkey),
+ct AS (SELECT c_mktsegment, sum(obs)::BIGINT AS c FROM full_cells GROUP BY c_mktsegment),
+n AS (SELECT sum(obs)::BIGINT AS total FROM full_cells)
+SELECT round(sum(pow(f.obs - rt.r * ct.c / n.total::DOUBLE, 2)
+                 / (rt.r * ct.c / n.total::DOUBLE)) + 1e-9, 4) AS chi2,
+       ((count(DISTINCT f.c_nationkey) - 1) * (count(DISTINCT f.c_mktsegment) - 1))::INT AS dof,
+       max(n.total)::BIGINT AS n
+FROM full_cells f
+JOIN rt USING (c_nationkey) JOIN ct USING (c_mktsegment) CROSS JOIN n
+""",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Pearson chi-squared test of independence between
+    customer nation and market segment — the categorical-drift /
+    stratification screen (is segment mix uniform across nations?).
+    Zero cells are completed via the dims cross join (a contingency
+    test over only OBSERVED cells understates chi², the classic bug).
+
+    Scale shape: one (nation, segment) hash agg over the fact table;
+    everything after runs on dimension-bounded intermediates
+    (|nations| × |segments| cells) with broadcast joins; the dims
+    completion is a cross join of two distinct dimension lists —
+    bounded by catalog size, never fact-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("obs")
+    )
+    nats = c.select("c_nationkey").distinct()
+    segs = c.select("c_mktsegment").distinct()
+    full = (
+        nats.crossJoin(segs)
+        .join(F.broadcast(cells), ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.coalesce("obs", F.lit(0)).cast("bigint").alias("obs"),
+        )
+    )
+    rt = full.groupBy("c_nationkey").agg(F.sum("obs").alias("r"))
+    ct = full.groupBy("c_mktsegment").agg(F.sum("obs").alias("c"))
+    n = full.agg(F.sum("obs").alias("total"))
+    exp = F.col("r") * F.col("c") / F.col("total").cast("double")
+    return (
+        full.join(F.broadcast(rt), "c_nationkey")
+        .join(F.broadcast(ct), "c_mktsegment")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("obs") - exp, 2) / exp) + F.lit(1e-9), 4
+            ).alias("chi2"),
+            (
+                (F.countDistinct("c_nationkey") - 1)
+                * (F.countDistinct("c_mktsegment") - 1)
+            )
+            .cast("int")
+            .alias("dof"),
+            F.max("total").cast("bigint").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Level-shift changepoint screen
+# ---------------------------------------------------------------------------
+
+@register(
+    "level_shift",
+    """
+WITH daily AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT AS day_num,
+         sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS s_micros,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, day_num
+), win AS (
+  SELECT event_type, day_num, s_micros, c,
+         row_number() OVER w AS rn,
+         sum(s_micros) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sa,
+         sum(c)        OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ca,
+         sum(s_micros) OVER (w ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS sb,
+         sum(c)        OVER (w ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS cb
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+)
+SELECT event_type, day_num,
+       round((s_micros / c::DOUBLE) / 1e6 + 1e-9, 4) AS daily_mean,
+       round(((sa / ca::DOUBLE) - (sb / cb::DOUBLE)) / (sb / cb::DOUBLE) + 1e-9, 4) AS shift_ratio,
+       abs(((sa / ca::DOUBLE) - (sb / cb::DOUBLE)) / (sb / cb::DOUBLE)) > 0.2 AS flagged
+FROM win WHERE rn >= 14
+""",
+)
+def q_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: trailing-window level-shift changepoint screen per
+    event type — compare the last 7 days' mean against the prior 7
+    days' and flag relative shifts beyond ±20% (the two-sample
+    rolling variant of a CUSUM screen; the recursive CUSUM clamp
+    itself is not window-expressible, this is the standard SQL-shaped
+    substitute).
+
+    Scale shape: events collapse to the (type, day) grain FIRST (one
+    map-side-combined hash agg carrying integer micro-sums, the
+    rolling_anomaly discipline), so every window below runs over
+    day-grain rows partitioned by event_type — bounded by the
+    calendar, not event volume. Means derive from exact integer sums
+    on both engines; no float accumulation anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day_num"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("micros"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(
+            F.sum("micros").alias("s_micros"),
+            F.count("*").alias("c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    wa = w.rowsBetween(-6, 0)
+    wb = w.rowsBetween(-13, -7)
+    ma = F.sum("s_micros").over(wa) / F.sum("c").over(wa).cast("double")
+    mb = F.sum("s_micros").over(wb) / F.sum("c").over(wb).cast("double")
+    ratio = (ma - mb) / mb
+    return (
+        daily.select(
+            "event_type",
+            "day_num",
+            "s_micros",
+            "c",
+            F.row_number().over(w).alias("rn"),
+            ratio.alias("_ratio"),
+        )
+        .filter(F.col("rn") >= 14)
+        .select(
+            "event_type",
+            "day_num",
+            F.round(
+                (F.col("s_micros") / F.col("c").cast("double")) / 1e6
+                + F.lit(1e-9),
+                4,
+            ).alias("daily_mean"),
+            F.round(F.col("_ratio") + F.lit(1e-9), 4).alias("shift_ratio"),
+            (F.abs("_ratio") > 0.2).alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over irregular series
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_weighted_avg",
+    """
+WITH seq AS (
+  SELECT event_type,
+         floor(value * 1000000 + 0.5)::BIGINT AS v_micros,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT event_type,
+       round((sum(v_micros * (t_next - t))::DOUBLE
+              / sum(t_next - t)::DOUBLE) / 1e6 + 1e-9, 6) AS twa,
+       round(avg(v_micros) / 1e6 + 1e-9, 6) AS plain_avg,
+       floor(sum(t_next - t) / 1000000.0)::BIGINT AS span_s,
+       count(*)::BIGINT AS n_intervals
+FROM seq WHERE t_next IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: time-weighted average of an irregularly-sampled
+    series per event type — each observation weighted by its holding
+    interval to the next observation (the standard last-observation-
+    carried-forward integral ÷ span), beside the plain mean it
+    corrects. The gap between the two is the sampling-bias signal.
+
+    Scale shape: ONE partitioned lead() window (ordered by ts with
+    event_id tiebreak — a total order, so ranks reproduce), then a
+    keyed hash agg. Values fold to integer micros and intervals to
+    integer microseconds before multiplying, so the weighted sum is
+    exact integer arithmetic — associative, bit-equal to the oracle
+    (sums stay within int64 through sf0.1 by ~10³ headroom; the
+    overflow-proof DECIMAL(38) spelling is noted for larger sf)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_micros"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return seq.groupBy("event_type").agg(
+        F.round(
+            (
+                F.sum((F.col("v_micros") * dt).cast("decimal(38,0)")).cast("double")
+                / F.sum(dt).cast("double")
+            )
+            / 1e6
+            + F.lit(1e-9),
+            6,
+        ).alias("twa"),
+        F.round(F.avg("v_micros") / 1e6 + F.lit(1e-9), 6).alias("plain_avg"),
+        F.floor(F.sum(dt) / 1000000.0).cast("bigint").alias("span_s"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization
+# ---------------------------------------------------------------------------
+
+_SAX_W = 8  # PAA segments per series
+
+
+def _sax_sql() -> str:
+    """Oracle with the 8-element mean/var folded in EXPLICIT textual
+    order (l[1]+l[2]+...) — float addition is non-associative, so
+    both engines must add in the same order; 8 fixed segments make
+    the unrolled spelling practical."""
+    mean = " + ".join(f"l[{i}]" for i in range(1, _SAX_W + 1))
+    var = " + ".join(f"pow(l[{i}] - mu, 2)" for i in range(1, _SAX_W + 1))
+    sym = ", ".join(
+        f"CASE WHEN sigma = 0 THEN 'b' WHEN (l[{i}] - mu) / sigma < -0.6745 THEN 'a' "
+        f"WHEN (l[{i}] - mu) / sigma < 0 THEN 'b' "
+        f"WHEN (l[{i}] - mu) / sigma < 0.6745 THEN 'c' ELSE 'd' END"
+        for i in range(1, _SAX_W + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400)::BIGINT AS day_num,
+         sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS s,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY event_type, day_num
+), idx AS (
+  SELECT event_type, s, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day_num) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM daily
+), seg AS (
+  SELECT event_type, floor(i * {_SAX_W} / nd)::INT AS seg,
+         sum(s)::BIGINT AS ss, sum(c)::BIGINT AS sc
+  FROM idx GROUP BY event_type, floor(i * {_SAX_W} / nd)::INT
+), lists AS (
+  SELECT event_type,
+         list(ss / sc::DOUBLE ORDER BY seg) AS l
+  FROM seg GROUP BY event_type
+), stats AS (
+  SELECT event_type, l, ({mean}) / {_SAX_W}.0 AS mu FROM lists
+), stats2 AS (
+  SELECT event_type, l, mu, sqrt(({var}) / {_SAX_W}.0) AS sigma FROM stats
+)
+SELECT event_type,
+       concat({sym}) AS sax,
+       round(mu / 1e6 + 1e-9, 4) AS mu,
+       round(sigma / 1e6 + 1e-9, 4) AS sigma
+FROM stats2
+"""
+
+
+@register("sax_symbolize", _sax_sql())
+def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: SAX (Symbolic Aggregate approXimation, Lin et al.
+    2003) of each event type's daily series — PAA-compress to 8
+    segments, z-normalize, map to a 4-symbol alphabet at the
+    standard N(0,1) breakpoints (−0.6745, 0, 0.6745). The symbolic
+    words feed motif mining / cheap series clustering.
+
+    Scale shape: day-grain hash agg first (integer micro-sums), so
+    the PAA runs over calendar-bounded rows; per-type segment means
+    come from exact integer sums; the 8-element mean/variance folds
+    in EXPLICIT left-to-right order on both engines (see _sax_sql) —
+    the one place a built-in avg() would be non-deterministic across
+    engines. Output is n_types rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day_num"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("micros"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.sum("micros").alias("s"), F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    idx = daily.select(
+        "event_type",
+        "s",
+        "c",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nd"),
+    )
+    seg = (
+        idx.select(
+            "event_type",
+            F.floor(F.col("i") * _SAX_W / F.col("nd")).cast("int").alias("seg"),
+            "s",
+            "c",
+        )
+        .groupBy("event_type", "seg")
+        .agg(F.sum("s").alias("ss"), F.sum("c").alias("sc"))
+    )
+    lists = seg.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("seg", "ss", "sc"))
+            ),
+            lambda st: st["ss"] / st["sc"].cast("double"),
+        ).alias("l")
+    )
+    l = F.col("l")
+    mean_expr = None
+    for i in range(1, _SAX_W + 1):
+        t = F.element_at(l, i)
+        mean_expr = t if mean_expr is None else mean_expr + t
+    mu = (mean_expr / float(_SAX_W)).alias("mu")
+    with_mu = lists.select("event_type", "l", mu)
+    var_expr = None
+    for i in range(1, _SAX_W + 1):
+        t = F.pow(F.element_at(F.col("l"), i) - F.col("mu"), 2)
+        var_expr = t if var_expr is None else var_expr + t
+    with_sigma = with_mu.select(
+        "event_type", "l", "mu", F.sqrt(var_expr / float(_SAX_W)).alias("sigma")
+    )
+
+    def sym(i):
+        z = (F.element_at(F.col("l"), i) - F.col("mu")) / F.col("sigma")
+        return (
+            F.when(F.col("sigma") == 0, F.lit("b"))
+            .when(z < -0.6745, F.lit("a"))
+            .when(z < 0, F.lit("b"))
+            .when(z < 0.6745, F.lit("c"))
+            .otherwise(F.lit("d"))
+        )
+
+    eps = F.lit(1e-9)
+    return with_sigma.select(
+        "event_type",
+        F.concat(*[sym(i) for i in range(1, _SAX_W + 1)]).alias("sax"),
+        F.round(F.col("mu") / 1e6 + eps, 4).alias("mu"),
+        F.round(F.col("sigma") / 1e6 + eps, 4).alias("sigma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ARI readability
+# ---------------------------------------------------------------------------
+
+@register(
+    "readability_ari",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::BIGINT AS n_alnum,
+         len({_SQL_TOKS.format(c='text')})::BIGINT AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_alnum, n_words, n_sentences,
+       round(4.71 * n_alnum / n_words::DOUBLE
+             + 0.5 * n_words / n_sentences::DOUBLE - 21.43 + 1e-9, 4) AS ari,
+       CASE WHEN 4.71 * n_alnum / n_words::DOUBLE
+                 + 0.5 * n_words / n_sentences::DOUBLE - 21.43 < 8 THEN 'easy'
+            WHEN 4.71 * n_alnum / n_words::DOUBLE
+                 + 0.5 * n_words / n_sentences::DOUBLE - 21.43 < 14 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM m
+""",
+)
+def q_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: Automated Readability Index per document (Senter &
+    Smith 1967) — 4.71·(chars/words) + 0.5·(words/sentences) − 21.43,
+    from alphanumeric char count, whitespace word count, and
+    [.!?]-run sentence count (min 1 so fragment-only docs stay
+    finite). ARI is the syllable-free readability formula, the one
+    that stays deterministic cross-engine (syllable heuristics
+    aren't).
+
+    Scale shape: a pure per-row projection — three regex/size
+    expressions inside whole-stage codegen, no shuffle at all."""
+    from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")).cast(
+        "bigint"
+    )
+    n_words = F.size(tokens("text")).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_alnum.alias("n_alnum"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+    )
+    ari = (
+        4.71 * F.col("n_alnum") / F.col("n_words").cast("double")
+        + 0.5 * F.col("n_words") / F.col("n_sentences").cast("double")
+        - 21.43
+    )
+    return m.select(
+        "doc_id",
+        "n_alnum",
+        "n_words",
+        "n_sentences",
+        F.round(ari + F.lit(1e-9), 4).alias("ari"),
+        F.when(ari < 8, F.lit("easy"))
+        .when(ari < 14, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_TOKS.format(c='text')} AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+  FROM t WHERE len(toks) >= 2
+), docs AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs FROM t GROUP BY source),
+df AS (
+  SELECT source, gram, count(*)::BIGINT AS df FROM grams GROUP BY source, gram
+), ranked AS (
+  SELECT d.source, d.gram, d.df,
+         round(d.df / s.n_docs::DOUBLE + 1e-9, 4) AS doc_share,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY d.df DESC, d.gram) AS rn
+  FROM df d JOIN docs s USING (source) WHERE d.df >= 2
+)
+SELECT source, gram, df, doc_share, rn::INT AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/V8 [EXT]: per-source boilerplate detector — the top-10
+    word bigrams by document frequency within each source (df ≥ 2).
+    High-share n-grams are template/boilerplate signatures that
+    per-document repetition filters miss; the per-source view is the
+    remediation unit (drop or strip by source).
+
+    Scale shape: distinct per-doc grams explode once; df is a
+    (source, gram) hash agg. The df ≥ 2 pre-filter bounds the ranked
+    set BEFORE the per-source top-k window (the term_frequency
+    lesson: never rank a raw vocabulary); the window partitions by
+    source over the surviving grams only."""
+    from resume_jd_matcher_spark.functions.text import shingles, tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(tokens("text"), 2)).alias("gram"),
+    )
+    docs = d.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = (
+        grams.groupBy("source", "gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("gram"))
+    return (
+        df.join(F.broadcast(docs), "source")
+        .select(
+            "source",
+            "gram",
+            "df",
+            F.round(
+                F.col("df") / F.col("n_docs").cast("double") + F.lit(1e-9), 4
+            ).alias("doc_share"),
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency data-quality checks
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("documents", "source", "lang"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def _fd_sql() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(
+            f"""
+SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs FROM {tbl} GROUP BY {lhs})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("fd_check", _fd_sql())
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/DQ [EXT]: functional-dependency verification — for each
+    candidate FD X→Y, the number of X keys mapping to more than one
+    distinct Y (0 violating keys = the dependency holds). The
+    schema-inference / data-contract check a pipeline runs before
+    trusting a column as a join key or partition label; the candidate
+    list deliberately mixes true FDs (order→customer, key→nation)
+    with expected violations (order→returnflag, source→lang,
+    brand→type) so both verdicts carry driver signal.
+
+    Scale shape: per FD one two-phase countDistinct hash agg keyed on
+    X, reduced to a single summary row — the union is n_candidates
+    rows. Each agg is independently map-side combined; nothing joins
+    anything fact-sized."""
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        per_key = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        row = per_key.agg(
+            F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+            F.count("*").alias("n_keys"),
+            viol.cast("bigint").alias("n_violating"),
+            (viol == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (value-grain cumulative weights, no fact-sized sort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_median",
+    """
+WITH grain AS (
+  SELECT l_returnflag,
+         floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents,
+         sum(floor(l_quantity + 0.5)::BIGINT)::BIGINT AS w
+  FROM lineitem GROUP BY l_returnflag, cents
+), cum AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tw
+  FROM grain
+)
+SELECT l_returnflag,
+       min(cents)::BIGINT AS median_cents,
+       max(tw)::BIGINT AS total_weight
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: exact quantity-weighted median price per return flag
+    — the smallest price whose cumulative quantity weight reaches half
+    the group total (the weighted generalization of the median that
+    percentile() can't express).
+
+    Scale shape: collapse to the (flag, price-cents) VALUE grain
+    first — one map-side-combined hash agg, so the cumulative-weight
+    window runs over distinct values per group, not fact rows (the
+    winsorize_stats discipline). All weights are exact integers;
+    the window partitions by flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grain = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("bigint")
+            .alias("w0"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w0").alias("w"))
+    )
+    wp = Window.partitionBy("l_returnflag")
+    wc = wp.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grain.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("median_cents"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@register(
+    "kfold_assign",
+    f"""
+WITH folds AS (
+  SELECT lang,
+         ({{h}} % {_KFOLD_K})::INT AS fold
+  FROM documents
+), per_lang AS (
+  SELECT lang, count(*)::BIGINT AS n_lang FROM folds GROUP BY lang
+)
+SELECT f.lang, f.fold, count(*)::BIGINT AS n_docs,
+       round(count(*) / p.n_lang::DOUBLE + 1e-9, 4) AS frac_of_lang
+FROM folds f JOIN per_lang p USING (lang)
+GROUP BY f.lang, f.fold, p.n_lang
+""".format(h="('0x' || substr(md5(doc_id::VARCHAR || '#kfold'), 1, 8))::BIGINT"),
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling [EXT]: deterministic stratified k-fold assignment —
+    fold = portable_hash(doc_id, salt) mod k, summarized as per-
+    (lang, fold) counts with the within-language fraction (the
+    stratification balance check a CV harness runs before training).
+    Hash-based folds are reproducible across engines, runs, and
+    cluster sizes — no RNG state, no shuffle-order dependence.
+
+    Scale shape: fold id is a pure projection; the summary is one
+    (lang, fold) hash agg plus a language-total broadcast join —
+    k × |langs| result rows."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    folds = d.select(
+        "lang",
+        (
+            hash32(F.concat(F.col("doc_id").cast("string"), F.lit("#kfold")))
+            % _KFOLD_K
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    per_lang = folds.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        folds.groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("n_lang").cast("double") + F.lit(1e-9),
+                4,
+            ).alias("frac_of_lang"),
+        )
+    )

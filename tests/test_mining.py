@@ -1,0 +1,327 @@
+"""Round-7 mining/profiling layer: the distributed prefix scan
+(operators/prefix.py) and invariants of the mining_q queries —
+market-basket lift, RFM scoring, ABC classes, Gini bounds, chi²,
+level shift, TWA, SAX, ARI, boilerplate n-grams, FD checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestGlobalPrefix:
+    def test_rank_and_cumsum_match_sequential(self, spark):
+        """Exact equality with the naive single-partition spelling on
+        a shuffled fixture with duplicate keys."""
+        from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+        rows = [(i, (i * 37) % 101, ((i * 13) % 7) + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, key long, v long").repartition(16)
+        got = {
+            r["id"]: (r["rank"], r["cum_sum"])
+            for r in global_prefix(df, ["key", "id"], "v", sum_type="bigint").collect()
+        }
+        seq = sorted(rows, key=lambda r: (r[1], r[0]))
+        run = 0
+        for rnk, (i, _k, v) in enumerate(seq, start=1):
+            run += v
+            assert got[i] == (rnk, run), f"id {i}"
+
+    def test_no_data_sized_unpartitioned_window(self, spark):
+        """The data-sized window must be PARTITIONED BY the monotone
+        bucket; the only unpartitioned window runs over the bounded
+        per-bucket summary (n_buckets rows)."""
+        from resume_jd_matcher_spark.operators.prefix import global_prefix
+        from resume_jd_matcher_spark.plans.optimize import physical_plan
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 97).alias("v")
+        )
+        out = global_prefix(df, ["v", "id"], "v", sum_type="bigint")
+        plan = physical_plan(out)
+        # the data window keys on the bucket; offsets join broadcasts
+        assert "partitionspec=[_bkt" in plan.lower().replace(" ", "") or "_bkt" in plan
+        # exactly ONE data-sized exchange: hashpartitioning on _bkt
+        import re
+
+        data_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "hashpartitioning" in ln and "_bkt" in ln
+        ]
+        assert data_exchanges, plan[:2000]
+
+    def test_descending_order(self, spark):
+        from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20)], "id long, v long"
+        )
+        got = {
+            r["id"]: r["rank"]
+            for r in global_prefix(
+                df, ["v", "id"], "v", ascending=False, sum_type="bigint"
+            ).collect()
+        }
+        assert got == {2: 1, 3: 2, 1: 3}
+
+
+class TestMarketBasket:
+    def test_lift_identity_on_crafted_baskets(self, spark, monkeypatch):
+        """Two brands always together in 4 of 4 orders: support=4,
+        lift = n/(cnt_a*cnt_b) computed exactly."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        li = spark.createDataFrame(
+            [(o, pk) for o in range(1, 5) for pk in (1, 2)]
+            + [(5, 3)],
+            "l_orderkey long, l_partkey long",
+        )
+        part = spark.createDataFrame(
+            [(1, "B1"), (2, "B2"), (3, "B3")], "p_partkey long, p_brand string"
+        )
+        monkeypatch.setattr(
+            mining_q,
+            "load_table",
+            lambda spark, sf, name: {"lineitem": li, "part": part}[name],
+        )
+        rows = mining_q.q_market_basket(spark, SF).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["brand_a"], r["brand_b"], r["support"]) == ("B1", "B2", 4)
+        # lift = support * n_orders / (cnt_a * cnt_b) = 4*5/(4*4)
+        assert r["lift"] == pytest.approx(1.25, abs=1e-6)
+
+
+class TestRfm:
+    def test_scores_partition_customers(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries.mining_q import q_rfm_segments
+
+        rows = q_rfm_segments(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 1 <= r["r_score"] <= 4
+            assert r["segment"] == f"R{r['r_score']}F{r['f_score']}M{r['m_score']}"
+        # quartile scoring must use all four buckets on real data
+        assert {r["m_score"] for r in rows} == {1, 2, 3, 4}
+
+
+class TestAbcGini:
+    def test_abc_classes_are_ordered_prefixes(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries.mining_q import q_abc_pareto
+
+        rows = sorted(q_abc_pareto(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+        # cum_share is nondecreasing and classes change A->B->C monotonically
+        shares = [r["cum_share"] for r in rows]
+        assert shares == sorted(shares)
+        classes = "".join(r["abc_class"] for r in rows)
+        assert classes == "A" * classes.count("A") + "B" * classes.count("B") + "C" * classes.count("C")
+        assert abs(shares[-1] - 1.0) < 1e-6
+
+    def test_gini_bounds_and_uniform_zero(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        uniform = spark.createDataFrame(
+            [(i, i, "O", 100.0, None, "P") for i in range(1, 41)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        monkeypatch.setattr(
+            mining_q, "load_table", lambda spark, sf, name: uniform
+        )
+        r = mining_q.q_gini_concentration(spark, SF).collect()[0]
+        assert r["n_customers"] == 40
+        assert abs(r["gini"]) < 1e-6  # equal spend -> zero concentration
+
+
+class TestChi2:
+    def test_independent_uniform_is_zero(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        # perfectly balanced 2x2 -> chi2 == 0, dof == 1
+        rows = [
+            (i, f"c{i}", n, 0.0, s)
+            for i, (n, s) in enumerate(
+                [(0, "A"), (0, "B"), (1, "A"), (1, "B")] * 5
+            )
+        ]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: cust)
+        r = mining_q.q_chi2_independence(spark, SF).collect()[0]
+        assert r["chi2"] == pytest.approx(0.0, abs=1e-6)
+        assert r["dof"] == 1 and r["n"] == 20
+
+    def test_zero_cells_enter_the_statistic(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        # nation 1 never buys segment B -> the (1, B) zero cell must
+        # contribute its expectation; chi2 > 0
+        rows = [(i, f"c{i}", 0, 0.0, "A") for i in range(5)]
+        rows += [(10 + i, f"d{i}", 0, 0.0, "B") for i in range(5)]
+        rows += [(20 + i, f"e{i}", 1, 0.0, "A") for i in range(5)]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: cust)
+        r = mining_q.q_chi2_independence(spark, SF).collect()[0]
+        assert r["chi2"] > 0
+
+
+class TestSeries:
+    def test_level_shift_flags_injected_step(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+        from datetime import datetime, timedelta
+
+        # 14 flat days then a 2x step on day 15..21
+        rows = []
+        base = datetime(2024, 1, 1)
+        eid = 0
+        for day in range(21):
+            v = 10.0 if day < 14 else 20.0
+            for k in range(5):
+                rows.append((eid, base + timedelta(days=day, hours=k), 1, "t", v, ""))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: ev)
+        out = {r["day_num"]: r for r in mining_q.q_level_shift(spark, SF).collect()}
+        flagged_days = [d for d, r in out.items() if r["flagged"]]
+        assert flagged_days  # the step must be detected
+        # fully pre-step windows (day 14 rn) vs post: ratio at the step > 0.2
+        assert max(r["shift_ratio"] for r in out.values()) > 0.2
+
+    def test_twa_weights_by_interval(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+        from datetime import datetime
+
+        # value 0 held 90s, value 100 held 10s -> twa = 10, plain = 50
+        ev = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 0, 0, 0), 1, "t", 0.0, ""),
+                (2, datetime(2024, 1, 1, 0, 1, 30), 1, "t", 100.0, ""),
+                (3, datetime(2024, 1, 1, 0, 1, 40), 1, "t", 55.0, ""),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: ev)
+        r = mining_q.q_time_weighted_avg(spark, SF).collect()[0]
+        assert r["twa"] == pytest.approx(10.0, abs=1e-6)
+        assert r["plain_avg"] == pytest.approx(50.0, abs=1e-6)
+        assert r["span_s"] == 100 and r["n_intervals"] == 2
+
+    def test_sax_word_shape(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries.mining_q import q_sax_symbolize
+
+        rows = q_sax_symbolize(spark, sf_dir).collect()
+        assert len(rows) >= 1
+        for r in rows:
+            assert len(r["sax"]) == 8 and set(r["sax"]) <= set("abcd")
+            assert r["sigma"] >= 0
+
+
+class TestTextProfiling:
+    def test_ari_known_text(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        docs = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!", "en", "s", 25)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: docs)
+        r = mining_q.q_readability_ari(spark, SF).collect()[0]
+        # chars=18 alnum, words=6, sentences=2
+        assert (r["n_alnum"], r["n_words"], r["n_sentences"]) == (18, 6, 2)
+        expect = 4.71 * 18 / 6 + 0.5 * 6 / 2 - 21.43
+        assert r["ari"] == pytest.approx(round(expect + 1e-9, 4), abs=1e-9)
+
+    def test_boilerplate_finds_planted_template(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        docs = spark.createDataFrame(
+            [(i, f"copyright acme corp unique{i} words", "en", "s", 30) for i in range(6)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: docs)
+        rows = mining_q.q_boilerplate_ngrams(spark, SF).collect()
+        top = [r for r in rows if r["rn"] == 1][0]
+        assert top["gram"] in ("acme corp", "copyright acme")
+        assert top["df"] == 6 and top["doc_share"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_fd_check_verdicts(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries.mining_q import q_fd_check
+
+        out = {r["fd"]: r for r in q_fd_check(spark, sf_dir).collect()}
+        assert out["orders.o_orderkey->o_custkey"]["holds"] is True
+        assert out["customer.c_custkey->c_nationkey"]["holds"] is True
+        assert out["lineitem.l_orderkey->l_returnflag"]["holds"] is False
+        for r in out.values():
+            assert r["n_violating"] <= r["n_keys"]
+
+
+class TestWeightedMedian:
+    def test_hand_weighted(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        # prices 1.00 x w1, 2.00 x w1, 3.00 x w10: weighted median = 3.00
+        li = spark.createDataFrame(
+            [
+                (1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "A", "O", None),
+                (2, 1, 1, 1, 1.0, 2.00, 0.0, 0.0, "A", "O", None),
+                (3, 1, 1, 1, 10.0, 3.00, 0.0, 0.0, "A", "O", None),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: li)
+        r = mining_q.q_weighted_median(spark, SF).collect()[0]
+        assert r["median_cents"] == 300 and r["total_weight"] == 12
+
+    def test_unweighted_reduces_to_median(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [
+            (i, 1, 1, 1, 1.0, float(i), 0.0, 0.0, "A", "O", None)
+            for i in range(1, 10)
+        ]
+        li = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: li)
+        r = mining_q.q_weighted_median(spark, SF).collect()[0]
+        assert r["median_cents"] == 500  # median of 1..9 = 5.00
+
+
+class TestKfold:
+    def test_folds_deterministic_and_partition(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries.mining_q import q_kfold_assign
+
+        a = sorted(map(tuple, q_kfold_assign(spark, sf_dir).collect()))
+        b = sorted(map(tuple, q_kfold_assign(spark, sf_dir).collect()))
+        assert a == b  # reproducible
+        # per-language fractions sum to 1
+        from collections import defaultdict
+
+        tot = defaultdict(float)
+        for lang, fold, n, frac in a:
+            assert 0 <= fold < 5
+            tot[lang] += frac
+        for lang, s in tot.items():
+            assert abs(s - 1.0) < 0.01, (lang, s)

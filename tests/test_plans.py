@@ -168,9 +168,10 @@ def test_registry_wide_no_cartesian_products(spark):
         "embed_documents", "stats_moments",
         # distinct-value all-pairs over a ~5-row dim (typo-dedup):
         "fuzzy_match",
-        # 6-row literal percentile-target table crossed into the
-        # bucket histogram:
-        "exact_percentiles",
+        # 6-row (4-row for approx_stats' exact verifier) literal
+        # percentile-target table crossed into the bucket histogram
+        # (operators/percentiles.py):
+        "exact_percentiles", "approx_stats",
         # single-row scalar CTEs (max-ts, watermark cutoff) crossed in:
         "stream_late_data",
         # single-row broadcast corpus stats (N, avgdl, per-term df)
@@ -219,6 +220,21 @@ def test_registry_wide_no_cartesian_products(spark):
         # bounded bucketx20 theta join building the pooled 20-row
         # inverse-CDF map + a single-row total crossed in:
         "quantile_normalize",
+        # -- round 7 --
+        # single-row broadcast n_orders total crossed into the
+        # |brands|^2-bounded pair table:
+        "market_basket",
+        # single-row broadcast quartile-boundary row crossed into the
+        # customer grain (replaces the ntile window):
+        "rfm_segments",
+        # global_prefix's single-row (min,max) bucket-stats broadcast
+        # + the single-row revenue total crossed into the ranked grain:
+        "abc_pareto",
+        # same global_prefix single-row stats broadcast:
+        "gini_concentration",
+        # single-row broadcast grand total crossed into the
+        # |nations|x|segments|-bounded cell table:
+        "chi2_independence",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

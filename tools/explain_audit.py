@@ -104,6 +104,12 @@ HEADLINERS = {
     "winsorize_stats": "two scans: bounded bucket histogram locates "
     "p01/p99 (window over bucket rows only), clip+re-agg; NO "
     "per-group sort of raw values anywhere",
+    "approx_stats": "sketches, exact count-distinct, and exact "
+    "percentiles in THREE independent aggs joined broadcast on the "
+    "3-row flag key — one combined agg makes the distinct-Expand "
+    "carry a percentile buffer per (flag, orderkey) partial group "
+    "(measured 209 s vs ~1 s at sf0.1); exact side: two-phase "
+    "distinct + the bounded bucket-histogram percentile plan",
     "simhash_neardup": "fingerprint pipeline persisted across both "
     "self-join sides (InMemoryTableScan x2); md5 runs per DISTINCT "
     "(doc, token) with count weighting; candidates from the "
@@ -142,9 +148,6 @@ HEADLINERS = {
     "map-side-combined token counts; rank from the bounded-array "
     "posexplode — NO Window node (r5 sorted the whole vocabulary in "
     "one partition)",
-    "ensemble_neardup": "filtered document scan persisted ONCE and "
-    "read by all three signal paths (InMemoryTableScan x3), not "
-    "re-tokenized per signal",
     "mllib_lsh_agreement": "MLlib candidates from the exploded "
     "hash-table equi-join; exact distances recomputed via bounded id "
     "joins so the oracle fold matches bit-for-bit",
@@ -163,9 +166,6 @@ HEADLINERS = {
     "margin_bitext": "bounded source side broadcast into the scoring "
     "join; neighborhood means are partitioned rank windows + keyed "
     "hash aggs; best-pair pick a per-source window",
-    "heaps_law": "per-source type/token counts are source-keyed hash "
-    "aggs; the log-log OLS fit one regr_* agg over the bounded "
-    "source points, crossed back as a single broadcast row",
     "ngram_diversity": "pre-aggregated to (source, bigram, n) first "
     "(map-side combined) then rolled up — no multi-distinct Expand "
     "doubling the exploded stream",
@@ -194,6 +194,48 @@ HEADLINERS = {
     "event_transitions": "ONE per-user window sort; transition counts "
     "and row normalizer are |types|^2-bounded hash aggs + a broadcast "
     "dim join",
+    # -- round 7 --
+    "market_basket": "pair generator is a SELF-EQUI-JOIN keyed on "
+    "l_orderkey (per-order fanout bounded by line count, never "
+    "corpus x corpus); part dim + brand counts + order total all "
+    "broadcast",
+    "abc_pareto": "global rank/cumshare via the two-phase prefix scan "
+    "(operators/prefix.py): range shuffle + window PARTITIONED BY "
+    "_pid; the ONLY unpartitioned window covers n_partitions summary "
+    "rows, never the part dimension; integer-cents running sums",
+    "gini_concentration": "ascending spend rank from the same "
+    "distributed prefix scan; final Gini a 1-row agg of exact "
+    "integer products",
+    "rfm_segments": "customer grain ONE hash agg; quartile boundaries "
+    "a 1-row percentile agg broadcast back — no ntile window over "
+    "customers",
+    "chi2_independence": "one fact-sized hash agg; dims completion + "
+    "marginals all |nations| x |segments|-bounded broadcasts",
+    "level_shift": "events collapse to (type, day) integer-sum grain "
+    "BEFORE any window; both trailing frames run over calendar-"
+    "bounded rows",
+    "time_weighted_avg": "ONE partitioned lead() window; weighted sum "
+    "is exact integer (decimal-accumulated) arithmetic",
+    "sax_symbolize": "day-grain agg -> segment agg -> 8-element "
+    "arrays; mean/variance fold in explicit textual order (engine-"
+    "portable float determinism)",
+    "readability_ari": "pure per-row projection, whole-stage codegen, "
+    "no shuffle",
+    "boilerplate_ngrams": "df >= 2 pre-filter bounds the vocabulary "
+    "BEFORE the per-source top-k window (term_frequency lesson)",
+    "fd_check": "per-FD two-phase countDistinct hash aggs reduced to "
+    "1-row summaries; union of n_candidates rows",
+    "keyword_tag_broadcast": "forced large-dictionary route: exploded "
+    "candidates equi-join the BROADCAST dictionary; corpus never "
+    "re-scanned per term",
+    "heaps_law": "ONE scan, ONE explode: rollup(source, doc_id) over "
+    "the token stream yields per-doc fit points (gid 0) AND "
+    "per-source totals (gid 1) from one localCheckpointed bounded "
+    "output; OLS regr_* over per-DOCUMENT points, 1-row fit "
+    "broadcast back",
+    "ensemble_neardup": "ONE exploded+counted token grain persisted, "
+    "feeding BOTH MinHash signatures and SimHash weights; three "
+    "banded/bucketed candidate paths, vote agg on the union",
 }
 
 
