@@ -1138,3 +1138,83 @@ def q_align_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("alignment") + eps, 6).alias("alignment"),
         F.round(F.col("uniformity") + eps, 6).alias("uniformity"),
     )
+
+
+@register(
+    "silhouette_score",
+    """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, label, i AS dim, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) s(i)
+), c AS (
+  SELECT label AS lc, dim, avg(x) AS m FROM dims GROUP BY label, dim
+), d2 AS (
+  SELECT d.vec_id, d.label, c.lc,
+         sum((d.x - c.m) * (d.x - c.m)) AS d2
+  FROM dims d JOIN c ON d.dim = c.dim
+  GROUP BY d.vec_id, d.label, c.lc
+), pp AS (
+  SELECT vec_id, label,
+         sqrt(min(CASE WHEN lc = label THEN d2 END)) AS a,
+         sqrt(min(CASE WHEN lc <> label THEN d2 END)) AS b
+  FROM d2 GROUP BY vec_id, label
+)
+SELECT label,
+       count(*)::BIGINT AS n_points,
+       round(avg(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0.0 END) + 1e-9,
+             4) AS avg_silhouette,
+       round(avg(CASE WHEN b > a THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+         AS frac_well_separated
+FROM pp GROUP BY label
+""",
+)
+def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] clustering-quality monitor: simplified (centroid-based)
+    silhouette per label — a(i) = distance to own-label centroid,
+    b(i) = distance to the nearest other-label centroid,
+    s = (b-a)/max(a,b) (Rousseeuw 1987 silhouette; the centroid
+    simplification of Hruschka et al. 2004 replaces the O(n²)
+    mean-pairwise distances with O(n·k) centroid distances — the only
+    formulation that scales). The per-label average is the standing
+    health gate for any labeled / clustered embedding corpus (e.g.
+    after IVF k-means or SemDeDup clustering).
+
+    Scale shape: centroids are one long-form (label, dim) hash agg
+    (bounded k·d rows, broadcast back); assignment distances are the
+    IVF-assignment shape — the (point, dim) stream joins the broadcast
+    centroid table and map-side-combines to n·k partial sums before
+    the shuffle; no vector ever crosses the wire whole, no pairwise
+    point-point join anywhere."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = e.select("vec_id", "label", F.posexplode("v").alias("dim", "x"))
+    cents = (
+        dims.groupBy(F.col("label").alias("lc"), "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    d2 = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "lc")
+        .agg(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("d2"))
+    )
+    pp = d2.groupBy("vec_id", "label").agg(
+        F.sqrt(F.min(F.when(F.col("lc") == F.col("label"), F.col("d2")))).alias("a"),
+        F.sqrt(F.min(F.when(F.col("lc") != F.col("label"), F.col("d2")))).alias("b"),
+    )
+    g = F.greatest(F.col("a"), F.col("b"))
+    s = F.when(g > 0, (F.col("b") - F.col("a")) / g).otherwise(F.lit(0.0))
+    eps = F.lit(1e-9)
+    return pp.groupBy("label").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg(s) + eps, 4).alias("avg_silhouette"),
+        F.round(
+            F.avg(F.when(F.col("b") > F.col("a"), 1.0).otherwise(0.0)) + eps, 4
+        ).alias("frac_well_separated"),
+    )
