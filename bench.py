@@ -64,10 +64,12 @@ def main() -> None:
     # wall time stays capped.
     for name in [n for n, t in timings.items() if t > 1.5]:
         timings[name] = min(timings[name], run_once(name))
-        # a still-extreme number after the warm re-run means the host
-        # was contended for BOTH samples — one more attempt bounds the
-        # damage without unbounded retries
-        if timings[name] > 8.0:
+        # a still-slow number after the warm re-run can still be
+        # first-JIT residue (r7: bootstrap_ci reported 5.0 s, settles
+        # warm at 3.2 s) — one more attempt bounds the damage without
+        # unbounded retries; round-over-round diffs >1.5x should mean
+        # code, not JIT.
+        if timings[name] > 3.0:
             timings[name] = min(timings[name], run_once(name))
 
     total = 0.0

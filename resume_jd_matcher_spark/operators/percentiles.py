@@ -44,7 +44,10 @@ def group_percentiles_exact(
     ``(tag, p)`` in ``pcts`` (quantile_cont / percentile() semantics,
     unrounded). See module docstring for the two-scan plan."""
     spark = df.sparkSession
-    l = df.select(
+    # quantile_cont / percentile() skip NULLs; without this filter a
+    # NULL value lands in a NULL bucket that sorts FIRST in the
+    # cumulative window and shifts every rank.
+    l = df.filter(F.col(value_col).isNotNull()).select(
         group_col, value_col, F.floor(value_col).alias("_b")
     )
     hist = l.groupBy(group_col, "_b").agg(F.count("*").alias("_cnt"))

@@ -26,11 +26,17 @@ consumers (stats, totals, final) would otherwise recompute its
 lineage — callers pass an already-aggregated grain (parts, customers),
 so the materialization is dimension-sized, not fact-sized.
 
-Monotone-bucket caveat: width_bucket is equal-WIDTH, not
-equal-height; a skewed key distribution (or mass ties on one value)
+Monotone-bucket caveat: the default ``bounds="width"`` is equal-WIDTH
+(width_bucket), not equal-height; a skewed key distribution
 concentrates rows in few buckets, degrading parallelism but never
 correctness — every row of an order-key tie lands in the same bucket,
-which is exactly what a prefix over a total order requires.
+which is exactly what a prefix over a total order requires. For
+skew-prone leading keys pass ``bounds="height"``: one extra
+approx-percentile agg over the grain yields sampled equal-height
+bucket bounds (broadcast, n_buckets-1 doubles), restoring balanced
+buckets for any continuous-ish distribution. Mass ties on ONE value
+still concentrate under either mode — rank semantics require a tie to
+share a bucket.
 
 Determinism: callers must pass a TOTAL order (include a unique id as
 the last order column) so rank is reproducible run-to-run and across
@@ -53,6 +59,7 @@ def global_prefix(
     ascending: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
     sum_type: str = "double",
+    bounds: str = "width",
 ) -> DataFrame:
     """Append exact global ``rank`` (1-based) and ``cum_sum``
     (inclusive running total of ``sum_col``) under the total order
@@ -66,21 +73,70 @@ def global_prefix(
     bit-deterministic accumulation: float running sums depend on
     association order (bucket offsets here vs strict left-to-right in
     a SQL oracle), integer sums do not.
+
+    ``bounds``: ``"width"`` (default) assigns buckets by equal-width
+    width_bucket against the (min, max) range — zero extra data pass,
+    best for roughly uniform leading keys. ``"height"`` spends one
+    approx-percentile agg on sampled equal-height bounds — use when
+    the leading key is heavily skewed (e.g. Zipf/power-law spend), or
+    equal-width would funnel most rows through few buckets. Either
+    way bucket assignment is a monotone function of the leading key,
+    which is all correctness requires; the choice only moves
+    parallelism (see SCALE.md "skewed-key curve").
     """
+    if bounds not in ("width", "height"):
+        raise ValueError(f"bounds must be 'width' or 'height': {bounds!r}")
     cols = [
         F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
     ]
     lead = F.col(order_cols[0]).cast("double")
     # Three consumers below; freeze the (dimension-sized) grain once.
     grain = df.localCheckpoint()
-    stats = grain.agg(
-        F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
-    )
-    bucketed = grain.crossJoin(F.broadcast(stats)).withColumn(
-        "_bkt",
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(1)).otherwise(
+    if bounds == "width":
+        stats = grain.agg(
+            F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
+        )
+        raw_bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(1)).otherwise(
             F.width_bucket(lead, "_lo", "_hi", F.lit(n_buckets))
-        ),
+        )
+        drop_stats = ["_lo", "_hi"]
+    else:
+        fracs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        stats = grain.agg(
+            F.percentile_approx(lead, fracs, F.lit(10_000)).alias("_bnds")
+        )
+        # bucket = 1 + #bounds strictly below the key: monotone, ties
+        # share a bucket, and the per-row cost is an O(n_buckets) fold
+        # inside codegen (no shuffle, no UDF).
+        raw_bkt = F.lit(1) + F.aggregate(
+            F.col("_bnds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(lead > b, 1).otherwise(0),
+        )
+        drop_stats = ["_bnds"]
+    # A NULL leading key would get a NULL bucket and be silently
+    # DROPPED by the inner offsets join below, corrupting every global
+    # rank. Fail fast instead: assert_true returns NULL when the
+    # predicate holds, so the when() branch always fires on valid input
+    # and the assert stays in the computation path (an unused check
+    # column would be pruned by Catalyst).
+    bucketed = (
+        grain.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bkt",
+            F.when(
+                F.assert_true(
+                    lead.isNotNull(),
+                    F.lit(
+                        "global_prefix: leading order key must be non-null"
+                    ),
+                ).isNull(),
+                raw_bkt,
+            ),
+        )
+        .drop(*drop_stats)
     )
     per_bucket = bucketed.groupBy("_bkt").agg(
         F.count("*").alias("_n"),

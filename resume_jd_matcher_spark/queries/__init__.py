@@ -73,20 +73,27 @@ from resume_jd_matcher_spark.queries import mining_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 7: the 12 new mining/profiling queries plus the three
-# reworked-this-round queries (approx_stats now hash-checkable,
-# heaps_law single-tokenization, ensemble_neardup shared token grain)
-# lead; behind them the full round-6 cohort (18 additions + 10
-# first-confirmations, each with exactly ONE driver-green row so far)
-# rotates back for its second confirmation, per the r6 verdict; the
-# remaining slots carry the queries whose operator code changed this
-# round. Everything below the first 50 keeps registry order.
+# Round 8: silhouette_score leads — it is the single registered query
+# with zero driver CORRECTNESS rows (registered late in r7, behind the
+# 50-query window; r7 verdict task #2). Next the round-8 additions,
+# then the queries whose operator code changed this round
+# (gini_concentration: decimal accumulation for the int64 overflow;
+# abc_pareto: prefix.py NULL-key guard; approx_stats /
+# exact_percentiles: percentiles.py NULL-value filter), then the
+# round-7 cohort rotating back for its second confirmation per the
+# standing policy. Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
-    # -- round-7 additions --
+    # -- never driver-checked --
+    "silhouette_score",
+    # -- round-8 additions (inserted as they land) --
+    # -- operator code touched in round 8 --
+    "gini_concentration",
+    "abc_pareto",
+    "approx_stats",
+    "exact_percentiles",
+    # -- round-7 cohort: second confirmations --
     "market_basket",
     "rfm_segments",
-    "abc_pareto",
-    "gini_concentration",
     "chi2_independence",
     "level_shift",
     "time_weighted_avg",
@@ -97,11 +104,9 @@ _DRIVER_PRIORITY = [
     "keyword_tag_broadcast",
     "weighted_median",
     "kfold_assign",
-    # -- reworked in round 7 (re-confirm under the new plan) --
-    "approx_stats",
     "heaps_law",
     "ensemble_neardup",
-    # -- round-6 cohort: second confirmations --
+    # -- round-6 cohort: third confirmations (fill to the window) --
     "mllib_lsh_agreement",
     "keyword_tag",
     "skill_coverage",
@@ -129,10 +134,6 @@ _DRIVER_PRIORITY = [
     "session_window_agg",
     "skew_salted_join",
     "tfidf_cosine_pairs",
-    # -- operator code touched this round (tagging/embedding/dedup) --
-    "jl_projection",
-    "minhash_lsh",
-    "simhash_neardup",
     # -- multiply-confirmed anchors --
     "topk_similarity",
     "pricing_summary",

@@ -316,7 +316,8 @@ WITH spend AS (
 )
 SELECT count(*)::BIGINT AS n_customers,
        sum(cents)::BIGINT AS total_cents,
-       round((2.0 * sum(rnk * cents)::BIGINT) / (count(*) * sum(cents)::BIGINT)::DOUBLE
+       round((2.0 * sum(rnk::HUGEINT * cents)::DOUBLE)
+             / (count(*)::DOUBLE * sum(cents)::DOUBLE)
              - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
 FROM ranked
 """,
@@ -347,12 +348,15 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("*")
     tot = F.sum("cents")
-    s = F.sum(F.col("rank") * F.col("cents"))
+    # rank grows with n_customers, so sum(rank*cents) ~ n²·avg_cents/2
+    # overflows int64 around sf≥3 — accumulate in decimal(38,0) (the
+    # oracle mirrors with rnk::HUGEINT) and do the ratio in double.
+    s = F.sum(F.col("rank").cast("decimal(38,0)") * F.col("cents"))
     return ranked.agg(
         n.cast("bigint").alias("n_customers"),
         tot.cast("bigint").alias("total_cents"),
         F.round(
-            (2.0 * s) / (n * tot).cast("double")
+            (2.0 * s.cast("double")) / (n.cast("double") * tot.cast("double"))
             - (n + F.lit(1.0)) / n
             + F.lit(1e-9),
             6,

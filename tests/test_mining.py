@@ -41,17 +41,103 @@ class TestGlobalPrefix:
         )
         out = global_prefix(df, ["v", "id"], "v", sum_type="bigint")
         plan = physical_plan(out)
-        # the data window keys on the bucket; offsets join broadcasts
-        assert "partitionspec=[_bkt" in plan.lower().replace(" ", "") or "_bkt" in plan
-        # exactly ONE data-sized exchange: hashpartitioning on _bkt
         import re
 
-        data_exchanges = [
+        lines = plan.splitlines()
+        win = [ln for ln in lines if re.search(r"\bWindow \[", ln)]
+        assert len(win) == 2, plan
+
+        # In the plan text a partitioned window spec starts with bare
+        # partition columns — windowspecdefinition(_bkt#10L, v#1L ASC…)
+        # — while an UNPARTITIONED one starts directly with an ordering
+        # — windowspecdefinition(_bkt#32L ASC NULLS FIRST, frame…).
+        def is_unpartitioned(ln: str) -> bool:
+            m = re.search(r"windowspecdefinition\(([^,]+),", ln)
+            assert m, ln
+            return " ASC" in m.group(1) or " DESC" in m.group(1)
+
+        unp = [ln for ln in win if is_unpartitioned(ln)]
+        part = [ln for ln in win if not is_unpartitioned(ln)]
+
+        # Exactly ONE unpartitioned window, ordered on the bucket id …
+        assert len(unp) == 1, plan
+        assert re.search(r"windowspecdefinition\(_bkt#\d+L? ASC", unp[0]), unp[0]
+        # … and it runs over the n_buckets-row per-bucket summary: its
+        # child chain is Sort -> Exchange SinglePartition -> final
+        # HashAggregate keyed on _bkt, never the raw input.
+        i = lines.index(unp[0])
+        tail = "\n".join(lines[i : i + 4])
+        assert "Exchange SinglePartition" in tail, tail
+        assert re.search(r"HashAggregate\(keys=\[_bkt#\d+", tail), tail
+
+        # The data-sized window MUST be partitioned by the bucket.
+        assert len(part) == 1, plan
+        assert re.search(r"windowspecdefinition\(_bkt#\d+L?,", part[0]), part[0]
+
+        # Exactly two hashpartitioning-on-_bkt exchanges: the single
+        # data-sized shuffle feeding the partitioned window, plus the
+        # BOUNDED partial->final exchange of the per-bucket totals
+        # (n_buckets rows per map task). A third would mean a new data
+        # shuffle crept in; one would mean the map-side combine died.
+        ex = [
             ln
-            for ln in plan.splitlines()
-            if "hashpartitioning" in ln and "_bkt" in ln
+            for ln in lines
+            if "Exchange hashpartitioning" in ln and "_bkt" in ln
         ]
-        assert data_exchanges, plan[:2000]
+        assert len(ex) == 2, plan
+
+    def test_height_bounds_match_sequential_under_skew(self, spark):
+        """bounds='height' must give identical ranks/cumsums on a
+        Zipf-ish key where 90% of mass sits in 1% of the range (the
+        distribution equal-width handles worst)."""
+        from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+        rows = [
+            (i, (i * 7) % 10 if i % 10 else (i * 131) % 100_000, (i % 5) + 1)
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "id long, key long, v long").repartition(16)
+        got = {
+            r["id"]: (r["rank"], r["cum_sum"])
+            for r in global_prefix(
+                df, ["key", "id"], "v", sum_type="bigint", bounds="height"
+            ).collect()
+        }
+        seq = sorted(rows, key=lambda r: (r[1], r[0]))
+        run = 0
+        for rnk, (i, _k, v) in enumerate(seq, start=1):
+            run += v
+            assert got[i] == (rnk, run), f"id {i}"
+
+    def test_height_bounds_spread_skewed_keys(self, spark):
+        """Under 90%-of-mass-in-1%-of-range skew, equal-width places
+        ZERO bucket bounds inside the dense region (one bucket holds
+        ~90% of rows); the sampled equal-height bounds concentrate most
+        splits there, restoring balance."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            (i, (i * 7) % 10 if i % 10 else (i * 131) % 100_000, 1)
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "id long, key long, v long")
+        fracs = F.array(*[F.lit(i / 64) for i in range(1, 64)])
+        bnds = df.agg(
+            F.percentile_approx(F.col("key").cast("double"), fracs, F.lit(10_000))
+        ).collect()[0][0]
+        dense = [b for b in bnds if b <= 9]
+        # equal-width over [0, ~100k) has bucket width ~1562: zero
+        # bounds land in [0, 9]; equal-height must put most there.
+        assert len(dense) >= 40, bnds
+
+    def test_null_leading_key_fails_fast(self, spark):
+        """A NULL leading order key must raise, not silently drop the
+        row from the offsets join and corrupt every global rank."""
+        from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+        df = spark.createDataFrame([(1, 10), (None, 20)], "k long, v long")
+        with pytest.raises(Exception, match="non-null"):
+            global_prefix(df, ["k"], "v", sum_type="bigint").collect()
 
     def test_descending_order(self, spark):
         from resume_jd_matcher_spark.operators.prefix import global_prefix
@@ -66,6 +152,27 @@ class TestGlobalPrefix:
             ).collect()
         }
         assert got == {2: 1, 3: 2, 1: 3}
+
+
+class TestGroupPercentilesNulls:
+    def test_null_values_are_skipped_like_quantile_cont(self, spark):
+        """quantile_cont/percentile() skip NULLs; a NULL bucket would
+        sort first in the cumulative window and shift every rank."""
+        from resume_jd_matcher_spark.operators.percentiles import (
+            group_percentiles_exact,
+        )
+
+        rows = [("g", float(v)) for v in (10, 20, 30, 40)] + [
+            ("g", None),
+            ("g", None),
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = group_percentiles_exact(
+            df, "grp", "v", [("p50", 0.5), ("p25", 0.25)]
+        ).collect()[0]
+        # over the 4 non-null values: p50 = 25.0, p25 = 17.5
+        assert out["p50"] == pytest.approx(25.0)
+        assert out["p25"] == pytest.approx(17.5)
 
 
 class TestMarketBasket:
@@ -134,6 +241,27 @@ class TestAbcGini:
         r = mining_q.q_gini_concentration(spark, SF).collect()[0]
         assert r["n_customers"] == 40
         assert abs(r["gini"]) < 1e-6  # equal spend -> zero concentration
+
+    def test_rank_weighted_sum_survives_int64_overflow(self, spark, monkeypatch):
+        """sum(rank*cents) is ~n²·avg_cents/2; with cents near the
+        int64 ceiling the bigint accumulator overflows (ANSI abort at
+        sf≥3 on real data). The decimal(38,0) path must survive and
+        still give gini == 0 for equal spend."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        # 10 customers x 9e15 totalprice -> cents 9e17 each;
+        # sum(rank*cents) = 55 * 9e17 = 4.95e19 > 2^63-1.
+        big = spark.createDataFrame(
+            [(i, i, "O", 9.0e15, None, "P") for i in range(1, 11)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        monkeypatch.setattr(
+            mining_q, "load_table", lambda spark, sf, name: big
+        )
+        r = mining_q.q_gini_concentration(spark, SF).collect()[0]
+        assert r["n_customers"] == 10
+        assert abs(r["gini"]) < 1e-6
 
 
 class TestChi2:

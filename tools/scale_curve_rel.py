@@ -1,0 +1,224 @@
+"""Measure the RELATIONAL/MINING scale curve (r7 verdict task #5):
+run the registered TPC-H-shaped mining queries on a synthetic 1x and
+10x corpus (deterministic spark.range + xxhash64 columns, partition-
+parallel, no driver loops) and report wall-clock ratios, plus a
+dedicated `global_prefix` stress under a power-law-SKEWED leading key
+comparing the equal-width and sampled equal-height bucket modes.
+
+The r7 curve (tools/scale_curve.py) covered text/dedup kernels only;
+this closes the relational side. Equal-width width_bucket is the
+documented weak spot (operators/prefix.py): a Zipf-ish key funnels
+most rows into few buckets — degraded parallelism, never wrong
+answers. The skew table below quantifies it and justifies the
+`bounds="height"` default for revenue-/spend-ranked callers.
+
+Usage: python tools/scale_curve_rel.py [n_orders_base] [mult]
+Appends/replaces the "## Measured scale curve - relational" section
+in SCALE.md and prints the table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BASE = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+SUPERLINEAR_AT = 1.35 * MULT
+WORK = "/tmp/spark_graft_scale_rel"
+SKEW_N = 500_000
+
+EPOCH_1992 = 694_224_000  # 1992-01-01 UTC, TPC-H-ish date floor
+
+
+def synth_rel(spark, n_orders: int, d: str) -> None:
+    """Write orders/lineitem/part parquet shaped like TESTDATA.md's
+    tables: deterministic xxhash64-derived columns, 32 partitions,
+    ~uniform keys (the skew stress has its own dedicated kernel)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(d, "part.parquet")):
+        return
+    n_cust = max(n_orders // 10, 1)
+    n_parts = max(n_orders // 5, 1)
+
+    def h(col, seed, mod):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(mod))
+
+    oid = F.col("id")
+    (
+        spark.range(1, n_orders + 1, 1, 32)
+        .select(
+            oid.alias("o_orderkey"),
+            (h(oid, 1, n_cust) + 1).alias("o_custkey"),
+            F.lit("O").alias("o_orderstatus"),
+            ((h(oid, 2, 49_999_900) + 100) / 100.0).alias("o_totalprice"),
+            F.timestamp_seconds(
+                F.lit(EPOCH_1992) + h(oid, 3, 2400) * 86400
+            ).alias("o_orderdate"),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "orders.parquet"))
+    )
+    lid = F.col("id")
+    (
+        spark.range(0, n_orders * 4, 1, 32)
+        .select(
+            (F.floor(lid / 4) + 1).alias("l_orderkey"),
+            (h(lid, 4, n_parts) + 1).alias("l_partkey"),
+            (h(lid, 5, n_parts) + 1).alias("l_suppkey"),
+            (F.pmod(lid, F.lit(4)) + 1).cast("int").alias("l_linenumber"),
+            (h(lid, 6, 50) + 1.0).alias("l_quantity"),
+            ((h(lid, 7, 9_999_900) + 100) / 100.0).alias("l_extendedprice"),
+            (h(lid, 8, 11) / 100.0).alias("l_discount"),
+            (h(lid, 9, 9) / 100.0).alias("l_tax"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                (h(lid, 10, 3) + 1).cast("int"),
+            ).alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            F.timestamp_seconds(
+                F.lit(EPOCH_1992) + h(lid, 11, 2500) * 86400
+            ).alias("l_shipdate"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "lineitem.parquet"))
+    )
+    pid = F.col("id")
+    (
+        spark.range(1, n_parts + 1, 1, 32)
+        .select(
+            pid.alias("p_partkey"),
+            F.concat(F.lit("part-"), pid).alias("p_name"),
+            F.concat(
+                F.lit("Brand#"), (h(pid, 12, 25) + 11).cast("string")
+            ).alias("p_brand"),
+            F.lit("STANDARD").alias("p_type"),
+            (h(pid, 13, 50) + 1).cast("int").alias("p_size"),
+            ((h(pid, 14, 99_900) + 100) / 100.0).alias("p_retailprice"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "part.parquet"))
+    )
+
+
+def skew_spend(spark, n: int):
+    """Power-law spend grain: cents = floor(1e12 / u²) for u uniform
+    in [1, 1e6] — ~99.9% of rows below 1e6 while max is 1e12, so
+    equal-width buckets over the range funnel nearly everything into
+    bucket 1. This is the revenue-rank distribution abc_pareto/gini
+    see in the wild."""
+    from pyspark.sql import functions as F
+
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(21)), F.lit(1_000_000)) + 1
+    return spark.range(0, n, 1, 32).select(
+        F.col("id").alias("k"),
+        F.floor(F.lit(1.0e12) / (u * u)).cast("bigint").alias("cents"),
+    )
+
+
+REGISTERED = [
+    "abc_pareto",
+    "gini_concentration",
+    "market_basket",
+    "weighted_median",
+    "rfm_segments",
+]
+
+
+def main() -> None:
+    from resume_jd_matcher_spark import queries as Q
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+    from resume_jd_matcher_spark.session import get_spark
+
+    spark = get_spark("scale-curve-rel")
+    dirs = {}
+    for label, n in (("1x", N_BASE), (f"{MULT}x", N_BASE * MULT)):
+        d = os.path.join(WORK, label)
+        synth_rel(spark, n, d)
+        dirs[label] = d
+
+    def run(thunk) -> float:
+        t0 = time.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm JVM + scans
+    for d in dirs.values():
+        for t in ("orders", "lineitem", "part"):
+            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+
+    rows = []
+    for name in REGISTERED:
+        fn = Q._REGISTRY[name].fn
+        t1 = min(run(lambda: fn(spark, dirs["1x"])) for _ in range(2))
+        t10 = min(run(lambda: fn(spark, dirs[f"{MULT}x"])) for _ in range(2))
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        flag = "**SUPER-LINEAR**" if ratio > SUPERLINEAR_AT else "ok"
+        rows.append((name, t1, t10, ratio, flag))
+        print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ratio {ratio:.1f}  {flag}")
+
+    # --- skewed-key global_prefix stress: width vs height bounds ---
+    skew_rows = []
+    for mode in ("width", "height"):
+        s1 = skew_spend(spark, SKEW_N).localCheckpoint()
+        s10 = skew_spend(spark, SKEW_N * MULT).localCheckpoint()
+        t1 = min(
+            run(lambda: global_prefix(s1, ["cents", "k"], "cents",
+                                      sum_type="bigint", bounds=mode))
+            for _ in range(2)
+        )
+        t10 = min(
+            run(lambda: global_prefix(s10, ["cents", "k"], "cents",
+                                      sum_type="bigint", bounds=mode))
+            for _ in range(2)
+        )
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        flag = "**SUPER-LINEAR**" if ratio > SUPERLINEAR_AT else "ok"
+        skew_rows.append((f"global_prefix[skew,{mode}]", t1, t10, ratio, flag))
+        print(f"global_prefix[skew,{mode}]: {t1:.2f}s -> {t10:.2f}s  "
+              f"ratio {ratio:.1f}  {flag}")
+
+    lines = [
+        "## Measured scale curve - relational (round 8)",
+        "",
+        f"Synthetic TPC-H-shaped tables ({N_BASE:,} orders / "
+        f"{4 * N_BASE:,} lineitem rows at 1x, deterministic "
+        f"xxhash64 columns, tools/scale_curve_rel.py) vs {MULT}x on",
+        "local[32]; best-of-2 wall seconds. The skew rows run",
+        f"`global_prefix` on a {SKEW_N:,}-row power-law spend grain",
+        "(cents = 1e12/u², ~99.9% of keys in the bottom 0.0001% of the",
+        "range) — the adversarial distribution for equal-width buckets.",
+        "",
+        "| operator | 1x s | 10x s | ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t1, t10, ratio, flag in rows + skew_rows:
+        lines.append(
+            f"| `{name}` | {t1:.2f} | {t10:.2f} | {ratio:.1f} | {flag} |"
+        )
+    block = "\n".join(lines) + "\n"
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
+    with open(path) as f:
+        text = f.read()
+    pat = re.compile(
+        r"## Measured scale curve - relational.*?(?=\n## |\Z)", re.S
+    )
+    if pat.search(text):
+        text = pat.sub(block, text)
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(text)
+    print("wrote SCALE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
