@@ -55,7 +55,7 @@ DEFAULT_BUCKETS = 64
 def global_prefix(
     df: DataFrame,
     order_cols: list[str],
-    sum_col: str,
+    sum_col: str | list[str],
     ascending: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
     sum_type: str = "double",
@@ -67,6 +67,13 @@ def global_prefix(
     bucketing and must be numeric and non-null.
 
     Output: input columns + (rank BIGINT, cum_sum of ``sum_type``).
+
+    ``sum_col`` may be a LIST of columns: the same single bucketed
+    shuffle then carries one running total per column, emitted as
+    ``cum_<col>`` (an r8 need: the two-sample KS statistic walks two
+    ECDFs — two cumulative counters — over one global value order;
+    two separate prefix passes would double the shuffle for no
+    reason).
 
     Pass ``sum_type="bigint"`` with an integer-valued column (e.g.
     prices pre-converted to cents) when the caller needs
@@ -86,6 +93,9 @@ def global_prefix(
     """
     if bounds not in ("width", "height"):
         raise ValueError(f"bounds must be 'width' or 'height': {bounds!r}")
+    multi = isinstance(sum_col, (list, tuple))
+    sum_cols = list(sum_col) if multi else [sum_col]
+    out_names = [f"cum_{c}" for c in sum_cols] if multi else ["cum_sum"]
     cols = [
         F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
     ]
@@ -104,8 +114,11 @@ def global_prefix(
         fracs = F.array(
             *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
         )
+        # accuracy 2000 bounds the sketch cost; bound precision only
+        # affects load balance (never rank correctness), so a coarse
+        # sketch is the right trade.
         stats = grain.agg(
-            F.percentile_approx(lead, fracs, F.lit(10_000)).alias("_bnds")
+            F.percentile_approx(lead, fracs, F.lit(2_000)).alias("_bnds")
         )
         # bucket = 1 + #bounds strictly below the key: monotone, ties
         # share a bucket, and the per-row cost is an O(n_buckets) fold
@@ -140,7 +153,10 @@ def global_prefix(
     )
     per_bucket = bucketed.groupBy("_bkt").agg(
         F.count("*").alias("_n"),
-        F.sum(F.col(sum_col).cast(sum_type)).alias("_s"),
+        *[
+            F.sum(F.col(c).cast(sum_type)).alias(f"_s{i}")
+            for i, c in enumerate(sum_cols)
+        ],
     )
     # The ONLY unpartitioned window: n_buckets rows.
     bkt_order = F.col("_bkt").asc() if ascending else F.col("_bkt").desc()
@@ -148,9 +164,11 @@ def global_prefix(
     offsets = per_bucket.select(
         "_bkt",
         F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off_n"),
-        F.coalesce(F.sum("_s").over(w), F.lit(0).cast(sum_type)).alias(
-            "_off_s"
-        ),
+        *[
+            F.coalesce(F.sum(f"_s{i}").over(w), F.lit(0).cast(sum_type))
+            .alias(f"_off_s{i}")
+            for i in range(len(sum_cols))
+        ],
     )
     intra = Window.partitionBy("_bkt").orderBy(*cols)
     intra_run = intra.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -159,9 +177,12 @@ def global_prefix(
         .select(
             *df.columns,
             (F.col("_off_n") + F.row_number().over(intra)).alias("rank"),
-            (
-                F.col("_off_s")
-                + F.sum(F.col(sum_col).cast(sum_type)).over(intra_run)
-            ).alias("cum_sum"),
+            *[
+                (
+                    F.col(f"_off_s{i}")
+                    + F.sum(F.col(c).cast(sum_type)).over(intra_run)
+                ).alias(out)
+                for i, (c, out) in enumerate(zip(sum_cols, out_names))
+            ],
         )
     )

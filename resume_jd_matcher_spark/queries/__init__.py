@@ -64,6 +64,7 @@ from resume_jd_matcher_spark.queries import corpus_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import retrieval_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import analytics_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import mining_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import evalops_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -86,6 +87,17 @@ _DRIVER_PRIORITY = [
     # -- never driver-checked --
     "silhouette_score",
     # -- round-8 additions (inserted as they land) --
+    "ab_test_ztest",
+    "mutual_information",
+    "entity_resolution",
+    "equi_depth_histogram",
+    "snapshot_diff",
+    "token_budget_curriculum",
+    "ndcg_eval",
+    "vocab_overlap",
+    "ks_test",
+    "kaplan_meier",
+    "acf_daily",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

@@ -1,0 +1,1110 @@
+"""Evaluation & data-ops queries (round 8, SURVEY.md §2.D/§2.F [EXT]
+— the experiment-evaluation and dataset-lifecycle layer a
+training-data pipeline runs beside its profiling side): cross-source
+vocabulary overlap, hash-armed A/B two-proportion z-test, mutual
+information between categorical columns, blocked fuzzy entity
+resolution, exact equi-depth histograms, snapshot diffing between
+table versions, curriculum ordering by cumulative token budget,
+graded nDCG evaluation of the ANN index against exact ground truth,
+an EXACT distributed two-sample Kolmogorov-Smirnov test, Kaplan-Meier
+churn survival, and daily-revenue autocorrelation.
+
+Reuses `operators/prefix.global_prefix` (the distributed prefix scan,
+here with the r8 ``bounds="height"`` sampled equal-height buckets) for
+the two global-order queries, and the deterministic LSH building
+blocks from `operators/ann` for the retrieval-eval query.
+
+Portability contracts shared with the oracles (FIXTURES.md):
+- portable hash = first 8 hex chars of md5 as BIGINT (functions/
+  text.hash32; DuckDB twin ``('0x' || substr(md5(x),1,8))::BIGINT``);
+- money folded to integer cents before arithmetic;
+- every exposed float rounded in-query on both sides (+1e-9 dodge);
+- deterministic tie-breaks on every rank/min pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+# Oracle-side squared-L2 / LSH-signature macros — shared vocabulary
+# with queries/vector_q.py so both modules' oracles stay in lockstep
+# with functions/vector.squared_l2 and operators/ann.lsh_signature.
+_SQL_SQL2 = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+_SQL_LSH_SIG = (
+    "list_sum(list_transform(generate_series(0, {planes} - 1), j -> "
+    "CASE WHEN list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * sin(0.7 * j * len({a}) + 0.3 * i))) > 0.0 "
+    "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
+)
+_SQL_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_overlap",
+    """
+WITH v AS (
+  SELECT DISTINCT source, tok
+  FROM (
+    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok != ''
+), sz AS (
+  SELECT source, count(*)::BIGINT AS vocab FROM v GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_common
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+       i.n_common,
+       round(i.n_common
+             / (sa.vocab + sb.vocab - i.n_common)::DOUBLE + 1e-9, 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+""",
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/A4 [EXT]: cross-source vocabulary overlap matrix — pairwise
+    Jaccard between each source's distinct-token vocabulary, the
+    source-redundancy screen a data-mixing run consults before
+    weighting corpora (near-identical vocabularies = overlapping
+    crawls; disjoint = genuinely new domain).
+
+    Scale shape: one tokenize+explode pass reduced to the DISTINCT
+    (source, token) grain (vocabulary-sized, not corpus-sized); the
+    pair intersection is a token-keyed self-EQUI-join of that grain —
+    never a doc×doc or source×source cross join — and the output is
+    bounded by |sources|² rows. Per-token fan-out of the join is
+    |sources per token| ≤ |sources| (a constant), so candidate pairs
+    stay linear in vocabulary size."""
+    from resume_jd_matcher_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count("*").cast("bigint").alias("vocab"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z
+# ---------------------------------------------------------------------------
+
+@register(
+    "ab_test_ztest",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
+         CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > count(*) THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+  FROM u
+)
+, t AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         conv_a / nullif(n_a, 0)::DOUBLE AS p_a,
+         conv_b / nullif(n_b, 0)::DOUBLE AS p_b,
+         sqrt(((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+              * (1.0 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+              * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))) AS se
+  FROM s
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(p_a + 1e-9, 4) AS rate_a,
+       round(p_b + 1e-9, 4) AS rate_b,
+       round((p_a - p_b) / nullif(se, 0.0) + 1e-9, 4) AS z,
+       coalesce(abs(round((p_a - p_b) / nullif(se, 0.0) + 1e-9, 4)) > 1.96,
+                false) AS significant
+FROM t
+""",
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: two-proportion z-test between hash-assigned
+    experiment arms — the standard A/B readout. The per-user metric is
+    "purchase share above the uniform 1/5 expectation" (compared in
+    integers: 5·purchases > total), which stays non-degenerate at
+    every sf — a did-user-ever-X metric saturates to 100% on dense
+    fixtures, collapsing the pooled variance to zero. Arm assignment
+    is the portable md5-prefix hash of user_id, so the split is
+    reproducible across engines, runs and cluster sizes (no RNG
+    state); `significant` compares the ROUNDED z against 1.96 on both
+    sides (coalesced to FALSE when variance is zero) so the boolean
+    can't flip on a last-bit float diff.
+
+    Scale shape: one user-grain hash agg over events (map-side
+    combined), then a single 1-row conditional aggregate — no pivot,
+    no second shuffle; everything after the user agg is O(1)."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                5
+                * F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                > F.count("*"),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .withColumn(
+            "arm",
+            hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab")))
+            % 2,
+        )
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    # nullif guards on every divisor (one-sided splits, zero-variance
+    # pooled rate) — division by NULL is NULL on both engines, while a
+    # bare /0 aborts under Spark ANSI and skews DuckDB to inf.
+    p_a = F.col("conv_a") / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+    p_b = F.col("conv_b") / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.nullif(F.col("n_a"), F.lit(0))
+            + F.lit(1.0) / F.nullif(F.col("n_b"), F.lit(0))
+        )
+    )
+    z = F.round(
+        (p_a - p_b) / F.nullif(se, F.lit(0.0)) + F.lit(1e-9), 4
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a + F.lit(1e-9), 4).alias("rate_a"),
+        F.round(p_b + F.lit(1e-9), 4).alias("rate_b"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(1.96), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "mutual_information",
+    """
+WITH cells AS (
+  SELECT c_nationkey AS x, c_mktsegment AS y, count(*)::BIGINT AS nij
+  FROM customer GROUP BY 1, 2
+), n AS (SELECT sum(nij)::BIGINT AS n FROM cells),
+rx AS (SELECT x, sum(nij)::BIGINT AS ri FROM cells GROUP BY x),
+cy AS (SELECT y, sum(nij)::BIGINT AS cj FROM cells GROUP BY y),
+mi AS (
+  SELECT sum((nij / n.n::DOUBLE)
+             * ln((nij::DOUBLE * n.n) / (ri::DOUBLE * cj))) AS mi_nats
+  FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN n
+),
+hx AS (SELECT -sum((ri / n.n::DOUBLE) * ln(ri / n.n::DOUBLE)) AS h
+       FROM rx CROSS JOIN n),
+hy AS (SELECT -sum((cj / n.n::DOUBLE) * ln(cj / n.n::DOUBLE)) AS h
+       FROM cy CROSS JOIN n)
+SELECT round(mi.mi_nats + 1e-9, 6) AS mi_nats,
+       round(mi.mi_nats / least(hx.h, hy.h) + 1e-9, 6) AS nmi,
+       n.n AS n_rows
+FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN n
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: mutual information I(nation; segment) in nats plus
+    min-entropy-normalized NMI — the magnitude companion to
+    `chi2_independence` (chi² answers "is there dependence?", MI
+    answers "how much?"). Only observed cells contribute (0·ln0 = 0),
+    so no zero-cell completion is needed.
+
+    Scale shape: one (x, y) hash agg over the fact table; marginals,
+    entropies and the MI sum all run on dimension-bounded
+    intermediates with broadcast joins. The log ratio is computed in
+    DOUBLE on both sides so nij·n never overflows int64 at any sf."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("x"), F.col("c_mktsegment").alias("y")
+        )
+        .agg(F.count("*").alias("nij"))
+    )
+    n = cells.agg(F.sum("nij").cast("bigint").alias("n"))
+    rx = cells.groupBy("x").agg(F.sum("nij").cast("bigint").alias("ri"))
+    cy = cells.groupBy("y").agg(F.sum("nij").cast("bigint").alias("cj"))
+    mi = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("nij") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("nij").cast("double") * F.col("n"))
+                    / (F.col("ri").cast("double") * F.col("cj"))
+                )
+            ).alias("mi_nats")
+        )
+    )
+    hx = rx.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(
+            (F.col("ri") / F.col("n").cast("double"))
+            * F.log(F.col("ri") / F.col("n").cast("double"))
+        )).alias("h_x")
+    )
+    hy = cy.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(
+            (F.col("cj") / F.col("n").cast("double"))
+            * F.log(F.col("cj") / F.col("n").cast("double"))
+        )).alias("h_y")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("mi_nats") + F.lit(1e-9), 6).alias("mi_nats"),
+            F.round(
+                F.col("mi_nats") / F.least("h_x", "h_y") + F.lit(1e-9), 6
+            ).alias("nmi"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity resolution
+# ---------------------------------------------------------------------------
+
+@register(
+    "entity_resolution",
+    """
+WITH clean AS (
+  SELECT c_custkey, c_name, substr(c_name, 15, 4) AS blk FROM customer
+), dirty AS (
+  SELECT c_custkey AS true_key,
+         regexp_replace(c_name, '^Customer', 'Custmer') AS dirty_name,
+         substr(c_name, 15, 4) AS blk
+  FROM customer
+), cand AS (
+  SELECT d.true_key, c.c_custkey,
+         levenshtein(d.dirty_name, c.c_name) AS dist
+  FROM dirty d JOIN clean c USING (blk)
+), best AS (
+  SELECT true_key, c_custkey AS matched_key, dist,
+         row_number() OVER (PARTITION BY true_key
+                            ORDER BY dist, c_custkey) AS rn
+  FROM cand
+)
+SELECT true_key, matched_key, dist::INT AS dist,
+       (matched_key = true_key) AS correct
+FROM best WHERE rn = 1
+""",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4 [EXT]: blocked fuzzy record linkage — a deterministically
+    typo'd copy of every customer name ('Customer' → 'Custmer', edit
+    distance 1) is matched back to the clean registry by minimum
+    Levenshtein within equi-join blocks keyed on the stable digit
+    suffix; `correct` verifies each match recovered its source row.
+    The typo'd side is derived in-query so the oracle replays it
+    exactly (same pattern as keyword_tag_broadcast's deterministic
+    pad).
+
+    Scale shape: candidate generation is a plain equi-join on the
+    block key — NEVER a name×name cross join; the min-distance pick
+    is a window over each dirty record's candidates (bounded by block
+    size). Blocking-key granularity must grow with the corpus
+    (standard ER practice — here 4 suffix digits = 10k blocks, so
+    candidate pairs are ~n²/10⁴; a production run over n≫10⁶ keys
+    widens the suffix or blocks on a phonetic key to keep per-block
+    size O(1))."""
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        "c_custkey", "c_name", F.substring("c_name", 15, 4).alias("blk")
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("true_key"),
+        F.regexp_replace("c_name", "^Customer", "Custmer").alias(
+            "dirty_name"
+        ),
+        F.substring("c_name", 15, 4).alias("blk"),
+    )
+    cand = dirty.join(clean, "blk").select(
+        "true_key",
+        "c_custkey",
+        F.levenshtein("dirty_name", "c_name").alias("dist"),
+    )
+    w = Window.partitionBy("true_key").orderBy("dist", "c_custkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "true_key",
+            F.col("c_custkey").alias("matched_key"),
+            F.col("dist").cast("int").alias("dist"),
+            (F.col("c_custkey") == F.col("true_key")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth histogram (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+_EQD_BINS = 16
+
+
+@register(
+    "equi_depth_histogram",
+    f"""
+WITH r AS (
+  SELECT o_totalprice,
+         ntile({_EQD_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin::INT AS bin, count(*)::BIGINT AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM r GROUP BY bin
+""",
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 [EXT]: EXACT equi-depth (equal-frequency) histogram of
+    order prices — the profiling primitive behind range-partition
+    bounds, CBO statistics and drift baselines. Bin membership
+    replays SQL ntile() semantics exactly (first n%k bins take the
+    extra row) on top of the distributed global rank.
+
+    Scale shape: the global rank comes from operators/prefix.
+    global_prefix with the r8 sampled equal-height bucket bounds
+    (`bounds="height"`) — one bucketed shuffle of the fact, the only
+    unpartitioned window over n_buckets summary rows, robust to
+    price skew by construction; the ntile arithmetic is a pure
+    projection against one broadcast 1-row count."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_prefix(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        "o_totalprice",
+        bounds="height",
+    )
+    n = o.agg(F.count("*").alias("_n"))
+    size = F.floor(F.col("_n") / _EQD_BINS)
+    rem = F.col("_n") % _EQD_BINS
+    # ntile: ranks 1..rem*(size+1) fill the first rem bins (size+1
+    # rows each); the rest fill bins rem+1..k (size rows each). The
+    # greatest() guard only matters when n < k (size = 0), where the
+    # first branch already covers every rank.
+    binned = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "bin",
+        (
+            F.when(
+                F.col("rank") <= rem * (size + 1),
+                F.floor((F.col("rank") - 1) / (size + 1)),
+            ).otherwise(
+                rem
+                + F.floor(
+                    (F.col("rank") - 1 - rem * (size + 1))
+                    / F.greatest(size, F.lit(1))
+                )
+            )
+            + 1
+        ).cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff between table versions
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff",
+    """
+WITH base AS (
+  SELECT o_orderkey,
+         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+  FROM orders
+), v_old AS (
+  SELECT * FROM base WHERE o_orderkey % 1000 != 0
+), v_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN (cents * 11) // 10
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 997 != 0
+), diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.cents != n.cents THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(o.cents, 0) AS old_cents,
+         coalesce(n.cents, 0) AS new_cents
+  FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, count(*)::BIGINT AS n_rows,
+       sum(old_cents)::BIGINT AS sum_old_cents,
+       sum(new_cents)::BIGINT AS sum_new_cents
+FROM diff GROUP BY status
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A4 [EXT]: added/removed/changed/unchanged reconciliation
+    between two snapshot versions of a keyed table — the audit query
+    behind every CDC pipeline and dataset-version release note. The
+    two versions are derived deterministically from orders in-query
+    (v_old drops keys ≡0 mod 1000 → those appear 'added'; v_new
+    bumps prices on keys ≡0 mod 7 by exactly 10% in integer cents →
+    'changed'; v_new drops keys ≡0 mod 997 → 'removed') so the
+    oracle replays both sides bit-for-bit.
+
+    Scale shape: ONE full-outer shuffle join on the snapshot key —
+    the canonical diff plan — followed by a 4-group hash agg; change
+    detection compares integer cents, so no float-equality trap."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    v_old = base.filter(F.col("o_orderkey") % 1000 != 0)
+    v_new = base.filter(F.col("o_orderkey") % 997 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.floor(F.col("cents") * 11 / 10).cast("bigint"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    o = v_old.select(
+        F.col("o_orderkey").alias("ok"), F.col("cents").alias("old_cents")
+    )
+    nn = v_new.select(
+        F.col("o_orderkey").alias("nk"), F.col("cents").alias("new_cents")
+    )
+    diff = o.join(nn, o.ok == nn.nk, "full_outer").select(
+        F.when(F.col("ok").isNull(), F.lit("added"))
+        .when(F.col("nk").isNull(), F.lit("removed"))
+        .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("old_cents", F.lit(0)).alias("old_cents"),
+        F.coalesce("new_cents", F.lit(0)).alias("new_cents"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("old_cents").cast("bigint").alias("sum_old_cents"),
+        F.sum("new_cents").cast("bigint").alias("sum_new_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curriculum phases (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_budget_curriculum",
+    """
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+t AS (SELECT sum(n_chars)::BIGINT AS total FROM d),
+r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+         sum(n_chars) OVER (ORDER BY n_chars, doc_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_chars
+  FROM d
+)
+SELECT r.doc_id, r.n_chars, r.rank::BIGINT AS rank,
+       round(r.cum_chars / t.total::DOUBLE + 1e-9, 6) AS cum_share,
+       CASE WHEN r.cum_chars / t.total::DOUBLE <= 0.10 THEN 'warmup'
+            WHEN r.cum_chars / t.total::DOUBLE <= 0.70 THEN 'core'
+            ELSE 'polish' END AS phase
+FROM r CROSS JOIN t
+""",
+)
+def q_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling/W3 [EXT]: curriculum ordering — documents ranked
+    easiest-first (length proxy, doc_id tie-break) with each doc's
+    cumulative share of the total character budget and a
+    warmup/core/polish phase cut at 10%/70% of CUMULATIVE budget (a
+    token-budget-aware curriculum: phases are sized by what the
+    model will consume, not by doc counts).
+
+    Scale shape: the global rank AND running character total come
+    from one operators/prefix.global_prefix pass (bucketed shuffle,
+    no single-partition window); the total is one broadcast 1-row
+    agg. Phase cuts compare the same exact-integer ratio on both
+    engines, so the boundary assignment can't drift."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_prefix(
+        d, ["n_chars", "doc_id"], "n_chars", sum_type="bigint"
+    )
+    t = d.agg(F.sum("n_chars").cast("bigint").alias("total"))
+    share = F.col("cum_sum") / F.col("total").cast("double")
+    return ranked.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "n_chars",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round(share + F.lit(1e-9), 6).alias("cum_share"),
+        F.when(share <= 0.10, F.lit("warmup"))
+        .when(share <= 0.70, F.lit("core"))
+        .otherwise(F.lit("polish"))
+        .alias("phase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graded nDCG evaluation of the ANN index
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_PLANES = 8
+
+
+@register(
+    "ndcg_eval",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT vec_id, e AS ce,
+         {_SQL_LSH_SIG.format(a='e', planes=_NDCG_PLANES)} AS bucket
+  FROM e0
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         {_SQL_LSH_SIG.format(a='e', planes=_NDCG_PLANES)} AS qbucket
+  FROM e0 WHERE vec_id < 3
+), d AS (
+  SELECT q.query_id, c.vec_id,
+         {_SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c JOIN q ON c.bucket = q.qbucket
+), lsh AS (
+  SELECT query_id, vec_id, rn AS lrank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, vec_id) AS rn
+    FROM d) WHERE rn <= {_NDCG_K}
+), xd AS (
+  SELECT q.query_id, c0.vec_id,
+         {_SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM (SELECT vec_id, e AS ce FROM e0) c0, q
+), ex AS (
+  SELECT query_id, vec_id, rn AS xrank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, vec_id) AS rn
+    FROM xd) WHERE rn <= {_NDCG_K}
+), dcg AS (
+  SELECT l.query_id,
+         sum(coalesce({_NDCG_K + 1} - ex.xrank, 0)
+             / log2(l.lrank + 1.0)) AS dcg
+  FROM lsh l LEFT JOIN ex
+    ON l.query_id = ex.query_id AND l.vec_id = ex.vec_id
+  GROUP BY l.query_id
+), idcg AS (
+  SELECT query_id,
+         sum(({_NDCG_K + 1} - xrank) / log2(xrank + 1.0)) AS idcg
+  FROM ex GROUP BY query_id
+)
+SELECT i.query_id,
+       round(coalesce(d.dcg, 0) + 1e-9, 6) AS dcg,
+       round(i.idcg + 1e-9, 6) AS idcg,
+       round(coalesce(d.dcg, 0) / i.idcg + 1e-9, 6) AS ndcg
+FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+""",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/V5 [EXT]: graded nDCG@10 of the deterministic-LSH index
+    against exact brute-force ground truth, per query — the ranked
+    companion to `ann_recall_eval` (recall says WHETHER the truth
+    showed up; nDCG says WHERE it landed). Relevance is graded by
+    exact rank (best neighbor = 10 … 10th = 1, absent = 0); IDCG is
+    the exact list's own DCG, so ndcg = 1.0 means the index ordered
+    the true top-10 perfectly.
+
+    Scale shape: the LSH list comes from a bucket EQUI-join (corpus
+    hash-partitioned on bucket id, broadcast query side); the exact
+    list is a broadcast-bounded crossJoin (|queries| rows). Both
+    rankings use UNROUNDED distances with the (dist, vec_id)
+    tie-break, and both engines fold the distance sums
+    left-to-right, so ranks are bit-reproducible. The DCG/IDCG
+    reduction is a per-query agg over ≤10 rows."""
+    from resume_jd_matcher_spark.operators.ann import lsh_signature
+    from resume_jd_matcher_spark.functions.vector import squared_l2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        lsh_signature(F.col("embedding"), _NDCG_PLANES).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        lsh_signature(F.col("embedding"), _NDCG_PLANES).alias("qbucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    lsh = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "query_id",
+            "vec_id",
+            squared_l2(F.col("ce"), F.col("qe")).alias("dist"),
+        )
+        .withColumn("lrank", F.row_number().over(w))
+        .filter(F.col("lrank") <= _NDCG_K)
+        .select("query_id", "vec_id", "lrank")
+    )
+    ex = (
+        c.select("vec_id", "ce")
+        .crossJoin(F.broadcast(q.select("query_id", "qe")))
+        .select(
+            "query_id",
+            "vec_id",
+            squared_l2(F.col("ce"), F.col("qe")).alias("dist"),
+        )
+        .withColumn("xrank", F.row_number().over(w))
+        .filter(F.col("xrank") <= _NDCG_K)
+        .select("query_id", "vec_id", "xrank")
+    )
+    dcg = (
+        lsh.join(ex, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.lit(_NDCG_K + 1) - F.col("xrank"), F.lit(0))
+                / F.log2(F.col("lrank") + F.lit(1.0))
+            ).alias("dcg")
+        )
+    )
+    idcg = ex.groupBy("query_id").agg(
+        F.sum(
+            (F.lit(_NDCG_K + 1) - F.col("xrank"))
+            / F.log2(F.col("xrank") + F.lit(1.0))
+        ).alias("idcg")
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) + F.lit(1e-9), 6).alias(
+            "dcg"
+        ),
+        F.round(F.col("idcg") + F.lit(1e-9), 6).alias("idcg"),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+            + F.lit(1e-9),
+            6,
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov (distributed dual-ECDF scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ks_test",
+    """
+WITH g AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+         sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c_a,
+         sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c_b
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b FROM g
+), e AS (
+  SELECT sum(c_a) OVER (ORDER BY cents)::HUGEINT AS ca,
+         sum(c_b) OVER (ORDER BY cents)::HUGEINT AS cb
+  FROM g
+), d AS (
+  SELECT max(abs(ca * t.n_b - cb * t.n_a))::DOUBLE
+         / (t.n_a::DOUBLE * t.n_b) AS d_stat,
+         t.n_a, t.n_b
+  FROM e CROSS JOIN t GROUP BY t.n_a, t.n_b
+)
+SELECT n_a, n_b, round(d_stat + 1e-9, 6) AS d_stat,
+       round(least(1.0, 2 * exp(-2.0 * (n_a::DOUBLE * n_b / (n_a + n_b))
+                                * d_stat * d_stat)) + 1e-9, 6) AS p_approx,
+       (round(least(1.0, 2 * exp(-2.0 * (n_a::DOUBLE * n_b / (n_a + n_b))
+                                 * d_stat * d_stat)) + 1e-9, 6)
+        < 0.05) AS reject
+FROM d
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 [EXT]: EXACT two-sample Kolmogorov-Smirnov test between
+    the even- and odd-orderkey halves of the order-price distribution
+    — the drift gate a dataset release runs between snapshots (PSI's
+    binned cousin `psi_drift` is approximate; KS is the exact
+    sup-norm ECDF distance). The p-value is the standard one-term
+    asymptotic bound 2·exp(−2·m·D²) (m = harmonic sample size),
+    clamped to 1 and compared AFTER rounding on both engines so the
+    reject boolean cannot flip on a last-bit float diff.
+
+    Scale shape: the sup of |F_a − F_b| is taken over the DISTINCT
+    value grain (cents), where both ECDFs jump — counts per value are
+    one map-side-combined hash agg over the fact; both cumulative
+    counters then ride ONE `operators/prefix.global_prefix` bucketed
+    scan (the r8 multi-sum extension — one shuffle for both ECDFs, no
+    single-partition window). The ECDF difference is compared in
+    EXACT integer cross-multiples (cum_a·n_b − cum_b·n_a in
+    decimal(38,0) ≡ DuckDB HUGEINT — no float ties at any sf; the
+    products reach ~1e24 at 100 TB, past int64 but inside decimal38),
+    divided once at the end."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("o_orderkey") % 2).alias("arm"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )
+    t = g.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    e = global_prefix(g, ["cents"], ["c_a", "c_b"], sum_type="bigint")
+    dec = "decimal(38,0)"
+    d = (
+        e.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_c_a").cast(dec) * F.col("n_b")
+                    - F.col("cum_c_b").cast(dec) * F.col("n_a")
+                )
+            ).alias("num"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.col("num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("d_stat"),
+        )
+    )
+    m = F.col("n_a").cast("double") * F.col("n_b") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(F.lit(-2.0) * m * F.col("d_stat") * F.col("d_stat")),
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("d_stat") + F.lit(1e-9), 6).alias("d_stat"),
+        p.alias("p_approx"),
+        (p < 0.05).alias("reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier churn survival
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_DAYS = 7
+
+
+@register(
+    "kaplan_meier",
+    f"""
+WITH u AS (
+  SELECT user_id, min(ts::DATE) AS fd, max(ts::DATE) AS ld
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT max(ld) AS mx, count(*)::BIGINT AS n_users FROM u
+), l AS (
+  SELECT date_diff('day', fd, ld) AS t,
+         CASE WHEN date_diff('day', ld, m.mx) >= {_KM_HORIZON_DAYS}
+              THEN 1 ELSE 0 END AS death
+  FROM u CROSS JOIN m
+), g AS (
+  SELECT t, sum(death)::BIGINT AS d, sum(1 - death)::BIGINT AS c
+  FROM l GROUP BY t
+), r AS (
+  SELECT t, d,
+         (SELECT n_users FROM m)
+         - coalesce(sum(d + c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM g
+), s AS (
+  SELECT t, d, n_risk,
+         exp(sum(ln(greatest(1.0 - d / n_risk::DOUBLE, 1e-300)))
+             OVER (ORDER BY t)) AS surv
+  FROM r
+)
+SELECT t::INT AS t_days, n_risk, d AS d_deaths,
+       round(surv + 1e-9, 6) AS survival
+FROM s WHERE d > 0
+""",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 [EXT]: Kaplan-Meier survival curve of user lifetime
+    (days between first and last event), with users still active
+    within {_KM_HORIZON_DAYS} days of the corpus end treated as
+    right-CENSORED — the churn readout behind every retention
+    dashboard (Kaplan & Meier 1958). Censored users leave the risk
+    set after their time without contributing a death factor; rows
+    are emitted at death times only. The product is computed as
+    exp(Σ ln(1 − d/n)) with a 1e-300 floor so a terminal
+    everyone-dies time yields survival 0 instead of ln(0) divergence
+    — the same spelling on both engines.
+
+    Scale shape: the fact table collapses to the user grain (one
+    map-side-combined hash agg), then to the LIFETIME-DAY grain —
+    bounded by the calendar span of the corpus, not its row count —
+    before any window; the cumulative risk-set and product windows
+    run over that bounded grain (same day-grain-first discipline as
+    level_shift/time_weighted_avg). The corpus max date is one
+    broadcast 1-row agg."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    m = u.agg(
+        F.max("ld").alias("mx"), F.count("*").cast("bigint").alias("n_users")
+    )
+    life = u.crossJoin(F.broadcast(m)).select(
+        F.datediff("ld", "fd").alias("t"),
+        F.when(
+            F.datediff("mx", "ld") >= _KM_HORIZON_DAYS, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("death"),
+        "n_users",
+    )
+    g = life.groupBy("t", "n_users").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("death")).cast("bigint").alias("c"),
+    )
+    # Bounded unpartitioned windows: the grain is one row per distinct
+    # LIFETIME (calendar-span-bounded), never per user/event.
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.withColumn(
+        "n_risk",
+        F.col("n_users")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    s = r.withColumn(
+        "surv",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        F.lit(1.0)
+                        - F.col("d") / F.col("n_risk").cast("double"),
+                        F.lit(1e-300),
+                    )
+                )
+            ).over(w_run)
+        ),
+    )
+    return s.filter(F.col("d") > 0).select(
+        F.col("t").cast("int").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_deaths"),
+        F.round(F.col("surv") + F.lit(1e-9), 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-revenue autocorrelation (ACF lags 1..7)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily",
+    f"""
+WITH g AS (
+  SELECT o_orderdate::DATE AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT sum(rev)::BIGINT AS s, count(*)::BIGINT AS n FROM g
+), d AS (
+  SELECT day, rev - s / n::DOUBLE AS dev FROM g CROSS JOIN t
+), ss AS (
+  SELECT sum(dev * dev) AS ss FROM d
+), p AS (
+  SELECT k.k, count(*)::BIGINT AS n_pairs, sum(a.dev * b.dev) AS sp
+  FROM d a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_ACF_MAX_LAG}))::INTEGER
+              AS k) k
+  JOIN d b ON b.day = a.day + k.k
+  GROUP BY k.k
+)
+SELECT k::INT AS lag_days, n_pairs, round(sp / ss.ss + 1e-9, 6) AS acf
+FROM p CROSS JOIN ss
+""",
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: autocorrelation of the daily-revenue series at
+    lags 1..{_ACF_MAX_LAG} days — the seasonality detector run before
+    choosing a forecast model or a seasonal-adjustment window (a
+    weekly cycle shows as a lag-7 peak). Pairs are matched on
+    CALENDAR day (day + k), so missing days shorten n_pairs rather
+    than silently misaligning the series; the denominator is the full
+    series sum of squared deviations (the standard ACF normalization,
+    Box & Jenkins), making acf comparable across lags.
+
+    Scale shape: the fact collapses to the DAY grain (integer-cents
+    hash agg) before anything else; the mean is one broadcast 1-row
+    agg, and each lag is a calendar-key EQUI-join of the day grain
+    with itself fanned out by a {_ACF_MAX_LAG}-element literal
+    explode — day-grain × lags rows total, never fact-sized, no
+    window at all."""
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    t = g.agg(
+        F.sum("rev").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = g.crossJoin(F.broadcast(t)).select(
+        "day",
+        (F.col("rev") - F.col("s") / F.col("n").cast("double")).alias("dev"),
+    )
+    ss = d.agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    lags = d.select(
+        "day",
+        F.col("dev").alias("dev_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+        ).alias("k"),
+    ).withColumn("day_b", F.date_add("day", F.col("k")))
+    b = d.select(F.col("day").alias("day_b"), F.col("dev").alias("dev_b"))
+    p = (
+        lags.join(b, "day_b")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dev_a") * F.col("dev_b")).alias("sp"),
+        )
+    )
+    return p.crossJoin(F.broadcast(ss)).select(
+        F.col("k").cast("int").alias("lag_days"),
+        "n_pairs",
+        F.round(F.col("sp") / F.col("ss") + F.lit(1e-9), 6).alias("acf"),
+    )

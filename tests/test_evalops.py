@@ -1,0 +1,372 @@
+"""Round-8 evaluation & data-ops layer: invariants of the evalops_q
+queries — vocabulary overlap, A/B z-test, mutual information, blocked
+entity resolution, equi-depth histograms, snapshot diff, token-budget
+curriculum, graded nDCG, exact two-sample KS, Kaplan-Meier survival,
+and daily-revenue autocorrelation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestVocabOverlap:
+    def test_identical_sources_have_jaccard_one(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "en", "s1", 16),
+                (2, "alpha beta gamma", "en", "s2", 16),
+                (3, "delta epsilon", "en", "s3", 13),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: docs)
+        rows = {
+            (r["source_a"], r["source_b"]): r
+            for r in evalops_q.q_vocab_overlap(spark, SF).collect()
+        }
+        assert rows[("s1", "s2")]["jaccard"] == pytest.approx(1.0)
+        assert rows[("s1", "s2")]["n_common"] == 3
+        # disjoint vocabularies never meet the equi-join -> no row
+        assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+class TestAbTest:
+    def test_planted_effect_is_significant(self, spark, monkeypatch):
+        """Construct users whose arms are known from the portable hash
+        and give one arm a much higher purchase share."""
+        from resume_jd_matcher_spark.functions.text import hash32
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        ids = spark.range(0, 400).select(F.col("id").alias("user_id"))
+        arms = {
+            r["user_id"]: r["arm"]
+            for r in ids.select(
+                "user_id",
+                (
+                    hash32(
+                        F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                    )
+                    % 2
+                ).alias("arm"),
+            ).collect()
+        }
+        # arm 0: 4/5 purchases per user (converts); arm 1: 0/5
+        rows = []
+        eid = 0
+        for uid, arm in arms.items():
+            kinds = (
+                ["purchase"] * 4 + ["view"] if arm == 0 else ["view"] * 5
+            )
+            for k in kinds:
+                rows.append((eid, None, uid, k, 0.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_ab_test_ztest(spark, SF).collect()[0]
+        assert r["n_a"] + r["n_b"] == 400
+        assert r["rate_a"] == pytest.approx(1.0)
+        assert r["rate_b"] == pytest.approx(0.0)
+        assert r["significant"] is True
+
+    def test_zero_variance_is_not_significant(self, spark, monkeypatch):
+        """Every user converts -> pooled variance 0 -> z NULL,
+        significant coalesced to False (no divide-by-zero abort)."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [
+            (i, None, i, "purchase", 0.0, "{}") for i in range(40)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_ab_test_ztest(spark, SF).collect()[0]
+        assert r["z"] is None
+        assert r["significant"] is False
+
+
+class TestMutualInformation:
+    def test_independent_columns_give_zero(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [
+            (i, f"c{i}", n, 0.0, s)
+            for i, (n, s) in enumerate(
+                [(0, "A"), (0, "B"), (1, "A"), (1, "B")] * 10
+            )
+        ]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: cust)
+        r = evalops_q.q_mutual_information(spark, SF).collect()[0]
+        assert r["mi_nats"] == pytest.approx(0.0, abs=1e-6)
+        assert r["n_rows"] == 40
+
+    def test_deterministic_mapping_maximizes_nmi(self, spark, monkeypatch):
+        """Y = f(X) bijectively -> I(X;Y) = H(X) = H(Y) -> NMI = 1."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [
+            (i, f"c{i}", i % 4, 0.0, f"SEG{i % 4}") for i in range(80)
+        ]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: cust)
+        r = evalops_q.q_mutual_information(spark, SF).collect()[0]
+        assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+        assert r["mi_nats"] == pytest.approx(math.log(4), abs=1e-6)
+
+
+class TestEntityResolution:
+    def test_every_typo_recovers_its_source(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = evalops_q.q_entity_resolution(spark, sf_dir).collect()
+        assert out, "no matches produced"
+        assert all(r["correct"] for r in out)
+        assert all(r["dist"] == 1 for r in out)  # 'Customer'->'Custmer'
+
+    def test_one_row_per_dirty_record(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        n_cust = load_table(spark, sf_dir, "customer").count()
+        assert evalops_q.q_entity_resolution(spark, sf_dir).count() == n_cust
+
+
+class TestEquiDepthHistogram:
+    def test_bins_partition_rows_with_ntile_sizes(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        out = evalops_q.q_equi_depth_histogram(spark, sf_dir).collect()
+        n = load_table(spark, sf_dir, "orders").count()
+        sizes = {r["bin"]: r["n_rows"] for r in out}
+        assert sum(sizes.values()) == n
+        assert set(sizes) == set(range(1, 17))
+        size, rem = divmod(n, 16)
+        for b, cnt in sizes.items():
+            assert cnt == (size + 1 if b <= rem else size), (b, cnt)
+
+    def test_bin_ranges_are_ordered(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = sorted(
+            evalops_q.q_equi_depth_histogram(spark, sf_dir).collect(),
+            key=lambda r: r["bin"],
+        )
+        for a, b in zip(out, out[1:]):
+            assert a["hi"] <= b["lo"] + 1e-9  # depth-contiguous ranges
+
+
+class TestSnapshotDiff:
+    def test_statuses_reconcile_exactly(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        n = o.count()
+        exp_added = o.filter(
+            (F.col("o_orderkey") % 1000 == 0)
+            & (F.col("o_orderkey") % 997 != 0)
+        ).count()
+        exp_removed = o.filter(
+            (F.col("o_orderkey") % 997 == 0)
+            & (F.col("o_orderkey") % 1000 != 0)
+        ).count()
+        got = {
+            r["status"]: r["n_rows"]
+            for r in evalops_q.q_snapshot_diff(spark, sf_dir).collect()
+        }
+        assert got.get("added", 0) == exp_added
+        assert got.get("removed", 0) == exp_removed
+        # keys dropped from BOTH versions appear nowhere
+        both_dropped = o.filter(
+            (F.col("o_orderkey") % 1000 == 0)
+            & (F.col("o_orderkey") % 997 == 0)
+        ).count()
+        assert sum(got.values()) == n - both_dropped
+
+
+class TestTokenBudgetCurriculum:
+    def test_phases_cut_at_cumulative_budget(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = evalops_q.q_token_budget_curriculum(spark, sf_dir).collect()
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        # ranks are a 1..n permutation and cum_share is monotone
+        assert [r["rank"] for r in by_rank] == list(range(1, len(out) + 1))
+        shares = [r["cum_share"] for r in by_rank]
+        assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+        assert shares[-1] == pytest.approx(1.0, abs=1e-6)
+        # phase boundaries are consistent with the share
+        for r in by_rank:
+            if r["cum_share"] < 0.0999:
+                assert r["phase"] == "warmup"
+            elif 0.101 < r["cum_share"] < 0.6999:
+                assert r["phase"] == "core"
+            elif r["cum_share"] > 0.701:
+                assert r["phase"] == "polish"
+
+
+class TestNdcg:
+    def test_ndcg_bounds_and_idcg_constant(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = evalops_q.q_ndcg_eval(spark, sf_dir).collect()
+        assert len(out) == 3  # one row per query
+        ideal = sum((11 - i) / math.log2(i + 1) for i in range(1, 11))
+        for r in out:
+            assert r["idcg"] == pytest.approx(ideal, abs=1e-4)
+            assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+            assert r["dcg"] <= r["idcg"] + 1e-9
+        # the self-match (dist 0, rel 10, rank 1) is always retrieved:
+        # every query's own vector shares its bucket, so ndcg > 0
+        assert all(r["ndcg"] > 0.0 for r in out)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+class TestKsTest:
+    def test_identical_halves_do_not_reject(self, spark, monkeypatch):
+        """Even and odd keys get the SAME price multiset -> D = 0."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = []
+        for i in range(200):
+            price = 100.0 + (i % 50)
+            rows.append((2 * i, 1, "O", price, None, "1-URGENT"))
+            rows.append((2 * i + 1, 1, "O", price, None, "1-URGENT"))
+        monkeypatch.setattr(
+            evalops_q, "load_table", lambda *a: _orders(spark, rows)
+        )
+        r = evalops_q.q_ks_test(spark, SF).collect()[0]
+        assert r["n_a"] == 200 and r["n_b"] == 200
+        assert r["d_stat"] == pytest.approx(0.0)
+        assert r["p_approx"] == pytest.approx(1.0)
+        assert r["reject"] is False
+
+    def test_disjoint_supports_reject(self, spark, monkeypatch):
+        """Even keys ~ [100, 150), odd keys ~ [900, 950) -> D = 1."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = []
+        for i in range(200):
+            rows.append((2 * i, 1, "O", 100.0 + (i % 50), None, "x"))
+            rows.append((2 * i + 1, 1, "O", 900.0 + (i % 50), None, "x"))
+        monkeypatch.setattr(
+            evalops_q, "load_table", lambda *a: _orders(spark, rows)
+        )
+        r = evalops_q.q_ks_test(spark, SF).collect()[0]
+        assert r["d_stat"] == pytest.approx(1.0)
+        assert r["reject"] is True
+
+
+class TestKaplanMeier:
+    def test_hand_computed_curve(self, spark, monkeypatch):
+        """10 users, horizon 7 d: 4 die at t=2, 2 censored at t=5,
+        3 die at t=10, 1 censored at t=20 (defines corpus max).
+        KM: S(2) = 1 - 4/10 = 0.6; at t=10 risk = 10-4-2 = 4,
+        S(10) = 0.6 * (1 - 3/4) = 0.15."""
+        import datetime as dt
+
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        d0 = dt.datetime(2024, 1, 1)
+        day = dt.timedelta(days=1)
+        rows, eid = [], 0
+
+        def span(uid, t_days, last_offset):
+            nonlocal eid
+            last = d0 + day * last_offset
+            first = last - day * t_days
+            for ts in (first, last):
+                rows.append((eid, ts, uid, "view", 0.0, "{}"))
+                eid += 1
+
+        # corpus max day = d0 + 30 (user 9's last event)
+        for uid in range(4):
+            span(uid, 2, 3)       # die at t=2 (30-3 >= 7)
+        for uid in range(4, 6):
+            span(uid, 5, 27)      # censored (30-27 < 7)
+        for uid in range(6, 9):
+            span(uid, 10, 12)     # die at t=10
+        span(9, 20, 30)           # censored, defines max
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        out = {
+            r["t_days"]: r for r in evalops_q.q_kaplan_meier(spark, SF).collect()
+        }
+        assert set(out) == {2, 10}  # death times only
+        assert out[2]["n_risk"] == 10 and out[2]["d_deaths"] == 4
+        assert out[2]["survival"] == pytest.approx(0.6)
+        assert out[10]["n_risk"] == 4 and out[10]["d_deaths"] == 3
+        assert out[10]["survival"] == pytest.approx(0.15)
+
+    def test_fixture_curve_is_monotone(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = sorted(
+            evalops_q.q_kaplan_meier(spark, sf_dir).collect(),
+            key=lambda r: r["t_days"],
+        )
+        surv = [r["survival"] for r in out]
+        assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+        assert all(0.0 <= s <= 1.0 + 1e-9 for s in surv)
+        risks = [r["n_risk"] for r in out]
+        assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+class TestAcfDaily:
+    def test_alternating_series_flips_sign(self, spark, monkeypatch):
+        """Revenue alternating a, 3a, a, 3a... over 60 consecutive
+        days: acf at odd lags ~ -1, even lags ~ +1 (scaled by the
+        (n-k)/n pair shortfall)."""
+        import datetime as dt
+
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        d0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, 1, "O", 100.0 if i % 2 == 0 else 300.0,
+             d0 + dt.timedelta(days=i), "x")
+            for i in range(60)
+        ]
+        monkeypatch.setattr(
+            evalops_q, "load_table", lambda *a: _orders(spark, rows)
+        )
+        out = {r["lag_days"]: r for r in evalops_q.q_acf_daily(spark, SF).collect()}
+        assert set(out) == set(range(1, 8))
+        for k in range(1, 8):
+            assert out[k]["n_pairs"] == 60 - k
+            expected = (-1 if k % 2 else 1) * (60 - k) / 60
+            assert out[k]["acf"] == pytest.approx(expected, abs=1e-6)

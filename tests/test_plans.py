@@ -235,6 +235,28 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast grand total crossed into the
         # |nations|x|segments|-bounded cell table:
         "chi2_independence",
+        # -- round 8 --
+        # single-row broadcast n/ss totals crossed into the
+        # calendar-bounded day grain:
+        "acf_daily",
+        # global_prefix single-row equal-height bounds broadcast +
+        # single-row n_orders total for the ntile arithmetic:
+        "equi_depth_histogram",
+        # single-row broadcast (max date, n_users) crossed into the
+        # user grain, then the lifetime-day grain:
+        "kaplan_meier",
+        # global_prefix single-row bucket-stats broadcast + single-row
+        # (n_a, n_b) totals crossed into the distinct-cents grain:
+        "ks_test",
+        # single-row broadcast grand total + entropies crossed into
+        # dimension-bounded cell/marginal tables:
+        "mutual_information",
+        # 3-row broadcast query side crossed into the corpus for the
+        # exact ground-truth ranking (the standard similarity shape):
+        "ndcg_eval",
+        # single-row broadcast character-budget total crossed into the
+        # ranked document grain:
+        "token_budget_curriculum",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -200,9 +200,10 @@ HEADLINERS = {
     "corpus x corpus); part dim + brand counts + order total all "
     "broadcast",
     "abc_pareto": "global rank/cumshare via the two-phase prefix scan "
-    "(operators/prefix.py): range shuffle + window PARTITIONED BY "
-    "_pid; the ONLY unpartitioned window covers n_partitions summary "
-    "rows, never the part dimension; integer-cents running sums",
+    "(operators/prefix.py): monotone width_bucket assignment + window "
+    "PARTITIONED BY _bkt; the ONLY unpartitioned window covers "
+    "n_buckets summary rows, never the part dimension; integer-cents "
+    "running sums",
     "gini_concentration": "ascending spend rank from the same "
     "distributed prefix scan; final Gini a 1-row agg of exact "
     "integer products",
@@ -236,6 +237,28 @@ HEADLINERS = {
     "ensemble_neardup": "ONE exploded+counted token grain persisted, "
     "feeding BOTH MinHash signatures and SimHash weights; three "
     "banded/bucketed candidate paths, vote agg on the union",
+    # -- round 8 --
+    "vocab_overlap": "pair intersection is a token-keyed self-EQUI-"
+    "join of the DISTINCT (source, token) grain — no doc x doc or "
+    "source x source cross join; size dims broadcast",
+    "entity_resolution": "candidate generation is a plain equi-join "
+    "on the 4-digit block key — never a name x name cross join; "
+    "min-distance pick windowed PER dirty record",
+    "equi_depth_histogram": "ntile replay on the prefix scan with "
+    "sampled equal-height bounds (one extra approx-percentile agg); "
+    "window PARTITIONED BY _bkt, unpartitioned window only over "
+    "n_buckets summary rows",
+    "snapshot_diff": "ONE full-outer shuffle join on the snapshot "
+    "key + 4-group hash agg; both versions derived from one scan",
+    "ks_test": "both ECDF counters ride ONE multi-sum prefix scan "
+    "(one bucketed shuffle of the distinct-cents grain); sup taken "
+    "on exact decimal(38,0) integer cross-multiples",
+    "kaplan_meier": "fact -> user grain -> LIFETIME-day grain before "
+    "any window; risk-set + survival windows run over the calendar-"
+    "bounded grain only",
+    "acf_daily": "day-grain integer-cents agg, then a calendar-key "
+    "equi-join fanned by a 7-element literal explode — day x lags "
+    "rows, no window at all",
 }
 
 

@@ -108,14 +108,17 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
 
 
 def skew_spend(spark, n: int):
-    """Power-law spend grain: cents = floor(1e12 / u²) for u uniform
-    in [1, 1e6] — ~99.9% of rows below 1e6 while max is 1e12, so
-    equal-width buckets over the range funnel nearly everything into
-    bucket 1. This is the revenue-rank distribution abc_pareto/gini
-    see in the wild."""
+    """CONTINUOUS power-law spend grain: cents = floor(1e12 / u²) for
+    u uniform in [1, 2000] — ~99.6% of rows land in the bottom 0.1%
+    of the value range (bucket 1 for equal-width bounds) while the
+    2000 distinct values keep ties bucketable, so sampled equal-height
+    bounds CAN rebalance. This isolates the skew failure mode from
+    the mass-tie failure mode (a single value holding 30% of rows is
+    unbucketable under ANY monotone scheme — rank semantics force a
+    tie to share a bucket; measured separately in the r8 notes)."""
     from pyspark.sql import functions as F
 
-    u = F.pmod(F.xxhash64(F.col("id"), F.lit(21)), F.lit(1_000_000)) + 1
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(21)), F.lit(2_000)) + 1
     return spark.range(0, n, 1, 32).select(
         F.col("id").alias("k"),
         F.floor(F.lit(1.0e12) / (u * u)).cast("bigint").alias("cents"),
@@ -128,6 +131,14 @@ REGISTERED = [
     "market_basket",
     "weighted_median",
     "rfm_segments",
+    # round-8 additions (orders-only inputs, so they run on the
+    # synthetic tables as-is): two more prefix-scan consumers — one
+    # with equal-height bounds, one with the multi-sum dual-ECDF —
+    # plus the full-outer diff and the day-grain lag join.
+    "equi_depth_histogram",
+    "ks_test",
+    "snapshot_diff",
+    "acf_daily",
 ]
 
 
@@ -192,8 +203,9 @@ def main() -> None:
         f"xxhash64 columns, tools/scale_curve_rel.py) vs {MULT}x on",
         "local[32]; best-of-2 wall seconds. The skew rows run",
         f"`global_prefix` on a {SKEW_N:,}-row power-law spend grain",
-        "(cents = 1e12/u², ~99.9% of keys in the bottom 0.0001% of the",
-        "range) — the adversarial distribution for equal-width buckets.",
+        "(cents = 1e12/u², u uniform in [1, 2000]: ~99.6% of rows land",
+        "in equal-width bucket 1 of 64) — the adversarial distribution",
+        "for equal-width buckets.",
         "",
         "| operator | 1x s | 10x s | ratio | verdict |",
         "|---|---|---|---|---|",
