@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = [
     "ks_test",
     "kaplan_meier",
     "acf_daily",
+    "stream_drift_monitor",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

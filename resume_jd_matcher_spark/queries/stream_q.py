@@ -562,3 +562,70 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stream_static_enrich(ev, user_tier_dim(ev))
+
+
+@register(
+    "stream_drift_monitor",
+    """
+WITH bc AS (
+  SELECT event_type, least(floor(value / 25)::INT, 9) AS bkt,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), bt AS (
+  SELECT event_type, sum(n)::BIGINT AS tot FROM bc GROUP BY 1
+), grid AS (
+  SELECT bt.event_type, bt.tot, b.bkt
+  FROM bt CROSS JOIN
+       (SELECT unnest(generate_series(0, 9))::INT AS bkt) b
+), base AS (
+  SELECT g.event_type, g.bkt,
+         greatest(coalesce(c.n, 0) / g.tot::DOUBLE, 1e-4) AS p_base
+  FROM grid g LEFT JOIN bc c
+    ON c.event_type = g.event_type AND c.bkt = g.bkt
+), cc AS (
+  SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+         event_type, least(floor(value / 25)::INT, 9) AS bkt,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3
+), ct AS (
+  SELECT day_epoch, event_type, sum(n)::BIGINT AS tot
+  FROM cc GROUP BY 1, 2
+), cur AS (
+  SELECT t.day_epoch, b.event_type, b.bkt, b.p_base,
+         greatest(coalesce(c.n, 0) / t.tot::DOUBLE, 1e-4) AS p_cur
+  FROM base b JOIN ct t ON t.event_type = b.event_type
+  LEFT JOIN cc c ON c.day_epoch = t.day_epoch
+    AND c.event_type = b.event_type AND c.bkt = b.bkt
+)
+SELECT day_epoch, event_type,
+       round(sum((p_cur - p_base) * ln(p_cur / p_base)) + 1e-9, 6) AS psi,
+       (round(sum((p_cur - p_base) * ln(p_cur / p_base)) + 1e-9, 6)
+        > 0.2) AS drift
+FROM cur GROUP BY 1, 2
+""",
+)
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G [EXT] batch twin of the streaming PSI drift monitor — the
+    streaming member of the drift family (`psi_drift`/`ks_test` are
+    its static cousins): per tumbling event-time day and event type,
+    PSI of the in-window value-bucket distribution against the
+    offline full-corpus baseline, alerting at the standard 0.2
+    threshold. tests/test_streaming.py asserts the real streamed run
+    (ONE bounded streaming aggregation; PSI as a stateless batch
+    finalize over the windowed pre-aggregate, because chained
+    streaming aggs are unsupported by design) produces IDENTICAL
+    rows.
+
+    Scale shape: the streaming state is windows-in-flight × |types| ×
+    10 buckets, independent of event volume; the finalize joins only
+    bounded pre-aggregates (baseline broadcast). The batch twin's
+    fact-sized work is the two bucket-count hash aggs — everything
+    after is dimension-bounded."""
+    from resume_jd_matcher_spark.streaming.drift import (
+        baseline_dist,
+        psi_finalize,
+        stream_bucket_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_finalize(stream_bucket_counts(ev), baseline_dist(ev))

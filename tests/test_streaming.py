@@ -262,3 +262,33 @@ def test_stream_static_enrich_equals_batch(spark):
     want = q_stream_static_enrich(spark, sf)
     key = lambda r: (r["day_epoch"], r["tier"], r["event_type"], r["n"])  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_stream_drift_monitor_equals_batch(spark):
+    """Streaming PSI drift: ONE bounded streaming agg (window x type x
+    bucket counts) + stateless batch finalize must equal the batch
+    twin rows exactly."""
+    from resume_jd_matcher_spark.queries.stream_q import q_stream_drift_monitor
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.drift import (
+        baseline_dist,
+        psi_finalize,
+        stream_bucket_counts,
+    )
+    from resume_jd_matcher_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = baseline_dist(load_table(spark, sf, "events"))
+    counts = run_stream_to_memory(
+        stream_bucket_counts(read_events_stream(spark, sf)),
+        "t_drift_counts",
+        output_mode="complete",
+    )
+    got = psi_finalize(counts, base)
+    want = q_stream_drift_monitor(spark, sf)
+    assert _rows(got) == _rows(want)
+    # PSI of a window against a baseline is >= 0 up to the eps floor
+    assert all(r["psi"] >= -1e-6 for r in got.collect())
