@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = [
     "kaplan_meier",
     "acf_daily",
     "stream_drift_monitor",
+    "welch_ttest",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

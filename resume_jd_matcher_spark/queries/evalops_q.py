@@ -1108,3 +1108,145 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("sp") / F.col("ss") + F.lit(1e-9), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (continuous-metric A/B companion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "welch_ttest",
+    f"""
+WITH a AS (
+  SELECT value,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm
+  FROM events
+), s AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 0 THEN value ELSE 0 END) AS sx_a,
+         sum(CASE WHEN arm = 1 THEN value ELSE 0 END) AS sx_b,
+         sum(CASE WHEN arm = 0 THEN value * value ELSE 0 END) AS sxx_a,
+         sum(CASE WHEN arm = 1 THEN value * value ELSE 0 END) AS sxx_b
+  FROM a
+), t AS (
+  SELECT n_a, n_b,
+         sx_a / n_a AS m_a, sx_b / n_b AS m_b,
+         (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS v_a,
+         (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS v_b
+  FROM s
+), w AS (
+  SELECT n_a, n_b, m_a, m_b, v_a, v_b,
+         v_a / n_a + v_b / n_b AS se2
+  FROM t
+)
+SELECT n_a, n_b,
+       round(m_a + 1e-9, 4) AS mean_a,
+       round(m_b + 1e-9, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(se2) + 1e-9, 4) AS t_stat,
+       round(se2 * se2 / (v_a * v_a / (n_a * n_a * (n_a - 1.0))
+                          + v_b * v_b / (n_b * n_b * (n_b - 1.0)))
+             + 1e-9, 1) AS df,
+       round((m_a - m_b)
+             / sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                    / (n_a + n_b - 2.0)) + 1e-9, 4) AS cohens_d,
+       coalesce(abs(round((m_a - m_b) / sqrt(se2) + 1e-9, 4)) > 1.96,
+                false) AS significant
+FROM w
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Welch's unequal-variance t-test on the continuous
+    event value between the same portable-hash experiment arms as
+    `ab_test_ztest` (proportions there, means here — the two standard
+    A/B readouts), plus Welch-Satterthwaite degrees of freedom and
+    pooled-SD Cohen's d effect size. `significant` uses the
+    large-sample 1.96 cut on the ROUNDED t (df is ~n at any real sf,
+    where t is normal), coalesced FALSE for degenerate variance.
+
+    Scale shape: ONE conditional aggregate over the fact computes all
+    six sufficient statistics (n, Σx, Σx² per arm) map-side combined;
+    everything after is scalar arithmetic on a 1-row frame. The
+    moment formulation's cancellation is benign here (value ≥ 0,
+    mean ≫ 0); values are summed as doubles on both engines and every
+    exposed stat is rounded in-query."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        (
+            hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab")))
+            % 2
+        ).alias("arm"),
+    )
+    s = e.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("value")).otherwise(0.0)).alias(
+            "sx_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("value")).otherwise(0.0)).alias(
+            "sx_b"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("value") * F.col("value"))
+            .otherwise(0.0)
+        ).alias("sxx_a"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("value") * F.col("value"))
+            .otherwise(0.0)
+        ).alias("sxx_b"),
+    )
+    m_a = F.col("sx_a") / F.col("n_a")
+    m_b = F.col("sx_b") / F.col("n_b")
+    v_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    w = s.select("n_a", "n_b", m_a.alias("m_a"), m_b.alias("m_b"),
+                 v_a.alias("v_a"), v_b.alias("v_b"),
+                 (v_a / F.col("n_a") + v_b / F.col("n_b")).alias("se2"))
+    t_stat = F.round(
+        (F.col("m_a") - F.col("m_b")) / F.sqrt(F.col("se2")) + F.lit(1e-9), 4
+    )
+    df = F.round(
+        F.col("se2") * F.col("se2")
+        / (
+            F.col("v_a") * F.col("v_a")
+            / (F.col("n_a") * F.col("n_a") * (F.col("n_a") - F.lit(1.0)))
+            + F.col("v_b") * F.col("v_b")
+            / (F.col("n_b") * F.col("n_b") * (F.col("n_b") - F.lit(1.0)))
+        )
+        + F.lit(1e-9),
+        1,
+    )
+    cohens = F.round(
+        (F.col("m_a") - F.col("m_b"))
+        / F.sqrt(
+            (
+                (F.col("n_a") - 1) * F.col("v_a")
+                + (F.col("n_b") - 1) * F.col("v_b")
+            )
+            / (F.col("n_a") + F.col("n_b") - F.lit(2.0))
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") + F.lit(1e-9), 4).alias("mean_a"),
+        F.round(F.col("m_b") + F.lit(1e-9), 4).alias("mean_b"),
+        t_stat.alias("t_stat"),
+        df.alias("df"),
+        cohens.alias("cohens_d"),
+        F.coalesce(F.abs(t_stat) > F.lit(1.96), F.lit(False)).alias(
+            "significant"
+        ),
+    )

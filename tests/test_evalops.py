@@ -370,3 +370,58 @@ class TestAcfDaily:
             assert out[k]["n_pairs"] == 60 - k
             expected = (-1 if k % 2 else 1) * (60 - k) / 60
             assert out[k]["acf"] == pytest.approx(expected, abs=1e-6)
+
+
+class TestWelchTtest:
+    def test_planted_mean_shift_is_significant(self, spark, monkeypatch):
+        """Arm 0 values ~ 10x arm 1 values -> huge t, d > 0."""
+        from resume_jd_matcher_spark.functions.text import hash32
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        ids = spark.range(0, 200).select(F.col("id").alias("user_id"))
+        arms = {
+            r["user_id"]: r["arm"]
+            for r in ids.select(
+                "user_id",
+                (
+                    hash32(
+                        F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                    )
+                    % 2
+                ).alias("arm"),
+            ).collect()
+        }
+        rows = []
+        for eid, (uid, arm) in enumerate(arms.items()):
+            base = 100.0 if arm == 0 else 10.0
+            rows.append((eid, None, uid, "view", base + uid % 7, "{}"))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_welch_ttest(spark, SF).collect()[0]
+        assert r["n_a"] + r["n_b"] == 200
+        assert r["mean_a"] > r["mean_b"]
+        assert r["significant"] is True
+        assert r["cohens_d"] > 2.0  # enormous planted effect
+        # Welch-Satterthwaite df is bounded by n_a + n_b - 2
+        assert 1.0 <= r["df"] <= r["n_a"] + r["n_b"] - 2
+
+    def test_same_distribution_small_t(self, spark, monkeypatch):
+        """Both arms drawn from the same deterministic values -> the
+        mean gap is sub-threshold."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [
+            (i, None, i, "view", 50.0 + (i % 13), "{}") for i in range(400)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_welch_ttest(spark, SF).collect()[0]
+        assert abs(r["cohens_d"]) < 0.5

@@ -107,6 +107,26 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     )
 
 
+def masstie_spend(spark, n: int):
+    """Mass-tie grain: ONE value (0 cents) holds 30% of all rows; the
+    rest are continuous power-law. Rank semantics force every row of a
+    tie into the same bucket under ANY monotone scheme, so this is the
+    distribution NEITHER bounds mode can rebalance — the measurement
+    quantifies the floor, it doesn't fix it (a tie's intra-bucket
+    window cost is unavoidable for exact dense ranks)."""
+    from pyspark.sql import functions as F
+
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(22)), F.lit(2_000)) + 1
+    tied = F.pmod(F.xxhash64(F.col("id"), F.lit(23)), F.lit(10)) < 3
+    return spark.range(0, n, 1, 32).select(
+        F.col("id").alias("k"),
+        F.when(tied, F.lit(0))
+        .otherwise(F.floor(F.lit(1.0e12) / (u * u)))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
 def skew_spend(spark, n: int):
     """CONTINUOUS power-law spend grain: cents = floor(1e12 / u²) for
     u uniform in [1, 2000] — ~99.6% of rows land in the bottom 0.1%
@@ -174,26 +194,29 @@ def main() -> None:
         rows.append((name, t1, t10, ratio, flag))
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ratio {ratio:.1f}  {flag}")
 
-    # --- skewed-key global_prefix stress: width vs height bounds ---
+    # --- skewed-key global_prefix stress: width vs height bounds,
+    # plus the mass-tie floor neither mode can rebalance ---
     skew_rows = []
-    for mode in ("width", "height"):
-        s1 = skew_spend(spark, SKEW_N).localCheckpoint()
-        s10 = skew_spend(spark, SKEW_N * MULT).localCheckpoint()
-        t1 = min(
-            run(lambda: global_prefix(s1, ["cents", "k"], "cents",
-                                      sum_type="bigint", bounds=mode))
-            for _ in range(2)
-        )
-        t10 = min(
-            run(lambda: global_prefix(s10, ["cents", "k"], "cents",
-                                      sum_type="bigint", bounds=mode))
-            for _ in range(2)
-        )
-        ratio = t10 / t1 if t1 > 0 else float("inf")
-        flag = "**SUPER-LINEAR**" if ratio > SUPERLINEAR_AT else "ok"
-        skew_rows.append((f"global_prefix[skew,{mode}]", t1, t10, ratio, flag))
-        print(f"global_prefix[skew,{mode}]: {t1:.2f}s -> {t10:.2f}s  "
-              f"ratio {ratio:.1f}  {flag}")
+    for gen, label in ((skew_spend, "skew"), (masstie_spend, "masstie")):
+        for mode in ("width", "height"):
+            s1 = gen(spark, SKEW_N).localCheckpoint()
+            s10 = gen(spark, SKEW_N * MULT).localCheckpoint()
+            t1 = min(
+                run(lambda: global_prefix(s1, ["cents", "k"], "cents",
+                                          sum_type="bigint", bounds=mode))
+                for _ in range(2)
+            )
+            t10 = min(
+                run(lambda: global_prefix(s10, ["cents", "k"], "cents",
+                                          sum_type="bigint", bounds=mode))
+                for _ in range(2)
+            )
+            ratio = t10 / t1 if t1 > 0 else float("inf")
+            flag = "**SUPER-LINEAR**" if ratio > SUPERLINEAR_AT else "ok"
+            name = f"global_prefix[{label},{mode}]"
+            skew_rows.append((name, t1, t10, ratio, flag))
+            print(f"{name}: {t1:.2f}s -> {t10:.2f}s  "
+                  f"ratio {ratio:.1f}  {flag}")
 
     lines = [
         "## Measured scale curve - relational (round 8)",
@@ -205,7 +228,11 @@ def main() -> None:
         f"`global_prefix` on a {SKEW_N:,}-row power-law spend grain",
         "(cents = 1e12/u², u uniform in [1, 2000]: ~99.6% of rows land",
         "in equal-width bucket 1 of 64) — the adversarial distribution",
-        "for equal-width buckets.",
+        "for equal-width buckets. The masstie rows plant ONE value on",
+        "30% of rows: rank semantics force a tie into a single bucket",
+        "under ANY monotone scheme, so that floor is the exact-rank",
+        "semantics' cost, not a bounds-mode defect — equal-height still",
+        "rebalances the other 70%.",
         "",
         "| operator | 1x s | 10x s | ratio | verdict |",
         "|---|---|---|---|---|",
