@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = [
     "acf_daily",
     "stream_drift_monitor",
     "welch_ttest",
+    "ratio_metric_delta",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

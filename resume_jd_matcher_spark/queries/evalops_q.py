@@ -1250,3 +1250,88 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric delta-method CI (revenue per event, per arm)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ratio_metric_delta",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
+         sum(value) AS y, count(*)::BIGINT AS x
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT arm, count(*)::BIGINT AS n,
+         avg(y) AS my, avg(x::DOUBLE) AS mx,
+         sum(y * y) / count(*) - avg(y) * avg(y) AS vy,
+         sum(x::DOUBLE * x) / count(*) - avg(x::DOUBLE) * avg(x::DOUBLE)
+           AS vx,
+         sum(y * x) / count(*) - avg(y) * avg(x::DOUBLE) AS cxy
+  FROM u GROUP BY arm
+)
+SELECT arm::INT AS arm, n,
+       round(my / mx + 1e-9, 4) AS ratio,
+       round(sqrt(greatest(
+               (vy - 2 * (my / mx) * cxy + (my / mx) * (my / mx) * vx)
+               / (mx * mx * n), 0.0)) + 1e-9, 6) AS se,
+       round(my / mx - 1.96 * sqrt(greatest(
+               (vy - 2 * (my / mx) * cxy + (my / mx) * (my / mx) * vx)
+               / (mx * mx * n), 0.0)) + 1e-9, 4) AS ci_lo,
+       round(my / mx + 1.96 * sqrt(greatest(
+               (vy - 2 * (my / mx) * cxy + (my / mx) * (my / mx) * vx)
+               / (mx * mx * n), 0.0)) + 1e-9, 4) AS ci_hi
+FROM s
+""",
+)
+def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: delta-method standard error for a RATIO metric
+    (revenue per event = Σvalue/Σevents) per experiment arm — the
+    correct treatment when the randomization unit (user) differs from
+    the metric denominator (events), where a naive per-event variance
+    understates the CI (Deng et al., KDD 2018 practice). Var(Y̅/X̅) ≈
+    (v_y − 2r·c_xy + r²·v_x)/(x̄²·n) over per-USER aggregates; the
+    1.96 normal CI uses the same rounded arithmetic on both engines
+    (population moments via Σ/n so the two engines' spellings agree;
+    greatest(·,0) guards the tiny-negative float case).
+
+    Scale shape: one user-grain hash agg over the fact, then a 2-row
+    per-arm moment agg — identical shape to ab_test_ztest with the
+    covariance added; everything after the user agg is O(1)."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum("value").alias("y"),
+        F.count("*").cast("bigint").alias("x"),
+    ).withColumn(
+        "arm",
+        hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))) % 2,
+    )
+    xd = F.col("x").cast("double")
+    s = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg(xd).alias("mx"),
+        (F.sum(F.col("y") * F.col("y")) / F.count("*")
+         - F.avg("y") * F.avg("y")).alias("vy"),
+        (F.sum(xd * xd) / F.count("*") - F.avg(xd) * F.avg(xd)).alias("vx"),
+        (F.sum(F.col("y") * xd) / F.count("*")
+         - F.avg("y") * F.avg(xd)).alias("cxy"),
+    )
+    r = F.col("my") / F.col("mx")
+    var = (
+        F.col("vy") - 2 * r * F.col("cxy") + r * r * F.col("vx")
+    ) / (F.col("mx") * F.col("mx") * F.col("n"))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return s.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n",
+        F.round(r + F.lit(1e-9), 4).alias("ratio"),
+        F.round(se + F.lit(1e-9), 6).alias("se"),
+        F.round(r - F.lit(1.96) * se + F.lit(1e-9), 4).alias("ci_lo"),
+        F.round(r + F.lit(1.96) * se + F.lit(1e-9), 4).alias("ci_hi"),
+    )

@@ -425,3 +425,38 @@ class TestWelchTtest:
         monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
         r = evalops_q.q_welch_ttest(spark, SF).collect()[0]
         assert abs(r["cohens_d"]) < 0.5
+
+
+class TestRatioMetricDelta:
+    def test_constant_per_user_ratio_has_zero_se(self, spark, monkeypatch):
+        """Every user has identical (y, x) -> Y/X constant across the
+        resample -> delta-method variance is exactly 0 and the CI
+        collapses onto the ratio."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = []
+        eid = 0
+        for uid in range(100):
+            for _ in range(4):  # 4 events x 25.0 -> y=100, x=4 per user
+                rows.append((eid, None, uid, "view", 25.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        out = evalops_q.q_ratio_metric_delta(spark, SF).collect()
+        assert {r["arm"] for r in out} == {0, 1}
+        for r in out:
+            assert r["ratio"] == pytest.approx(25.0)
+            assert r["se"] == pytest.approx(0.0)
+            assert r["ci_lo"] == pytest.approx(25.0)
+            assert r["ci_hi"] == pytest.approx(25.0)
+
+    def test_fixture_ci_brackets_ratio(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        for r in evalops_q.q_ratio_metric_delta(spark, sf_dir).collect():
+            assert r["ci_lo"] <= r["ratio"] <= r["ci_hi"]
+            assert r["se"] >= 0.0

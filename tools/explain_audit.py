@@ -259,6 +259,16 @@ HEADLINERS = {
     "acf_daily": "day-grain integer-cents agg, then a calendar-key "
     "equi-join fanned by a 7-element literal explode — day x lags "
     "rows, no window at all",
+    "stream_drift_monitor": "two fact-sized bucket-count hash aggs; "
+    "PSI finalize joins only bounded pre-aggregates with the "
+    "baseline broadcast (streaming run keeps windows x types x 10 "
+    "buckets of state)",
+    "welch_ttest": "ONE conditional aggregate computes all six "
+    "sufficient statistics map-side combined; everything after is "
+    "scalar arithmetic on a 1-row frame",
+    "ratio_metric_delta": "user-grain hash agg, then a 2-row per-arm "
+    "moment agg carrying the covariance — no per-event variance "
+    "shortcut",
 }
 
 

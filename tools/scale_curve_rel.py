@@ -186,6 +186,7 @@ def main() -> None:
 
     rows = []
     for name in REGISTERED:
+        spark.sparkContext._jvm.System.gc()
         fn = Q._REGISTRY[name].fn
         t1 = min(run(lambda: fn(spark, dirs["1x"])) for _ in range(2))
         t10 = min(run(lambda: fn(spark, dirs[f"{MULT}x"])) for _ in range(2))
@@ -199,6 +200,10 @@ def main() -> None:
     skew_rows = []
     for gen, label in ((skew_spend, "skew"), (masstie_spend, "masstie")):
         for mode in ("width", "height"):
+            # The 10x kernels leave broadcast blocks + shuffle state
+            # behind; without a GC nudge the NEXT kernel's first runs
+            # absorb the pauses (r8: a 17 s phantom on a 2 s kernel).
+            spark.sparkContext._jvm.System.gc()
             s1 = gen(spark, SKEW_N).localCheckpoint()
             s10 = gen(spark, SKEW_N * MULT).localCheckpoint()
             t1 = min(
