@@ -101,6 +101,11 @@ _DRIVER_PRIORITY = [
     "stream_drift_monitor",
     "welch_ttest",
     "ratio_metric_delta",
+    "cuped_adjustment",
+    "srm_check",
+    "jackknife_ratio_ci",
+    "zone_map_pruning",
+    "user_streaks",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

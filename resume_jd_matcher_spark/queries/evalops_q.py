@@ -1335,3 +1335,406 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - F.lit(1.96) * se + F.lit(1e-9), 4).alias("ci_lo"),
         F.round(r + F.lit(1.96) * se + F.lit(1e-9), 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+@register(
+    "cuped_adjustment",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
+         sum(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END)
+           AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END)
+           AS y
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT avg(x) AS mx,
+         sum(x * x) / count(*) - avg(x) * avg(x) AS vx,
+         sum(x * y) / count(*) - avg(x) * avg(y) AS cxy
+  FROM u
+), t AS (
+  SELECT mx,
+         CASE WHEN vx > 1e-9 THEN cxy / vx ELSE 0.0 END AS theta
+  FROM g
+)
+SELECT arm::INT AS arm, count(*)::BIGINT AS n,
+       round(avg(y) + 1e-9, 4) AS mean_y,
+       round(avg(y - t.theta * (x - t.mx)) + 1e-9, 4) AS mean_cuped,
+       round(any_value(t.theta) + 1e-9, 6) AS theta,
+       round(CASE WHEN var_pop(y) > 1e-9
+                  THEN 1.0 - var_pop(y - t.theta * (x - t.mx)) / var_pop(y)
+                  ELSE 0.0 END + 1e-9, 4) AS var_reduction
+FROM u, t
+GROUP BY arm
+""",
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: CUPED (Controlled-experiment Using Pre-Experiment
+    Data, Deng et al. WSDM 2013) — the standard variance-reduction
+    readout: per-user pre-period covariate x (value sum before the
+    experiment midpoint) adjusts the in-experiment metric y as
+    y' = y - theta*(x - x_bar) with theta = cov(x,y)/var(x) pooled
+    across arms. Reports per-arm raw vs adjusted means and the
+    realized per-arm variance reduction. theta falls back to 0 (no
+    adjustment) when var(x) <= 1e-9 — a threshold, not a float
+    equality, so a degenerate covariate can't blow up the ratio on a
+    last-bit difference between engines.
+
+    Scale shape: one user-grain conditional hash agg over events,
+    one 1-row pooled-moment agg broadcast back, one per-arm agg —
+    three shuffles, all on bounded or user-grain data; everything
+    after the user agg is O(users)."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    ).withColumn(
+        "arm",
+        hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))) % 2,
+    )
+    g = u.agg(
+        F.avg("x").alias("mx"),
+        (F.sum(F.col("x") * F.col("x")) / F.count("*")
+         - F.avg("x") * F.avg("x")).alias("vx"),
+        (F.sum(F.col("x") * F.col("y")) / F.count("*")
+         - F.avg("x") * F.avg("y")).alias("cxy"),
+    ).select(
+        "mx",
+        F.when(
+            F.col("vx") > F.lit(1e-9), F.col("cxy") / F.col("vx")
+        ).otherwise(F.lit(0.0)).alias("theta"),
+    )
+    adj = u.crossJoin(F.broadcast(g)).withColumn(
+        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("y") + F.lit(1e-9), 4).alias("mean_y"),
+        F.round(F.avg("y_adj") + F.lit(1e-9), 4).alias("mean_cuped"),
+        F.round(F.first("theta") + F.lit(1e-9), 6).alias("theta"),
+        F.round(
+            F.when(
+                F.var_pop("y") > F.lit(1e-9),
+                F.lit(1.0) - F.var_pop("y_adj") / F.var_pop("y"),
+            ).otherwise(F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("var_reduction"),
+    ).select(
+        F.col("arm").cast("int").alias("arm"), "n", "mean_y", "mean_cuped",
+        "theta", "var_reduction",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check
+# ---------------------------------------------------------------------------
+
+@register(
+    "srm_check",
+    f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), b AS (
+  SELECT {_SQL_H32.format(x="user_id::VARCHAR || '#srm'")} % 10 AS bkt,
+         count(*)::BIGINT AS c
+  FROM u GROUP BY 1
+), s AS (
+  SELECT sum(c)::BIGINT AS n_users, count(*)::BIGINT AS n_buckets_observed,
+         round(10.0 * sum(c * c) / sum(c) - sum(c) + 1e-9, 3) AS chi2
+  FROM b
+)
+SELECT n_users, n_buckets_observed, chi2, chi2 > 27.877 AS srm_detected
+FROM s
+""",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: sample-ratio-mismatch guardrail — chi-square
+    goodness-of-fit of the hash-bucketed assignment (10 buckets,
+    '#srm' salt) against the uniform expectation, the first sanity
+    gate every experimentation platform runs before reading a metric.
+    chi2 = 10*sum(c^2)/n - n (the expansion of sum((c-n/10)^2/(n/10))
+    over all 10 cells — empty buckets contribute exactly their
+    expectation through the -n term, so the algebra needs no zero-cell
+    completion join). Detection compares the ROUNDED chi2 against the
+    df=9, alpha=0.001 critical value 27.877 (SRM practice uses a
+    conservative alpha), so the boolean can't flip on a last-bit
+    float difference.
+
+    Scale shape: distinct user scan -> 10-row hash agg -> 1-row
+    finalize; O(1) after the user dedup."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select("user_id").distinct()
+        .withColumn(
+            "bkt",
+            hash32(
+                F.concat(F.col("user_id").cast("string"), F.lit("#srm"))
+            ) % 10,
+        )
+        .groupBy("bkt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    s = b.agg(
+        F.sum("c").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_buckets_observed"),
+        F.round(
+            F.lit(10.0) * F.sum(F.col("c") * F.col("c")) / F.sum("c")
+            - F.sum("c")
+            + F.lit(1e-9),
+            3,
+        ).alias("chi2"),
+    )
+    return s.select(
+        "n_users", "n_buckets_observed", "chi2",
+        (F.col("chi2") > F.lit(27.877)).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-bucket-out jackknife CI for the ratio metric
+# ---------------------------------------------------------------------------
+
+@register(
+    "jackknife_ratio_ci",
+    f"""
+WITH b AS (
+  SELECT {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#jk'")} % 32 AS bkt,
+         sum(value) AS yb, count(*)::DOUBLE AS xb
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT arm, sum(yb) AS ty, sum(xb) AS tx, count(*)::BIGINT AS nb
+  FROM b GROUP BY arm
+), r AS (
+  SELECT b.arm, t.ty, t.tx, t.nb,
+         (t.ty - b.yb) / nullif(t.tx - b.xb, 0.0) AS rb
+  FROM b JOIN t ON b.arm = t.arm
+)
+SELECT arm::INT AS arm, any_value(nb) AS n_buckets,
+       round(any_value(ty) / any_value(tx) + 1e-9, 4) AS ratio,
+       round(sqrt(greatest(
+           (any_value(nb) - 1.0) / any_value(nb)
+           * (sum(rb * rb) - sum(rb) * sum(rb) / any_value(nb)), 0.0))
+         + 1e-9, 6) AS se_jk,
+       round(any_value(ty) / any_value(tx) - 1.96 * sqrt(greatest(
+           (any_value(nb) - 1.0) / any_value(nb)
+           * (sum(rb * rb) - sum(rb) * sum(rb) / any_value(nb)), 0.0))
+         + 1e-9, 4) AS ci_lo,
+       round(any_value(ty) / any_value(tx) + 1.96 * sqrt(greatest(
+           (any_value(nb) - 1.0) / any_value(nb)
+           * (sum(rb * rb) - sum(rb) * sum(rb) / any_value(nb)), 0.0))
+         + 1e-9, 4) AS ci_hi
+FROM r GROUP BY arm
+""",
+)
+def q_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: leave-one-bucket-out (delete-a-group) jackknife CI
+    for the per-arm revenue-per-event ratio — the non-parametric
+    companion to ratio_metric_delta's closed-form delta method, and
+    the variance estimator large experimentation systems actually
+    deploy (buckets, not users, so the resample grain is bounded at
+    32 regardless of user count; users never straddle buckets because
+    the bucket is a user-hash). r_b = (Y - y_b)/(X - x_b) per held-out
+    bucket; Var_jk = (B-1)/B * sum((r_b - r_bar)^2) via the moment
+    expansion so one agg computes it without a second pass.
+
+    Scale shape: one (arm, bucket)-grain hash agg over events (64
+    cells), then O(1) joins/aggs on the bounded cells — the fact
+    table is touched exactly once."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    b = (
+        e.withColumn("arm", hash32(F.concat(uid, F.lit("#ab"))) % 2)
+        .withColumn("bkt", hash32(F.concat(uid, F.lit("#jk"))) % 32)
+        .groupBy("arm", "bkt")
+        .agg(
+            F.sum("value").alias("yb"),
+            F.count("*").cast("double").alias("xb"),
+        )
+    )
+    t = b.groupBy("arm").agg(
+        F.sum("yb").alias("ty"),
+        F.sum("xb").alias("tx"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    r = b.join(F.broadcast(t), "arm").withColumn(
+        "rb",
+        (F.col("ty") - F.col("yb"))
+        / F.nullif(F.col("tx") - F.col("xb"), F.lit(0.0)),
+    )
+    g = r.groupBy("arm").agg(
+        F.first("nb").alias("nb"),
+        F.first("ty").alias("ty"),
+        F.first("tx").alias("tx"),
+        F.sum("rb").alias("s1"),
+        F.sum(F.col("rb") * F.col("rb")).alias("s2"),
+    )
+    ratio = F.col("ty") / F.col("tx")
+    var = (
+        (F.col("nb") - F.lit(1.0)) / F.col("nb")
+        * (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nb"))
+    )
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return g.select(
+        F.col("arm").cast("int").alias("arm"),
+        F.col("nb").alias("n_buckets"),
+        F.round(ratio + F.lit(1e-9), 4).alias("ratio"),
+        F.round(se + F.lit(1e-9), 6).alias("se_jk"),
+        F.round(ratio - F.lit(1.96) * se + F.lit(1e-9), 4).alias("ci_lo"),
+        F.round(ratio + F.lit(1.96) * se + F.lit(1e-9), 4).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning effectiveness (data-layout advisor)
+# ---------------------------------------------------------------------------
+
+@register(
+    "zone_map_pruning",
+    """
+WITH l AS (
+  SELECT l_orderkey AS ok,
+         date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS day
+  FROM lineitem
+), g AS (
+  SELECT min(ok) AS min_ok, max(ok) AS max_ok,
+         min(day) AS min_day, max(day) AS max_day
+  FROM l
+), f AS (
+  SELECT 'natural' AS layout,
+         ((ok - g.min_ok) * 64 // (g.max_ok - g.min_ok + 1))
+           AS file_id,
+         day
+  FROM l, g
+  UNION ALL
+  SELECT 'clustered' AS layout,
+         ((day - g.min_day) * 64 // (g.max_day - g.min_day + 1))
+           AS file_id,
+         day
+  FROM l, g
+), z AS (
+  SELECT layout, file_id, min(day) AS zmin, max(day) AS zmax,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN day BETWEEN
+               date_diff('day', DATE '1970-01-01', DATE '1998-06-01')
+               AND date_diff('day', DATE '1970-01-01', DATE '1998-08-31')
+             THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM f GROUP BY layout, file_id
+)
+SELECT layout, count(*)::BIGINT AS n_files,
+       sum(CASE WHEN zmax >= date_diff('day', DATE '1970-01-01',
+                                       DATE '1998-06-01')
+                 AND zmin <= date_diff('day', DATE '1970-01-01',
+                                       DATE '1998-08-31')
+            THEN 1 ELSE 0 END)::BIGINT AS files_hit,
+       round(1.0 - sum(CASE WHEN zmax >= date_diff('day',
+                                DATE '1970-01-01', DATE '1998-06-01')
+                             AND zmin <= date_diff('day',
+                                DATE '1970-01-01', DATE '1998-08-31')
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             + 1e-9, 4) AS skip_ratio,
+       sum(CASE WHEN zmax >= date_diff('day', DATE '1970-01-01',
+                                       DATE '1998-06-01')
+                 AND zmin <= date_diff('day', DATE '1970-01-01',
+                                       DATE '1998-08-31')
+            THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+       sum(n_match)::BIGINT AS rows_matched,
+       round(sum(CASE WHEN zmax >= date_diff('day', DATE '1970-01-01',
+                                             DATE '1998-06-01')
+                       AND zmin <= date_diff('day', DATE '1970-01-01',
+                                             DATE '1998-08-31')
+                  THEN n_rows ELSE 0 END)::DOUBLE
+             / nullif(sum(n_match), 0) + 1e-9, 2) AS read_amp
+FROM z GROUP BY layout
+""",
+)
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC8/A4 [EXT]: zone-map (min/max file statistics) pruning
+    effectiveness under two physical layouts — the quantitative
+    data-layout advisor every lakehouse table needs before choosing a
+    clustering key. 'natural' files are contiguous orderkey ranges
+    (insertion order, shipdate scattered -> zone maps nearly useless);
+    'clustered' files are contiguous shipdate ranges (the layout
+    OPTIMIZE/Z-ORDER would produce -> a 3-month predicate touches
+    ~1/24 of files). Reports files hit, skip ratio and the read
+    amplification rows_scanned/rows_matched for a fixed mid-range
+    shipdate predicate; file = floor((key - min) * 64 / span) keeps
+    both engines in exact integer agreement.
+
+    Scale shape: one 1-row global-bounds agg broadcast back, one
+    (layout, file)-grain agg over a 2x fact union (a single fact
+    pass per layout, map-side combined to 128 cells), then an O(1)
+    finalize — no window, no join wider than the broadcast."""
+    e = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).alias("day"),
+    )
+    g = e.agg(
+        F.min("ok").alias("min_ok"), F.max("ok").alias("max_ok"),
+        F.min("day").alias("min_day"), F.max("day").alias("max_day"),
+    )
+    d_lo = F.datediff(F.lit("1998-06-01"), F.lit("1970-01-01"))
+    d_hi = F.datediff(F.lit("1998-08-31"), F.lit("1970-01-01"))
+    w = e.crossJoin(F.broadcast(g))
+    nat = w.select(
+        F.lit("natural").alias("layout"),
+        F.floor(
+            (F.col("ok") - F.col("min_ok")) * 64
+            / (F.col("max_ok") - F.col("min_ok") + 1)
+        ).cast("bigint").alias("file_id"),
+        "day",
+    )
+    clu = w.select(
+        F.lit("clustered").alias("layout"),
+        F.floor(
+            (F.col("day") - F.col("min_day")) * 64
+            / (F.col("max_day") - F.col("min_day") + 1)
+        ).cast("bigint").alias("file_id"),
+        "day",
+    )
+    z = nat.unionByName(clu).groupBy("layout", "file_id").agg(
+        F.min("day").alias("zmin"),
+        F.max("day").alias("zmax"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("day").between(d_lo, d_hi), 1).otherwise(0)
+        ).cast("bigint").alias("n_match"),
+    )
+    hit = (F.col("zmax") >= d_lo) & (F.col("zmin") <= d_hi)
+    return z.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("files_hit"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+            / F.count("*")
+            + F.lit(1e-9),
+            4,
+        ).alias("skip_ratio"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+        .cast("bigint").alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matched"),
+        F.round(
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.nullif(F.sum("n_match"), F.lit(0))
+            + F.lit(1e-9),
+            2,
+        ).alias("read_amp"),
+    )

@@ -1067,3 +1067,59 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_of_lang"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-day activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_streaks",
+    """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS day
+  FROM events
+), r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+), i AS (
+  SELECT user_id, island, count(*)::BIGINT AS streak
+  FROM r GROUP BY user_id, island
+)
+SELECT user_id, sum(streak)::BIGINT AS active_days,
+       count(*)::BIGINT AS n_streaks, max(streak)::BIGINT AS max_streak
+FROM i GROUP BY user_id
+""",
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A4 [EXT]: per-user consecutive-day activity streaks — the
+    classic gaps-and-islands decomposition (day − row_number over the
+    user's distinct active days is constant within a run, so one
+    integer subtraction turns runs into group keys; no self-join, no
+    lag-chain). Reports total active days, number of distinct
+    streaks, and the longest streak per user — the engagement shape
+    a retention pipeline derives before cohorting.
+
+    Scale shape: distinct (user, day) dedup, then every window and
+    agg is partitioned BY user_id — the same shuffle key reused
+    end-to-end (one exchange; islands and per-user finalize are
+    map-side within it). No unpartitioned window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = (
+        d.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").cast("bigint").alias("streak"))
+    )
+    return i.groupBy("user_id").agg(
+        F.sum("streak").cast("bigint").alias("active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("streak").cast("bigint").alias("max_streak"),
+    )

@@ -460,3 +460,170 @@ class TestRatioMetricDelta:
         for r in evalops_q.q_ratio_metric_delta(spark, sf_dir).collect():
             assert r["ci_lo"] <= r["ratio"] <= r["ci_hi"]
             assert r["se"] >= 0.0
+
+
+class TestCupedAdjustment:
+    def test_perfect_covariate_kills_variance(self, spark, monkeypatch):
+        """y = 2x per user -> theta = 2 exactly and the adjusted
+        metric is constant within each arm -> var_reduction = 1."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = []
+        eid = 0
+        for uid in range(120):
+            pre = float(1 + uid % 7)  # varies across users
+            rows.append((eid, "2024-01-05 00:00:00", uid, "view", pre, "{}"))
+            eid += 1
+            rows.append(
+                (eid, "2024-01-20 00:00:00", uid, "view", 2.0 * pre, "{}")
+            )
+            eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        out = evalops_q.q_cuped_adjustment(spark, SF).collect()
+        assert {r["arm"] for r in out} == {0, 1}
+        for r in out:
+            assert r["theta"] == pytest.approx(2.0, abs=1e-4)
+            assert r["var_reduction"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_fixture_sane(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = evalops_q.q_cuped_adjustment(spark, sf_dir).collect()
+        assert {r["arm"] for r in out} == {0, 1}
+        for r in out:
+            # theta is the POOLED OLS optimum, so a single arm may see
+            # a marginally negative reduction; only the pooled variance
+            # is guaranteed non-increasing.
+            assert -0.05 <= r["var_reduction"] <= 1.0
+
+
+class TestSrmCheck:
+    def test_uniform_hash_not_detected(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        r = evalops_q.q_srm_check(spark, sf_dir).collect()[0]
+        assert r["chi2"] >= 0.0
+        assert r["srm_detected"] is False
+
+    def test_planted_imbalance_detected(self, spark, monkeypatch):
+        """Keep only users hashing to bucket 0 -> all mass in one
+        cell -> chi2 = 9n >> 27.877."""
+        import hashlib
+
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        def bkt(uid: int) -> int:
+            h = hashlib.md5(f"{uid}#srm".encode()).hexdigest()[:8]
+            return int(h, 16) % 10
+
+        uids = [u for u in range(3000) if bkt(u) == 0][:100]
+        assert len(uids) == 100
+        ev = spark.createDataFrame(
+            [(i, None, u, "view", 1.0, "{}") for i, u in enumerate(uids)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_srm_check(spark, SF).collect()[0]
+        assert r["n_users"] == 100
+        assert r["n_buckets_observed"] == 1
+        assert r["chi2"] == pytest.approx(900.0)
+        assert r["srm_detected"] is True
+
+
+class TestJackknifeRatioCi:
+    def test_constant_value_zero_se(self, spark, monkeypatch):
+        """Every event carries value 25.0 -> every leave-one-out
+        ratio is 25 -> jackknife variance is exactly 0."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = []
+        eid = 0
+        for uid in range(100):
+            for _ in range(3):
+                rows.append((eid, None, uid, "view", 25.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        for r in evalops_q.q_jackknife_ratio_ci(spark, SF).collect():
+            assert r["ratio"] == pytest.approx(25.0)
+            assert r["se_jk"] == pytest.approx(0.0)
+            assert r["ci_lo"] == pytest.approx(25.0)
+            assert r["ci_hi"] == pytest.approx(25.0)
+
+    def test_fixture_agrees_with_delta_method(self, spark, sf_dir):
+        """Same ratio point estimate as ratio_metric_delta; the two
+        SEs are different estimators of the same quantity — same
+        order of magnitude, not equal."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        jk = {
+            r["arm"]: r
+            for r in evalops_q.q_jackknife_ratio_ci(spark, sf_dir).collect()
+        }
+        dm = {
+            r["arm"]: r
+            for r in evalops_q.q_ratio_metric_delta(spark, sf_dir).collect()
+        }
+        assert set(jk) == set(dm)
+        for arm in jk:
+            assert jk[arm]["ratio"] == pytest.approx(
+                dm[arm]["ratio"], abs=1e-3
+            )
+            assert jk[arm]["ci_lo"] <= jk[arm]["ratio"] <= jk[arm]["ci_hi"]
+            if dm[arm]["se"] > 0:
+                assert 0.2 < jk[arm]["se_jk"] / dm[arm]["se"] < 5.0
+
+
+class TestZoneMapPruning:
+    def test_clustered_layout_prunes_more(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = {
+            r["layout"]: r
+            for r in evalops_q.q_zone_map_pruning(spark, sf_dir).collect()
+        }
+        assert set(rows) == {"natural", "clustered"}
+        # the predicate is satisfiable -> both layouts match the same rows
+        assert (
+            rows["natural"]["rows_matched"]
+            == rows["clustered"]["rows_matched"]
+            > 0
+        )
+        # shipdate-clustered zone maps must beat insertion order
+        assert rows["clustered"]["skip_ratio"] > rows["natural"]["skip_ratio"]
+        # a ~3.5-month window over ~7 years, clustered -> most files skipped
+        assert rows["clustered"]["skip_ratio"] > 0.8
+        for r in rows.values():
+            assert r["rows_scanned"] >= r["rows_matched"]
+            assert r["read_amp"] >= 1.0
+
+    def test_fully_covering_predicate_hits_everything(self, spark, monkeypatch):
+        """Every shipdate inside the predicate window -> zone maps
+        cannot skip anything in either layout."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        li = spark.range(400).select(
+            F.col("id").alias("l_orderkey"),
+            F.lit(1).alias("l_linenumber"),
+            (
+                F.lit("1998-06-05").cast("timestamp")
+                + F.make_interval(days=(F.col("id") % 80).cast("int"))
+            ).alias("l_shipdate"),
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: li)
+        for r in evalops_q.q_zone_map_pruning(spark, SF).collect():
+            assert r["files_hit"] == r["n_files"]
+            assert r["skip_ratio"] == pytest.approx(0.0)
+            assert r["rows_scanned"] == 400
+            assert r["rows_matched"] == 400
+            assert r["read_amp"] == pytest.approx(1.0)

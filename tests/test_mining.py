@@ -453,3 +453,39 @@ class TestKfold:
             tot[lang] += frac
         for lang, s in tot.items():
             assert abs(s - 1.0) < 0.01, (lang, s)
+
+
+class TestUserStreaks:
+    def test_islands_decomposition(self, spark, monkeypatch):
+        """Days {1,2,3, 5,6, 10} -> three islands, longest 3; repeat
+        events on the same day collapse through the distinct."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        days = [1, 2, 3, 5, 6, 10, 10, 2]
+        rows = [
+            (i, f"2024-01-{d:02d} 08:00:00", 7, "view", 1.0, "{}")
+            for i, d in enumerate(days)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: ev)
+        r = mining_q.q_user_streaks(spark, SF).collect()
+        assert len(r) == 1
+        assert r[0]["user_id"] == 7
+        assert r[0]["active_days"] == 6
+        assert r[0]["n_streaks"] == 3
+        assert r[0]["max_streak"] == 3
+
+    def test_fixture_invariants(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = mining_q.q_user_streaks(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 1 <= r["max_streak"] <= r["active_days"]
+            assert r["n_streaks"] >= 1
+            # streak lengths partition the active days
+            assert r["active_days"] >= r["max_streak"] + r["n_streaks"] - 1

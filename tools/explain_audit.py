@@ -269,6 +269,19 @@ HEADLINERS = {
     "ratio_metric_delta": "user-grain hash agg, then a 2-row per-arm "
     "moment agg carrying the covariance — no per-event variance "
     "shortcut",
+    "cuped_adjustment": "user-grain conditional agg, 1-row pooled "
+    "theta broadcast back, per-arm finalize — three bounded shuffles, "
+    "fact touched once",
+    "srm_check": "distinct users -> 10-cell hash agg -> 1-row "
+    "moment-expansion chi2; empty cells need no completion join",
+    "jackknife_ratio_ci": "one (arm,bucket)-grain agg over the fact "
+    "(64 cells), broadcast totals join, O(1) finalize — resample "
+    "grain bounded at 32 regardless of user count",
+    "zone_map_pruning": "1-row bounds agg broadcast, two fact "
+    "projections unioned into a 128-cell (layout,file) agg, O(1) "
+    "finalize — no window",
+    "user_streaks": "distinct (user,day), then window + both aggs "
+    "all partitioned by user_id — one exchange reused end-to-end",
 }
 
 
