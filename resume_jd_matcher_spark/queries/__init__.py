@@ -106,6 +106,11 @@ _DRIVER_PRIORITY = [
     "jackknife_ratio_ci",
     "zone_map_pruning",
     "user_streaks",
+    "forecast_backtest",
+    "mde_power",
+    "qte_deciles",
+    "compaction_plan",
+    "join_plan_advisor",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

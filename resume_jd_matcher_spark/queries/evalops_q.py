@@ -1738,3 +1738,456 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("read_amp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest (seasonal-naive vs moving average)
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_backtest",
+    """
+WITH o AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) AS rev
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM o
+), cal AS (
+  SELECT unnest(generate_series(g.lo, g.hi)) AS day FROM g
+), d AS (
+  SELECT cal.day, coalesce(o.rev, 0) AS rev
+  FROM cal LEFT JOIN o ON o.day = cal.day
+), w AS (
+  SELECT day, rev,
+         row_number() OVER (ORDER BY day) AS rn,
+         lag(rev, 7) OVER (ORDER BY day) AS pred_naive7,
+         sum(rev) OVER (ORDER BY day
+                        ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) / 28.0
+           AS pred_ma28
+  FROM d
+), e AS (
+  SELECT 'naive7' AS method, rev, pred_naive7::DOUBLE AS pred
+  FROM w WHERE rn > 28
+  UNION ALL
+  SELECT 'ma28' AS method, rev, pred_ma28 AS pred FROM w WHERE rn > 28
+)
+SELECT method, count(*)::BIGINT AS n_eval_days,
+       round(avg(abs(pred - rev)) + 1e-9, 2) AS mae_cents,
+       round(avg(2.0 * abs(pred - rev)
+                 / nullif(abs(pred) + abs(rev), 0.0)) + 1e-9, 4) AS smape
+FROM e GROUP BY method
+""",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: walk-forward forecast backtest of daily revenue —
+    seasonal-naive (value 7 days earlier) vs 28-day trailing moving
+    average, scored by MAE and symmetric MAPE over every day with a
+    full 28-day history. The day grain is CALENDAR-FILLED first
+    (sequence + left join), so 'lag 7 rows' is 'lag 7 days' even on
+    sparse fixtures; revenue folded to integer cents before any
+    arithmetic. sMAPE's denominator is nullif-guarded: a both-zero
+    day contributes no term (avg skips NULL on both engines).
+
+    Scale shape: fact collapses to the day grain (map-side combined)
+    before any window; the only unpartitioned window covers the
+    bounded calendar (~2.5k rows for 7 years), the same
+    day-grain-summary pattern as level_shift/acf_daily."""
+    o = load_table(spark, sf_dir, "orders").groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev")
+    )
+    g = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = g.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    d = cal.join(o, "day", "left").select(
+        "day", F.coalesce(F.col("rev"), F.lit(0)).alias("rev")
+    )
+    w = Window.orderBy("day")
+    wf = d.select(
+        "day",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.lag("rev", 7).over(w).cast("double").alias("pred_naive7"),
+        (
+            F.sum("rev").over(w.rowsBetween(-28, -1)) / F.lit(28.0)
+        ).alias("pred_ma28"),
+    ).filter(F.col("rn") > 28)
+    e = wf.select(
+        "rev",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive7").alias("method"),
+                    F.col("pred_naive7").alias("pred"),
+                ),
+                F.struct(
+                    F.lit("ma28").alias("method"),
+                    F.col("pred_ma28").alias("pred"),
+                ),
+            )
+        ).alias("m"),
+    ).select("rev", F.col("m.method").alias("method"), F.col("m.pred").alias("pred"))
+    return e.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_eval_days"),
+        F.round(
+            F.avg(F.abs(F.col("pred") - F.col("rev"))) + F.lit(1e-9), 2
+        ).alias("mae_cents"),
+        F.round(
+            F.avg(
+                F.lit(2.0)
+                * F.abs(F.col("pred") - F.col("rev"))
+                / F.nullif(
+                    F.abs(F.col("pred")) + F.abs(F.col("rev")), F.lit(0.0)
+                )
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("smape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect / power analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "mde_power",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
+         sum(value) AS y
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+           / nullif(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+           AS mean_control,
+         sum(y * y) / count(*) - avg(y) * avg(y) AS v_pool
+  FROM u
+)
+SELECT n_a, n_b,
+       round(mean_control + 1e-9, 4) AS mean_control,
+       round(sqrt(greatest(v_pool, 0.0)) + 1e-9, 4) AS sd_pooled,
+       round((1.959964 + 0.841621) * sqrt(greatest(v_pool, 0.0))
+             * sqrt(1.0 / n_a + 1.0 / n_b) + 1e-9, 4) AS mde_abs,
+       round((1.959964 + 0.841621) * sqrt(greatest(v_pool, 0.0))
+             * sqrt(1.0 / n_a + 1.0 / n_b)
+             / nullif(mean_control, 0.0) + 1e-9, 4) AS mde_rel
+FROM s
+""",
+)
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: power analysis for the per-user revenue metric —
+    the minimum detectable effect at alpha=0.05 (two-sided) and 80%
+    power: MDE = (z_{{0.975}} + z_{{0.80}}) * sd * sqrt(1/n_a + 1/n_b)
+    with the pooled population sd, i.e. the sizing arithmetic every
+    experiment design review runs BEFORE launch. Constants 1.959964 /
+    0.841621 are normal quantiles as literals (neither engine has an
+    inverse normal CDF builtin — literals keep the two sides exactly
+    aligned). greatest(v,0) guards the tiny-negative moment-expansion
+    variance; nullif guards the one-sided-split and zero-mean edges.
+
+    Scale shape: one user-grain hash agg, then a single 1-row
+    conditional aggregate — O(1) after the user agg."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.sum("value").alias("y")).withColumn(
+        "arm",
+        hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))) % 2,
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        (
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0.0))
+            / F.nullif(
+                F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("mean_control"),
+        (
+            F.sum(F.col("y") * F.col("y")) / F.count("*")
+            - F.avg("y") * F.avg("y")
+        ).alias("v_pool"),
+    )
+    sd = F.sqrt(F.greatest(F.col("v_pool"), F.lit(0.0)))
+    mde = (
+        F.lit(1.959964 + 0.841621)
+        * sd
+        * F.sqrt(F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_control") + F.lit(1e-9), 4).alias("mean_control"),
+        F.round(sd + F.lit(1e-9), 4).alias("sd_pooled"),
+        F.round(mde + F.lit(1e-9), 4).alias("mde_abs"),
+        F.round(
+            mde / F.nullif(F.col("mean_control"), F.lit(0.0)) + F.lit(1e-9), 4
+        ).alias("mde_rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects (per-arm user-revenue deciles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "qte_deciles",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
+         round(sum(value) * 100)::BIGINT AS y
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT arm,
+         quantile_cont(y, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS qs
+  FROM u GROUP BY arm
+), e AS (
+  SELECT arm, i, qs[i] AS q
+  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) t
+)
+SELECT 'p' || (i * 10)::VARCHAR AS decile,
+       round(max(CASE WHEN arm = 0 THEN q END) + 1e-9, 2) AS q_control,
+       round(max(CASE WHEN arm = 1 THEN q END) + 1e-9, 2) AS q_treat,
+       round(max(CASE WHEN arm = 1 THEN q END)
+             - max(CASE WHEN arm = 0 THEN q END) + 1e-9, 2) AS qte
+FROM e GROUP BY i
+""",
+)
+def q_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 [EXT]: quantile treatment effects — per-arm deciles of
+    user revenue (integer cents) and their treatment-minus-control
+    gaps, the distributional readout that catches effects a mean
+    comparison hides (heavy-tail lift, median-only movement).
+    Percentiles come from operators/percentiles.group_percentiles_exact
+    — the bounded bucket-histogram exact-percentile plan (quantile_cont
+    semantics, never an ObjectHashAggregate value buffer), with arm as
+    the group key; the 2x9 result is melted and pivoted on bounded
+    rows only.
+
+    Scale shape: one user-grain hash agg, then the two-scan
+    bucket-histogram percentile plan on the user grain; everything
+    after is O(1) on 18 rows."""
+    from resume_jd_matcher_spark.functions.text import hash32
+    from resume_jd_matcher_spark.operators.percentiles import (
+        group_percentiles_exact,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("y")
+    ).withColumn(
+        "arm",
+        hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))) % 2,
+    )
+    tags = [(f"p{i * 10}", i / 10.0) for i in range(1, 10)]
+    p = group_percentiles_exact(u, "arm", "y", tags)
+    melted = p.select(
+        "arm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("decile"), F.col(tag).alias("q")
+                    )
+                    for tag, _ in tags
+                ]
+            )
+        ).alias("m"),
+    ).select("arm", F.col("m.decile").alias("decile"), F.col("m.q").alias("q"))
+    return melted.groupBy("decile").agg(
+        F.round(
+            F.max(F.when(F.col("arm") == 0, F.col("q"))) + F.lit(1e-9), 2
+        ).alias("q_control"),
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("q"))) + F.lit(1e-9), 2
+        ).alias("q_treat"),
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("q")))
+            - F.max(F.when(F.col("arm") == 0, F.col("q")))
+            + F.lit(1e-9),
+            2,
+        ).alias("qte"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (contiguous bin packing by cumulative size)
+# ---------------------------------------------------------------------------
+
+@register(
+    "compaction_plan",
+    """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+), b AS (
+  SELECT ((cum - n_chars) // 100000)::BIGINT AS bin, doc_id, n_chars
+  FROM p
+)
+SELECT bin, count(*)::BIGINT AS n_files,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(sum(n_chars) / 100000.0 + 1e-9, 4) AS fill_ratio
+FROM b GROUP BY bin
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC8 [EXT]: small-file compaction planning — assign documents
+    (stand-ins for data files, sized by n_chars) to contiguous output
+    groups of ~100k chars by bucketing the EXCLUSIVE running total:
+    bin = floor(cum_before / target). Contiguity preserves the
+    doc_id sort order inside every output group (the property that
+    keeps downstream zone maps tight — see zone_map_pruning), which
+    is why this is a prefix-scan problem and not a bin-packing
+    heuristic. The running total comes from operators/prefix.
+    global_prefix with bigint accumulation — distributed, no
+    single-partition window, bit-deterministic.
+
+    Scale shape: the bucketed prefix-scan shuffle (data partitioned
+    by range bucket, one n_buckets-row offsets broadcast), then a
+    bin-grain agg — both linear, no global window over data rows."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = global_prefix(d, ["doc_id"], "n_chars", sum_type="bigint")
+    b = p.select(
+        F.floor(
+            (F.col("cum_sum") - F.col("n_chars")) / F.lit(100000)
+        ).alias("bin"),
+        "doc_id",
+        "n_chars",
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.round(
+            F.sum("n_chars") / F.lit(100000.0) + F.lit(1e-9), 4
+        ).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor
+# ---------------------------------------------------------------------------
+
+_ADVISOR_BROADCAST_ROWS = 20000
+_ADVISOR_SKEW_SHARE = 0.01
+
+@register(
+    "join_plan_advisor",
+    f"""
+WITH
+c_b AS (SELECT count(*)::BIGINT AS build_rows FROM customer),
+c_p AS (
+  SELECT sum(c)::BIGINT AS probe_rows, count(*)::BIGINT AS probe_ndv,
+         max(c)::BIGINT AS top
+  FROM (SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY 1)
+),
+p_b AS (SELECT count(*)::BIGINT AS build_rows FROM part),
+p_p AS (
+  SELECT sum(c)::BIGINT AS probe_rows, count(*)::BIGINT AS probe_ndv,
+         max(c)::BIGINT AS top
+  FROM (SELECT l_partkey, count(*)::BIGINT AS c FROM lineitem GROUP BY 1)
+),
+o_b AS (SELECT count(*)::BIGINT AS build_rows FROM orders),
+o_p AS (
+  SELECT sum(c)::BIGINT AS probe_rows, count(*)::BIGINT AS probe_ndv,
+         max(c)::BIGINT AS top
+  FROM (SELECT l_orderkey, count(*)::BIGINT AS c FROM lineitem GROUP BY 1)
+),
+all_j AS (
+  SELECT 'orders_customer' AS join_name, c_b.build_rows, c_p.probe_rows,
+         c_p.probe_ndv, c_p.top FROM c_b, c_p
+  UNION ALL
+  SELECT 'lineitem_part', p_b.build_rows, p_p.probe_rows, p_p.probe_ndv,
+         p_p.top FROM p_b, p_p
+  UNION ALL
+  SELECT 'lineitem_orders', o_b.build_rows, o_p.probe_rows, o_p.probe_ndv,
+         o_p.top FROM o_b, o_p
+)
+SELECT join_name, build_rows, probe_rows, probe_ndv,
+       round(top / probe_rows::DOUBLE + 1e-9, 6) AS top_key_share,
+       CASE WHEN build_rows <= {_ADVISOR_BROADCAST_ROWS} THEN 'broadcast'
+            WHEN round(top / probe_rows::DOUBLE + 1e-9, 6)
+                 > {_ADVISOR_SKEW_SHARE} THEN 'salted-smj'
+            ELSE 'sort-merge' END AS strategy
+FROM all_j
+""",
+)
+def q_join_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 [EXT]: join-strategy advisor — the statistics pass a
+    100 TB planner (or a human reviewing one) runs before picking a
+    physical join: build-side cardinality, probe-side cardinality /
+    key NDV, and the top-key share (the skew signal). Emits the
+    decision the engine itself would make: 'broadcast' when the build
+    side fits the broadcast threshold, 'salted-smj' when one probe
+    key holds > 1% of rows (AQE skew-split territory), else plain
+    sort-merge. The decision compares the ROUNDED share so the label
+    can't flip on a last-bit float difference; thresholds are module
+    constants so tests can reference them.
+
+    Scale shape: per join, one build-side count and one probe-side
+    per-key agg summarized to 1 row (map-side combined) — three
+    bounded 1-row frames unioned; no join of fact-sized inputs
+    anywhere."""
+    def probe_stats(df: DataFrame, key: str) -> DataFrame:
+        per = df.groupBy(key).agg(F.count("*").cast("bigint").alias("c"))
+        return per.agg(
+            F.sum("c").cast("bigint").alias("probe_rows"),
+            F.count("*").cast("bigint").alias("probe_ndv"),
+            F.max("c").cast("bigint").alias("top"),
+        )
+
+    def one(name: str, build: DataFrame, probe: DataFrame, key: str) -> DataFrame:
+        b = build.agg(F.count("*").cast("bigint").alias("build_rows"))
+        return (
+            b.crossJoin(F.broadcast(probe_stats(probe, key)))
+            .select(
+                F.lit(name).alias("join_name"),
+                "build_rows",
+                "probe_rows",
+                "probe_ndv",
+                F.round(
+                    F.col("top") / F.col("probe_rows").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("top_key_share"),
+            )
+            .withColumn(
+                "strategy",
+                F.when(
+                    F.col("build_rows") <= F.lit(_ADVISOR_BROADCAST_ROWS),
+                    F.lit("broadcast"),
+                )
+                .when(
+                    F.col("top_key_share") > F.lit(_ADVISOR_SKEW_SHARE),
+                    F.lit("salted-smj"),
+                )
+                .otherwise(F.lit("sort-merge")),
+            )
+        )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        one("orders_customer", customer, orders, "o_custkey")
+        .unionByName(one("lineitem_part", part, lineitem, "l_partkey"))
+        .unionByName(one("lineitem_orders", orders, lineitem, "l_orderkey"))
+    )

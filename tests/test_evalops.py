@@ -627,3 +627,213 @@ class TestZoneMapPruning:
             assert r["rows_scanned"] == 400
             assert r["rows_matched"] == 400
             assert r["read_amp"] == pytest.approx(1.0)
+
+
+class TestForecastBacktest:
+    def test_weekly_periodic_series_naive7_is_exact(self, spark, monkeypatch):
+        """Revenue an exact function of day-of-week -> the seasonal
+        naive forecast is perfect (MAE = sMAPE = 0) while the 28-day
+        moving average smears the seasonality and must err."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = []
+        for d in range(70):
+            price = float(100 + 50 * (d % 7))
+            rows.append((d, d, "O", price, f"1995-03-{1:02d}", "1-URGENT"))
+        o = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn(
+            "o_orderdate",
+            (
+                F.lit("1995-03-01").cast("timestamp")
+                + F.make_interval(days=F.col("o_orderkey").cast("int"))
+            ),
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: o)
+        out = {
+            r["method"]: r
+            for r in evalops_q.q_forecast_backtest(spark, SF).collect()
+        }
+        assert out["naive7"]["n_eval_days"] == 70 - 28
+        assert out["naive7"]["mae_cents"] == pytest.approx(0.0)
+        assert out["naive7"]["smape"] == pytest.approx(0.0)
+        assert out["ma28"]["mae_cents"] > 0.0
+
+    def test_fixture_sane(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = {
+            r["method"]: r
+            for r in evalops_q.q_forecast_backtest(spark, sf_dir).collect()
+        }
+        assert set(out) == {"naive7", "ma28"}
+        n = {r["n_eval_days"] for r in out.values()}
+        assert len(n) == 1  # same evaluation window for both methods
+        for r in out.values():
+            assert r["mae_cents"] >= 0.0
+            assert 0.0 <= r["smape"] <= 2.0  # sMAPE is bounded by 2
+
+
+class TestMdePower:
+    def test_constant_metric_zero_mde(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        ev = spark.createDataFrame(
+            [(i, None, i, "view", 10.0, "{}") for i in range(200)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_mde_power(spark, SF).collect()[0]
+        assert r["n_a"] + r["n_b"] == 200
+        assert r["sd_pooled"] == pytest.approx(0.0)
+        assert r["mde_abs"] == pytest.approx(0.0)
+
+    def test_fixture_mde_scales_with_se(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        r = evalops_q.q_mde_power(spark, sf_dir).collect()[0]
+        assert r["mde_abs"] > 0
+        assert r["mde_rel"] == pytest.approx(
+            r["mde_abs"] / r["mean_control"], rel=1e-2
+        )
+
+
+class TestQteDeciles:
+    def test_planted_uniform_shift(self, spark, monkeypatch):
+        """Treatment users get the control distribution shifted by
+        exactly $1 -> every decile's QTE is 100 cents."""
+        import hashlib
+
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        def arm(uid: int) -> int:
+            h = hashlib.md5(f"{uid}#ab".encode()).hexdigest()[:8]
+            return int(h, 16) % 2
+
+        by_arm = {0: [], 1: []}
+        uid = 0
+        while len(by_arm[0]) < 100 or len(by_arm[1]) < 100:
+            a = arm(uid)
+            if len(by_arm[a]) < 100:
+                by_arm[a].append(uid)
+            uid += 1
+        rows = []
+        eid = 0
+        for a in (0, 1):
+            for i, u in enumerate(by_arm[a]):
+                rows.append((eid, None, u, "view", float(i) + a * 1.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        out = evalops_q.q_qte_deciles(spark, SF).collect()
+        assert len(out) == 9
+        for r in out:
+            assert r["qte"] == pytest.approx(100.0)
+
+    def test_fixture_deciles_monotone(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = {
+            r["decile"]: r
+            for r in evalops_q.q_qte_deciles(spark, sf_dir).collect()
+        }
+        order = [f"p{i * 10}" for i in range(1, 10)]
+        for lo, hi in zip(order, order[1:]):
+            assert rows[lo]["q_control"] <= rows[hi]["q_control"]
+            assert rows[lo]["q_treat"] <= rows[hi]["q_treat"]
+
+
+class TestCompactionPlan:
+    def test_exact_packing(self, spark, monkeypatch):
+        """10 files of exactly 50k chars -> 5 bins of 2 contiguous
+        files, each exactly full."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        docs = spark.createDataFrame(
+            [(i, "x", "en", "s", 50_000) for i in range(10)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: docs)
+        out = sorted(
+            evalops_q.q_compaction_plan(spark, SF).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert [r["bin"] for r in out] == [0, 1, 2, 3, 4]
+        for k, r in enumerate(out):
+            assert r["n_files"] == 2
+            assert r["total_chars"] == 100_000
+            assert r["first_doc"] == 2 * k and r["last_doc"] == 2 * k + 1
+            assert r["fill_ratio"] == pytest.approx(1.0)
+
+    def test_fixture_contiguous_and_bounded(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        out = sorted(
+            evalops_q.q_compaction_plan(spark, sf_dir).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert len(out) >= 1
+        for prev, cur in zip(out, out[1:]):
+            # contiguity: doc ranges never interleave across bins
+            assert prev["last_doc"] < cur["first_doc"]
+            # every bin except possibly the last crosses the target
+            assert prev["total_chars"] + cur["total_chars"] > 100_000
+
+
+class TestJoinPlanAdvisor:
+    def test_fixture_recommendations(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = {
+            r["join_name"]: r
+            for r in evalops_q.q_join_plan_advisor(spark, sf_dir).collect()
+        }
+        assert set(rows) == {
+            "orders_customer", "lineitem_part", "lineitem_orders"
+        }
+        # customer is always the smallest dimension -> broadcast
+        assert rows["orders_customer"]["strategy"] == "broadcast"
+        for r in rows.values():
+            assert 0.0 < r["top_key_share"] <= 1.0
+            assert r["probe_ndv"] <= r["probe_rows"]
+
+    def test_planted_skew_triggers_salting(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        big_build = spark.range(30_000).select(
+            F.col("id").alias("o_orderkey"),
+            F.col("id").alias("o_custkey"),
+        )
+        # one key owns half the probe side
+        probe = spark.range(40_000).select(
+            F.when(F.col("id") < 20_000, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("l_orderkey"),
+            F.col("id").alias("l_partkey"),
+            F.col("id").alias("o_custkey"),
+        )
+        tables = {
+            "customer": big_build, "orders": big_build,
+            "part": big_build, "lineitem": probe,
+        }
+        monkeypatch.setattr(
+            evalops_q, "load_table", lambda s, d, name: tables[name]
+        )
+        rows = {
+            r["join_name"]: r
+            for r in evalops_q.q_join_plan_advisor(spark, SF).collect()
+        }
+        r = rows["lineitem_orders"]
+        assert r["build_rows"] == 30_000
+        assert r["top_key_share"] == pytest.approx(0.5, abs=1e-4)
+        assert r["strategy"] == "salted-smj"
+        # same build size but uniform probe key -> plain sort-merge
+        assert rows["lineitem_part"]["strategy"] == "sort-merge"

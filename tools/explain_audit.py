@@ -282,6 +282,18 @@ HEADLINERS = {
     "finalize — no window",
     "user_streaks": "distinct (user,day), then window + both aggs "
     "all partitioned by user_id — one exchange reused end-to-end",
+    "forecast_backtest": "fact collapses to the day grain before any "
+    "window; the only unpartitioned window covers the bounded "
+    "calendar (~2.5k rows)",
+    "mde_power": "user-grain hash agg then one 1-row conditional "
+    "aggregate — O(1) after the user agg",
+    "qte_deciles": "user-grain agg, then the bucket-histogram exact "
+    "percentile plan per arm; melt/pivot on 18 rows",
+    "compaction_plan": "bucketed prefix-scan shuffle (no "
+    "single-partition window) then a bin-grain agg",
+    "join_plan_advisor": "per join one build count + one probe "
+    "per-key agg summarized map-side to 1 row; three bounded frames "
+    "unioned",
 }
 
 

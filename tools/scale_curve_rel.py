@@ -41,7 +41,9 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     ~uniform keys (the skew stress has its own dedicated kernel)."""
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(d, "part.parquet")):
+    # keyed on the newest synth artifact so a work dir from an older
+    # tool version (no events table) regenerates instead of half-missing
+    if os.path.exists(os.path.join(d, "events.parquet")):
         return
     n_cust = max(n_orders // 10, 1)
     n_parts = max(n_orders // 5, 1)
@@ -88,6 +90,31 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
         )
         .write.mode("overwrite")
         .parquet(os.path.join(d, "lineitem.parquet"))
+    )
+    eid = F.col("id")
+    n_users = max(n_orders // 100, 1)
+    (
+        spark.range(0, n_orders, 1, 32)
+        .select(
+            eid.alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_704_067_200)  # 2024-01-01 UTC, TESTDATA.md shape
+                + h(eid, 15, 30) * 86400
+                + h(eid, 16, 86400)
+            ).alias("ts"),
+            (h(eid, 17, n_users) + 1).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("signup"),
+                    F.lit("purchase"), F.lit("error"),
+                ),
+                (h(eid, 18, 5) + 1).cast("int"),
+            ).alias("event_type"),
+            ((h(eid, 19, 48_999) + 1) / 100.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "events.parquet"))
     )
     pid = F.col("id")
     (
@@ -159,6 +186,14 @@ REGISTERED = [
     "ks_test",
     "snapshot_diff",
     "acf_daily",
+    # round-8 batch 2: the event-grain evaluation kernels (the synth
+    # now writes an events table at n_orders rows), the day-grain
+    # backtest, and the two data-layout advisors.
+    "user_streaks",
+    "cuped_adjustment",
+    "jackknife_ratio_ci",
+    "forecast_backtest",
+    "zone_map_pruning",
 ]
 
 
@@ -181,7 +216,7 @@ def main() -> None:
 
     # warm JVM + scans
     for d in dirs.values():
-        for t in ("orders", "lineitem", "part"):
+        for t in ("orders", "lineitem", "part", "events"):
             spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
 
     rows = []
