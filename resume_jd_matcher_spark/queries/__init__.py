@@ -111,6 +111,9 @@ _DRIVER_PRIORITY = [
     "qte_deciles",
     "compaction_plan",
     "join_plan_advisor",
+    "roc_auc",
+    "calibration_eval",
+    "pareto_frontier",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

@@ -2191,3 +2191,178 @@ def q_join_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_part", part, lineitem, "l_partkey"))
         .unionByName(one("lineitem_orders", orders, lineitem, "l_orderkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact tie-aware ROC AUC (Mann-Whitney via the multi-sum prefix scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "roc_auc",
+    """
+WITH e AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), v AS (
+  SELECT value,
+         sum(label)::BIGINT AS np_v,
+         sum(1 - label)::BIGINT AS nn_v
+  FROM e GROUP BY value
+), p AS (
+  SELECT np_v, nn_v,
+         sum(nn_v) OVER (ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum_nn
+  FROM v
+), s AS (
+  SELECT sum(np_v)::BIGINT AS n_pos, sum(nn_v)::BIGINT AS n_neg,
+         sum(np_v * (cum_nn::DOUBLE - nn_v + nn_v / 2.0)) AS num
+  FROM p
+)
+SELECT n_pos, n_neg,
+       round(num / nullif(n_pos::DOUBLE * n_neg, 0.0) + 1e-9, 6) AS auc,
+       round(2.0 * num / nullif(n_pos::DOUBLE * n_neg, 0.0) - 1.0
+             + 1e-9, 6) AS gini
+FROM s
+""",
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 [EXT]: exact tie-aware ROC AUC of the event value
+    predicting a purchase — the Mann-Whitney identity AUC =
+    P(score_pos > score_neg) + P(tie)/2, computed on the VALUE GRAIN:
+    group scores, then one distributed prefix scan
+    (operators/prefix.global_prefix, multi-sum) accumulates the
+    negative-count ECDF, and each value contributes
+    np_v * (cum_neg_below + nn_v/2). No per-row global rank, no
+    single-partition window — the same plan at 100 TB ranks ~distinct
+    score values, not rows. Gini = 2*AUC - 1 alongside.
+
+    Scale shape: fact -> value-grain agg (map-side combined), the
+    bucketed prefix-scan shuffle over distinct values, then a 1-row
+    finalize."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    v = e.groupBy("value").agg(
+        F.sum("label").cast("bigint").alias("np_v"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("nn_v"),
+    )
+    p = global_prefix(v, ["value"], ["np_v", "nn_v"], sum_type="bigint")
+    s = p.agg(
+        F.sum("np_v").cast("bigint").alias("n_pos"),
+        F.sum("nn_v").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("np_v")
+            * (
+                F.col("cum_nn_v").cast("double")
+                - F.col("nn_v")
+                + F.col("nn_v") / F.lit(2.0)
+            )
+        ).alias("num"),
+    )
+    denom = F.nullif(
+        F.col("n_pos").cast("double") * F.col("n_neg"), F.lit(0.0)
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("num") / denom + F.lit(1e-9), 6).alias("auc"),
+        F.round(
+            F.lit(2.0) * F.col("num") / denom - F.lit(1.0) + F.lit(1e-9), 6
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins
+# ---------------------------------------------------------------------------
+
+@register(
+    "calibration_eval",
+    """
+WITH e AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), g AS (
+  SELECT avg(value) AS mu,
+         sqrt(greatest(sum(value * value) / count(*)
+                       - avg(value) * avg(value), 1e-12)) AS sd
+  FROM e
+), p AS (
+  SELECT label,
+         1.0 / (1.0 + exp(-(value - g.mu) / g.sd)) AS p_hat
+  FROM e, g
+), b AS (
+  SELECT least(floor(p_hat * 10), 9)::INT AS bin, label, p_hat FROM p
+)
+SELECT bin, count(*)::BIGINT AS n,
+       round(avg(p_hat) + 1e-9, 4) AS mean_pred,
+       round(avg(label::DOUBLE) + 1e-9, 4) AS obs_rate,
+       round(abs(avg(p_hat) - avg(label::DOUBLE)) + 1e-9, 4) AS abs_gap
+FROM b GROUP BY bin
+""",
+)
+def q_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: calibration / reliability diagram of a deterministic
+    logistic score (sigmoid of the standardized event value) against
+    the purchase label — per-decile-of-prediction bins with mean
+    predicted probability, observed rate, and the absolute gap (the
+    per-bin term of Expected Calibration Error). The score is a fixed
+    closed form on both engines (one 1-row moment agg broadcast
+    back), so the oracle replays it exactly; sd is floored at 1e-12
+    to keep the degenerate constant-value case finite, and bin 10
+    (p_hat == 1.0) folds into bin 9 via least().
+
+    Scale shape: 1-row moments agg broadcast, then one 10-cell hash
+    agg over the fact — map-side combined, no window, no join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    g = e.agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("value") * F.col("value")) / F.count("*")
+                - F.avg("value") * F.avg("value"),
+                F.lit(1e-12),
+            )
+        ).alias("sd"),
+    )
+    p = e.crossJoin(F.broadcast(g)).select(
+        "label",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("value") - F.col("mu")) / F.col("sd"))
+            )
+        ).alias("p_hat"),
+    )
+    b = p.select(
+        F.least(F.floor(F.col("p_hat") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "label",
+        "p_hat",
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p_hat") + F.lit(1e-9), 4).alias("mean_pred"),
+        F.round(F.avg(F.col("label").cast("double")) + F.lit(1e-9), 4).alias(
+            "obs_rate"
+        ),
+        F.round(
+            F.abs(F.avg("p_hat") - F.avg(F.col("label").cast("double")))
+            + F.lit(1e-9),
+            4,
+        ).alias("abs_gap"),
+    )

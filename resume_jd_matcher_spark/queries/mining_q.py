@@ -1123,3 +1123,62 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_streaks"),
         F.max("streak").cast("bigint").alias("max_streak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) of orders: price vs recency
+# ---------------------------------------------------------------------------
+
+@register(
+    "pareto_frontier",
+    """
+WITH o AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+), d AS (
+  SELECT day, max(cents) AS day_max FROM o GROUP BY day
+), s AS (
+  SELECT day,
+         max(day_max) OVER (ORDER BY day DESC
+                            ROWS UNBOUNDED PRECEDING) AS suf_max
+  FROM d
+)
+SELECT o.o_orderkey, o.day, o.cents
+FROM o JOIN s ON o.day = s.day
+WHERE o.cents = s.suf_max
+""",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J4 [EXT]: 2-D skyline (Pareto frontier) of orders under
+    (price max, recency max) — an order is on the frontier iff its
+    price equals the maximum over all orders of its day or later,
+    i.e. nothing at-least-as-recent strictly beats it on price (ties
+    kept, the standard skyline-with-ties convention). The classic
+    one-sorted-scan skyline collapses to: day-grain max (bounded),
+    a suffix running max over the ~2.5k-day summary, and one
+    broadcast join back to the fact — never a fact-sized sort or a
+    quadratic dominance self-join (Borzsony et al., ICDE 2001 BNL is
+    the anti-pattern this replaces).
+
+    Scale shape: fact -> day-grain agg (map-side combined); the only
+    unpartitioned window covers the bounded day summary; frontier
+    membership via broadcast equi-join + filter on the fact scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "day"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    d = o.groupBy("day").agg(F.max("cents").alias("day_max"))
+    w = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = d.select("day", F.max("day_max").over(w).alias("suf_max"))
+    return (
+        o.join(F.broadcast(s), "day")
+        .filter(F.col("cents") == F.col("suf_max"))
+        .select("o_orderkey", "day", "cents")
+    )

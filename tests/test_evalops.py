@@ -837,3 +837,94 @@ class TestJoinPlanAdvisor:
         assert r["strategy"] == "salted-smj"
         # same build size but uniform probe key -> plain sort-merge
         assert rows["lineitem_part"]["strategy"] == "sort-merge"
+
+
+class TestRocAuc:
+    def test_perfect_separation(self, spark, monkeypatch):
+        """Every purchase value strictly above every non-purchase ->
+        AUC = 1, Gini = 1."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [(i, None, i, "view", float(i % 50), "{}") for i in range(200)]
+        rows += [
+            (1000 + i, None, 1000 + i, "purchase", 100.0 + i, "{}")
+            for i in range(50)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_roc_auc(spark, SF).collect()[0]
+        assert r["n_pos"] == 50 and r["n_neg"] == 200
+        assert r["auc"] == pytest.approx(1.0)
+        assert r["gini"] == pytest.approx(1.0)
+
+    def test_all_tied_is_half(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [
+            (i, None, i, "purchase" if i % 4 == 0 else "view", 7.0, "{}")
+            for i in range(100)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_roc_auc(spark, SF).collect()[0]
+        assert r["auc"] == pytest.approx(0.5)
+        assert r["gini"] == pytest.approx(0.0)
+
+    def test_fixture_bounded(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        r = evalops_q.q_roc_auc(spark, sf_dir).collect()[0]
+        assert 0.0 <= r["auc"] <= 1.0
+        assert r["gini"] == pytest.approx(2 * r["auc"] - 1, abs=2e-6)
+
+
+class TestCalibrationEval:
+    def test_constant_score_single_bin(self, spark, monkeypatch):
+        """Constant value -> sd floored -> p_hat = 0.5 exactly -> one
+        bin (5) whose observed rate is the purchase share."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [
+            (i, None, i, "purchase" if i < 30 else "view", 4.0, "{}")
+            for i in range(100)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        out = evalops_q.q_calibration_eval(spark, SF).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["bin"] == 5
+        assert r["n"] == 100
+        assert r["mean_pred"] == pytest.approx(0.5)
+        assert r["obs_rate"] == pytest.approx(0.3)
+        assert r["abs_gap"] == pytest.approx(0.2)
+
+    def test_fixture_bins_partition(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        out = sorted(
+            evalops_q.q_calibration_eval(spark, sf_dir).collect(),
+            key=lambda r: r["bin"],
+        )
+        n = load_table(spark, sf_dir, "events").count()
+        assert sum(r["n"] for r in out) == n
+        for a, b in zip(out, out[1:]):
+            assert a["mean_pred"] < b["mean_pred"]  # bins order the score
+        for r in out:
+            assert 0 <= r["bin"] <= 9
+            assert r["abs_gap"] == pytest.approx(
+                abs(r["mean_pred"] - r["obs_rate"]), abs=2e-4
+            )

@@ -489,3 +489,40 @@ class TestUserStreaks:
             assert r["n_streaks"] >= 1
             # streak lengths partition the active days
             assert r["active_days"] >= r["max_streak"] + r["n_streaks"] - 1
+
+
+class TestParetoFrontier:
+    def test_small_skyline(self, spark, monkeypatch):
+        """(day,price): (1,$1) dominated by (2,$2); (3,$1.5) kept
+        (nothing later beats it); equal-price tie on day 3 kept."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [
+            (1, 1, "O", 1.00, "2024-01-01", "x"),
+            (2, 1, "O", 2.00, "2024-01-02", "x"),
+            (3, 1, "O", 1.50, "2024-01-03", "x"),
+            (4, 1, "O", 1.50, "2024-01-03", "x"),
+        ]
+        o = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        keys = {
+            r["o_orderkey"]
+            for r in mining_q.q_pareto_frontier(spark, SF).collect()
+        }
+        assert keys == {2, 3, 4}
+
+    def test_fixture_frontier_is_antichain(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        out = sorted(
+            mining_q.q_pareto_frontier(spark, sf_dir).collect(),
+            key=lambda r: r["day"],
+        )
+        assert out
+        # price along the frontier is non-increasing as recency grows
+        for a, b in zip(out, out[1:]):
+            assert a["cents"] >= b["cents"]

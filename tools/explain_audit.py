@@ -294,6 +294,13 @@ HEADLINERS = {
     "join_plan_advisor": "per join one build count + one probe "
     "per-key agg summarized map-side to 1 row; three bounded frames "
     "unioned",
+    "roc_auc": "value-grain agg then the bucketed prefix scan over "
+    "distinct scores — AUC ranks values, not rows; 1-row finalize",
+    "calibration_eval": "1-row moments broadcast, one 10-cell hash "
+    "agg over the fact — no window, no join",
+    "pareto_frontier": "day-grain max, suffix running max on the "
+    "bounded day summary, broadcast join back — no dominance "
+    "self-join, no fact-sized sort",
 }
 
 
