@@ -114,6 +114,8 @@ _DRIVER_PRIORITY = [
     "roc_auc",
     "calibration_eval",
     "pareto_frontier",
+    "k_anonymity",
+    "dp_noisy_counts",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

@@ -2366,3 +2366,132 @@ def q_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity",
+    """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*)::BIGINT AS sz,
+         count(DISTINCT floor(c_acctbal / 1000))::BIGINT AS l_div
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT count(*)::BIGINT AS n_groups,
+       min(sz)::BIGINT AS k_min,
+       min(l_div)::BIGINT AS l_min,
+       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS rows_below_k,
+       round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+             / sum(sz)::DOUBLE + 1e-9, 4) AS pct_below_k,
+       min(sz) >= 5 AND min(l_div) >= 2 AS anonymity_ok
+FROM g
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: k-anonymity / l-diversity profile of the customer
+    table under the quasi-identifier (nation, market segment) with
+    the $1000-bucketed account balance as the sensitive attribute —
+    the governance gate a dataset passes before external release
+    (Sweeney 2002; Machanavajjhala et al. 2007). Reports the smallest
+    equivalence class (k_min), the least-diverse class (l_min), the
+    row mass in classes below k=5, and the release verdict
+    k_min >= 5 AND l_min >= 2. Integer floor-buckets keep the
+    sensitive-distinct count identical across engines.
+
+    Scale shape: one QI-grain hash agg (map-side combined; the
+    distinct runs inside the same grouping) then a 1-row finalize —
+    the QI grain is dimension-bounded (nations x segments)."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("sz"),
+        F.countDistinct(F.floor(F.col("c_acctbal") / 1000))
+        .cast("bigint")
+        .alias("l_div"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_min"),
+        F.min("l_div").cast("bigint").alias("l_min"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        F.round(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            / F.sum("sz").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("pct_below_k"),
+        ((F.min("sz") >= 5) & (F.min("l_div") >= 2)).alias("anonymity_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (deterministic seeded Laplace)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dp_noisy_counts",
+    f"""
+WITH c AS (
+  SELECT c_nationkey, count(*)::BIGINT AS true_count
+  FROM customer GROUP BY c_nationkey
+), u AS (
+  SELECT c_nationkey, true_count,
+         ({_SQL_H32.format(x="c_nationkey::VARCHAR || '#dp'")} % 100000
+          + 0.5) / 100000.0 AS unif
+  FROM c
+)
+SELECT c_nationkey, true_count,
+       round(true_count
+             - sign(unif - 0.5) * ln(1.0 - 2.0 * abs(unif - 0.5))
+             + 1e-9, 3) AS noisy_count,
+       1.0 AS epsilon
+FROM u
+""",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: per-nation customer counts released under
+    epsilon=1.0 differential privacy — Laplace(1/eps) noise via the
+    inverse-CDF transform x = -b*sign(u-1/2)*ln(1-2|u-1/2|) on a
+    SEEDED portable-hash uniform (Dwork et al. 2006). The seeded
+    hash replaces an RNG so the release is reproducible across
+    engines, runs and cluster sizes — the property an auditable DP
+    pipeline needs (per-release salt rotation is the deployment
+    knob); u in (0,1) strictly by the +0.5/100000 offset, so the log
+    argument never reaches 0. true_count is emitted alongside ONLY
+    because this fixture is synthetic — a production release drops
+    the column; the test asserts the noise law, not secrecy.
+
+    Scale shape: one dimension-grain hash agg then scalar arithmetic
+    per group — O(groups) after the fact scan."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    c = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    u = c.withColumn(
+        "unif",
+        (
+            hash32(
+                F.concat(F.col("c_nationkey").cast("string"), F.lit("#dp"))
+            )
+            % 100000
+            + F.lit(0.5)
+        )
+        / F.lit(100000.0),
+    )
+    lap = -F.signum(F.col("unif") - 0.5) * F.log(
+        F.lit(1.0) - 2.0 * F.abs(F.col("unif") - 0.5)
+    )
+    return u.select(
+        "c_nationkey",
+        "true_count",
+        F.round(F.col("true_count") + lap + F.lit(1e-9), 3).alias(
+            "noisy_count"
+        ),
+        F.lit(1.0).alias("epsilon"),
+    )

@@ -928,3 +928,61 @@ class TestCalibrationEval:
             assert r["abs_gap"] == pytest.approx(
                 abs(r["mean_pred"] - r["obs_rate"]), abs=2e-4
             )
+
+
+class TestKAnonymity:
+    def test_planted_small_group(self, spark, monkeypatch):
+        """49 rows in one big class + 1 singleton -> k_min 1, 1 row
+        below k=5, verdict False."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        rows = [(i, f"c{i}", 0, float(1000 * (i % 3)), "BIG") for i in range(49)]
+        rows.append((99, "c99", 7, 0.0, "LONER"))
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: cust)
+        r = evalops_q.q_k_anonymity(spark, SF).collect()[0]
+        assert r["n_groups"] == 2
+        assert r["k_min"] == 1
+        assert r["rows_below_k"] == 1
+        assert r["pct_below_k"] == pytest.approx(0.02)
+        assert r["anonymity_ok"] is False
+
+    def test_fixture_consistency(self, spark, sf_dir):
+        from resume_jd_matcher_spark.queries import evalops_q
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        r = evalops_q.q_k_anonymity(spark, sf_dir).collect()[0]
+        n = load_table(spark, sf_dir, "customer").count()
+        assert 1 <= r["k_min"]
+        assert r["l_min"] >= 1
+        assert 0 <= r["rows_below_k"] <= n
+        assert r["pct_below_k"] == pytest.approx(
+            r["rows_below_k"] / n, abs=2e-4
+        )
+
+
+class TestDpNoisyCounts:
+    def test_noise_is_laplace_deterministic(self, spark, sf_dir):
+        """Noise must be reproducible, nonzero somewhere, and
+        concentrated like Laplace(1): P(|x| <= 3) ~ 95%; with 25
+        nations all within 10 is a safe deterministic bound."""
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        a = {
+            r["c_nationkey"]: r["noisy_count"]
+            for r in evalops_q.q_dp_noisy_counts(spark, sf_dir).collect()
+        }
+        b = {
+            r["c_nationkey"]: r["noisy_count"]
+            for r in evalops_q.q_dp_noisy_counts(spark, sf_dir).collect()
+        }
+        assert a == b  # seeded, not RNG
+        out = evalops_q.q_dp_noisy_counts(spark, sf_dir).collect()
+        noises = [r["noisy_count"] - r["true_count"] for r in out]
+        assert any(abs(x) > 1e-6 for x in noises)
+        assert all(abs(x) < 10.0 for x in noises)
+        assert all(r["epsilon"] == 1.0 for r in out)

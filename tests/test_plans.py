@@ -257,6 +257,27 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast character-budget total crossed into the
         # ranked document grain:
         "token_budget_curriculum",
+        # single-row broadcast pooled-moment agg (theta) crossed into
+        # the per-user grain before the per-arm finalize:
+        "cuped_adjustment",
+        # single-row broadcast (n_pos, n_neg) totals crossed into the
+        # global_prefix-ranked score grain for the rank-sum AUC:
+        "roc_auc",
+        # single-row broadcast moment agg crossed into the event
+        # grain, then the 10-cell bin table:
+        "calibration_eval",
+        # per-arm quantile boundary row (2-row broadcast) crossed into
+        # the event grain for decile assignment:
+        "qte_deciles",
+        # global_prefix single-row bucket-stats broadcast + single-row
+        # byte-budget total crossed into the file-grain plan:
+        "compaction_plan",
+        # single-row broadcast probe_stats summary crossed into the
+        # <=|keys|-bounded build-side census:
+        "join_plan_advisor",
+        # single-row broadcast global (min,max) bounds crossed into
+        # the event grain for zone assignment:
+        "zone_map_pruning",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -301,6 +301,10 @@ HEADLINERS = {
     "pareto_frontier": "day-grain max, suffix running max on the "
     "bounded day summary, broadcast join back — no dominance "
     "self-join, no fact-sized sort",
+    "k_anonymity": "one QI-grain hash agg (distinct inside the same "
+    "grouping), 1-row finalize — no window, no join",
+    "dp_noisy_counts": "one dimension-grain hash agg then scalar "
+    "seeded-hash Laplace arithmetic per group — no second pass",
 }
 
 
