@@ -117,3 +117,78 @@ def group_percentiles_exact(
             ).alias(tag)
         )
     return out.select(*out_cols)
+
+
+def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
+    """EXACT interpolated global median of ``value_col`` as a 1-row
+    DataFrame ``(med DOUBLE, n BIGINT)`` — sketch-guided selection:
+
+    1. one pass computes n and an approx [48%, 52%] value bracket
+       (``percentile_approx``, accuracy 2000 → rank error ≤ n/2000,
+       40x smaller than the 2%·n bracket margin, so the true middle
+       ranks k = floor/ceil(0.5·(n-1)+1) always land inside);
+    2. a second pass counts rows strictly below the bracket and ranks
+       ONLY the bracket slice (~4% of rows + boundary-tie mass) in one
+       small window, then interpolates the two middle ranks
+       (quantile_cont semantics).
+
+    Inputs of ≤ 100k rows skip the bracket (the when() collapses it
+    to ±infinity) and rank everything — below that size the sketch's
+    rank guarantee has no room and a full sort is free anyway.
+
+    This is the selection-by-sampling classic (Floyd-Rivest style)
+    rephrased as two declarative scans: unlike ``percentile()`` it
+    never buffers all values in one aggregate, and unlike a global
+    rank (operators/prefix.py) it never sorts the full input — the
+    only sort covers the bracket slice. NULLs are skipped (quantile
+    semantics). Heavy tie mass AT the median widens the slice (every
+    tied row falls inside the bracket) but never breaks correctness.
+    """
+    small_n = 100_000
+    x = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    s = x.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.percentile_approx(
+            "_v", F.array(F.lit(0.48), F.lit(0.52)), F.lit(2_000)
+        ).alias("_br"),
+    )
+    lo = F.when(F.col("_n") <= small_n, F.lit(float("-inf"))).otherwise(
+        F.col("_br")[0]
+    )
+    hi = F.when(F.col("_n") <= small_n, F.lit(float("inf"))).otherwise(
+        F.col("_br")[1]
+    )
+    xb = x.crossJoin(F.broadcast(s)).select(
+        "_v", "_n", lo.alias("_lo"), hi.alias("_hi")
+    )
+    below = xb.agg(
+        F.sum(F.when(F.col("_v") < F.col("_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_c_below")
+    )
+    t = F.lit(0.5) * (F.col("_n") - 1) + 1
+    mid = (
+        xb.filter(
+            (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+        )
+        .crossJoin(F.broadcast(below))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy("_v")) + F.col("_c_below"),
+        )
+        .filter((F.col("_rk") == F.floor(t)) | (F.col("_rk") == F.ceil(t)))
+    )
+    return mid.agg(
+        (
+            F.min("_v")
+            + (
+                F.lit(0.5) * (F.max("_n") - 1)
+                + 1
+                - F.floor(F.lit(0.5) * (F.max("_n") - 1) + 1)
+            )
+            * (F.max("_v") - F.min("_v"))
+        ).alias("med"),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias("n"),
+    )

@@ -116,6 +116,11 @@ _DRIVER_PRIORITY = [
     "pareto_frontier",
     "k_anonymity",
     "dp_noisy_counts",
+    "theil_sen_trend",
+    "mann_kendall",
+    "cusum_changepoint",
+    "stl_decompose",
+    "diff_in_did",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

@@ -2495,3 +2495,150 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (2x2 pre/post x control/treatment)
+# ---------------------------------------------------------------------------
+
+@register(
+    "diff_in_did",
+    f"""
+WITH e AS (
+  SELECT {_SQL_H32.format(x="user_id::VARCHAR || '#did'")} % 2 AS arm,
+         floor(epoch(ts) / 86400)::BIGINT AS day,
+         floor(value * 1000000 + 0.5)::BIGINT AS micros
+  FROM events
+), b AS (
+  SELECT (min(day) + max(day)) // 2 AS cutoff FROM e
+), c AS (
+  SELECT arm, CASE WHEN day >= b.cutoff THEN 1 ELSE 0 END AS post,
+         count(*)::BIGINT AS n, sum(micros)::HUGEINT AS s,
+         sum(micros::HUGEINT * micros::HUGEINT)::HUGEINT AS ss
+  FROM e CROSS JOIN b GROUP BY 1, 2
+), m AS (
+  SELECT arm, post, n, s::DOUBLE / n / 1e6 AS mean,
+         (ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
+           / nullif(n - 1, 0) * n / (n::DOUBLE * 1e12) AS var_mean
+  FROM c
+), f AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_c_pre,
+    max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_c_post,
+    max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
+    max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_t_post,
+    max(CASE WHEN arm = 0 AND post = 0 THEN mean END) AS m_c_pre,
+    max(CASE WHEN arm = 0 AND post = 1 THEN mean END) AS m_c_post,
+    max(CASE WHEN arm = 1 AND post = 0 THEN mean END) AS m_t_pre,
+    max(CASE WHEN arm = 1 AND post = 1 THEN mean END) AS m_t_post,
+    sum(var_mean) AS var_sum
+  FROM m
+)
+SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       round(m_c_pre + 1e-9, 4) AS mean_c_pre,
+       round(m_c_post + 1e-9, 4) AS mean_c_post,
+       round(m_t_pre + 1e-9, 4) AS mean_t_pre,
+       round(m_t_post + 1e-9, 4) AS mean_t_post,
+       round((m_t_post - m_t_pre) - (m_c_post - m_c_pre) + 1e-9, 4) AS did,
+       round(sqrt(var_sum) + 1e-9, 4) AS se,
+       round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+             / nullif(sqrt(var_sum), 0.0) + 1e-9, 4) AS z
+FROM f
+""",
+)
+def q_diff_in_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: difference-in-differences estimator on the events
+    stream — portable-hash arms (the ab_test_ztest convention), the
+    pre/post boundary at the calendar midpoint, and the 2x2
+    cell-mean contrast (t_post - t_pre) - (c_post - c_pre) with the
+    independent-cells standard error sqrt(sum var(cell mean))
+    (Card & Krueger 1994 two-period design). Cell sums/sumsq stay in
+    exact integer micros, so the four means are bit-identical across
+    engines before the one rounded contrast.
+
+    Scale shape: ONE conditional hash agg over the fact (map-side
+    combined, 4 groups) after a 1-row min/max broadcast for the
+    cutoff — no window, no join wider than the broadcast, the
+    flagship 100 TB shape."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (
+            hash32(F.concat(F.col("user_id").cast("string"), F.lit("#did")))
+            % 2
+        ).alias("arm"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("micros"),
+    )
+    b = e.agg(
+        F.floor((F.min("day") + F.max("day")) / 2)
+        .cast("bigint")
+        .alias("cutoff")
+    )
+    c = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy(
+            "arm",
+            F.when(F.col("day") >= F.col("cutoff"), 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("micros").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("micros").cast("decimal(38,0)")
+                * F.col("micros").cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 1e6
+    var_mean = (
+        (
+            F.col("ss").cast("double") / F.col("n")
+            - (F.col("s").cast("double") / F.col("n"))
+            * (F.col("s").cast("double") / F.col("n"))
+        )
+        / F.nullif(F.col("n") - 1, F.lit(0))
+        * F.col("n")
+        / (F.col("n").cast("double") * 1e12)
+    )
+    m = c.select("arm", "post", "n", mean.alias("mean"), var_mean.alias("var_mean"))
+
+    def cell(a, p, col):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("post") == p), F.col(col))
+        )
+
+    f = m.agg(
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "mean").alias("m_c_pre"),
+        cell(0, 1, "mean").alias("m_c_post"),
+        cell(1, 0, "mean").alias("m_t_pre"),
+        cell(1, 1, "mean").alias("m_t_post"),
+        F.sum("var_mean").alias("var_sum"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return f.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        F.round(F.col("m_c_pre") + F.lit(1e-9), 4).alias("mean_c_pre"),
+        F.round(F.col("m_c_post") + F.lit(1e-9), 4).alias("mean_c_post"),
+        F.round(F.col("m_t_pre") + F.lit(1e-9), 4).alias("mean_t_pre"),
+        F.round(F.col("m_t_post") + F.lit(1e-9), 4).alias("mean_t_post"),
+        F.round(did + F.lit(1e-9), 4).alias("did"),
+        F.round(F.sqrt("var_sum") + F.lit(1e-9), 4).alias("se"),
+        F.round(
+            did / F.nullif(F.sqrt("var_sum"), F.lit(0.0)) + F.lit(1e-9), 4
+        ).alias("z"),
+    )

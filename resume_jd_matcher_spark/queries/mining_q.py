@@ -1182,3 +1182,498 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cents") == F.col("suf_max"))
         .select("o_orderkey", "day", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (daily revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "theil_sen_trend",
+    """
+WITH g AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT (b.rev - a.rev)::DOUBLE / (b.day - a.day) AS slope
+  FROM g a JOIN g b ON b.day > a.day
+), m AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope_med
+  FROM p
+)
+SELECT (SELECT count(*)::BIGINT FROM g) AS n_days,
+       m.n_pairs,
+       round(m.slope_med + 1e-9, 6) AS slope_cents_per_day,
+       round((SELECT quantile_cont(g.rev - m.slope_med * g.day, 0.5)
+              FROM g) + 1e-9, 2) AS intercept_cents
+FROM m
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: Theil-Sen robust trend of daily revenue — the
+    median of all pairwise day-grain slopes (Theil 1950; Sen 1968),
+    with the classic median-residual intercept. Robust to the outlier
+    days that wreck OLS (up to ~29% contamination), which is why it
+    is the standard trend screen for corpus-growth and revenue
+    monitoring. Slopes are exact per pair (integer-cents difference /
+    integer day gap); the median uses quantile_cont interpolation on
+    both engines.
+
+    Scale shape: the fact collapses to the DAY grain first, so the
+    pair space is CALENDAR-bounded (days^2 — ~2.9M pairs for 7 years,
+    INDEPENDENT of fact rows; coarsen to week grain for decade-plus
+    calendars). The pair build is a broadcast self-pairing of the
+    bounded day summary; the slope median runs the sketch-guided
+    exact selection (operators/percentiles.global_median_exact): a
+    percentile_approx bracket pass, then ranking ONLY the ~4%
+    bracket slice — never a full-input sort or a raw-value agg
+    buffer (a full global rank of the pair space measured 7-13 s at
+    sf0.1; the bracketed selection is ~2 s); the intercept median
+    buffers only the day grain."""
+    from resume_jd_matcher_spark.operators.percentiles import (
+        global_median_exact,
+    )
+
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    b = g.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    pairs = (
+        g.crossJoin(F.broadcast(b))
+        .filter(F.col("day_b") > F.col("day"))
+        .select(
+            (
+                (F.col("rev_b") - F.col("rev")).cast("double")
+                / (F.col("day_b") - F.col("day"))
+            ).alias("slope")
+        )
+        # the median's two passes (sketch, then bracket slice + count
+        # below) would each re-run the pair build without the cache
+        .persist()
+    )
+    m = global_median_exact(pairs, "slope").persist()
+    n_pairs = m.select(F.col("n").alias("n_pairs"))
+    resid = g.crossJoin(F.broadcast(m.select("med"))).select(
+        (F.col("rev") - F.col("med") * F.col("day")).alias("r")
+    )
+    stats = g.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        stats.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(m.select("med")))
+        .crossJoin(
+            F.broadcast(
+                resid.agg(F.percentile("r", F.lit(0.5)).alias("ic"))
+            )
+        )
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("med") + F.lit(1e-9), 6).alias(
+                "slope_cents_per_day"
+            ),
+            F.round(F.col("ic") + F.lit(1e-9), 2).alias("intercept_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotone-trend test (daily revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mann_kendall",
+    """
+WITH g AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT sum(CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM g a JOIN g b ON b.day > a.day
+), n AS (
+  SELECT count(*)::BIGINT AS n_days FROM g
+), ties AS (
+  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+  FROM (SELECT count(*)::BIGINT AS t FROM g GROUP BY rev HAVING count(*) > 1)
+), v AS (
+  SELECT n.n_days, s.s_stat,
+         (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term)
+           / 18.0 AS var_s
+  FROM n, s, ties
+)
+SELECT n_days, s_stat, round(var_s + 1e-9, 2) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(nullif(var_s, 0.0))
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(nullif(var_s, 0.0))
+                  ELSE 0.0 END + 1e-9, 4) AS z,
+       CASE WHEN coalesce((CASE WHEN s_stat > 0 THEN (s_stat - 1.0)
+                                WHEN s_stat < 0 THEN (s_stat + 1.0)
+                                ELSE 0.0 END) / nullif(sqrt(var_s), 0.0),
+                          0.0) > 1.96 THEN 'increasing'
+            WHEN coalesce((CASE WHEN s_stat > 0 THEN (s_stat - 1.0)
+                                WHEN s_stat < 0 THEN (s_stat + 1.0)
+                                ELSE 0.0 END) / nullif(sqrt(var_s), 0.0),
+                          0.0) < -1.96 THEN 'decreasing'
+            ELSE 'no-trend' END AS trend
+FROM v
+""",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: Mann-Kendall monotone-trend test on daily revenue
+    (Mann 1945; Kendall 1975) — S = sum of sign(rev_j - rev_i) over
+    all day pairs i<j, normal approximation with the standard tie
+    correction sum t(t-1)(2t+5) and continuity correction. The
+    nonparametric companion to theil_sen_trend: S's sign tests the
+    trend the Theil-Sen slope estimates. All-integer S and variance
+    terms, so both engines agree exactly before the final division.
+
+    Scale shape: identical to theil_sen_trend — day-grain collapse
+    first, then a calendar-bounded broadcast self-pairing (days^2
+    pairs, independent of fact rows); the tie census is one more
+    day-grain hash agg. var_s ~ n^3/18 fits a BIGINT numerator up to
+    ~100k days (274 years of daily grain)."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    b = g.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    s = (
+        g.crossJoin(F.broadcast(b))
+        .filter(F.col("day_b") > F.col("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("rev_b") > F.col("rev"), 1)
+                .when(F.col("rev_b") < F.col("rev"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = g.agg(F.count("*").cast("bigint").alias("n_days"))
+    ties = (
+        g.groupBy("rev")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                (
+                    F.col("n_days")
+                    * (F.col("n_days") - 1)
+                    * (2 * F.col("n_days") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    zc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    z_raw = zc / F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0)))
+    return v.select(
+        "n_days",
+        "s_stat",
+        F.round(F.col("var_s") + F.lit(1e-9), 2).alias("var_s"),
+        F.round(
+            F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+                zc / F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0)))
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("z"),
+        F.when(F.coalesce(z_raw, F.lit(0.0)) > 1.96, F.lit("increasing"))
+        .when(F.coalesce(z_raw, F.lit(0.0)) < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no-trend"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint locator (daily revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cusum_changepoint",
+    """
+WITH g AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT sum(rev)::HUGEINT AS tot, count(*)::BIGINT AS n FROM g
+), c AS (
+  SELECT g.day, t.n,
+         sum(g.rev::HUGEINT * t.n - t.tot)
+           OVER (ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cs
+  FROM g CROSS JOIN t
+), r AS (
+  SELECT day, n, cs,
+         row_number() OVER (ORDER BY abs(cs) DESC, day ASC) AS rk
+  FROM c
+)
+SELECT n AS n_days,
+       day AS cp_day_num,
+       strftime((DATE '1970-01-01' + to_days(day::INTEGER)), '%Y-%m-%d')
+         AS cp_day,
+       round(cs::DOUBLE / n + 1e-9, 2) AS cusum_cents
+FROM r WHERE rk = 1
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: offline CUSUM changepoint locator on daily revenue
+    (Page 1954; Taylor's cumulative-sum charts) — the day k maximizing
+    |sum_{i<=k}(x_i - mean)| is the maximum-likelihood single
+    changepoint under a mean-shift model. Deviations are kept EXACT by
+    scaling: cs_k = sum(n*x_i - total) is an integer (accumulated in
+    decimal/HUGEINT — n*x overflows int64 around sf>=100), so the
+    argmax and its tie-break (earliest day) are bit-deterministic on
+    both engines; the reported cusum is cs/n in cents.
+
+    Scale shape: fact -> day grain (map-side combined), one 1-row
+    totals broadcast, then the only window runs over the bounded
+    calendar summary (the forecast_backtest/level_shift pattern);
+    argmax via one more bounded window. Never fact-sized state."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    t = g.agg(
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.crossJoin(F.broadcast(t)).select(
+        "day",
+        "n",
+        F.sum(
+            F.col("rev").cast("decimal(38,0)") * F.col("n") - F.col("tot")
+        )
+        .over(w)
+        .alias("cs"),
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.abs(F.col("cs")).desc(), F.col("day").asc())
+        ),
+    ).filter(F.col("rk") == 1)
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("cp_day_num"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day")),
+            "yyyy-MM-dd",
+        ).alias("cp_day"),
+        F.round(
+            F.col("cs").cast("double") / F.col("n") + F.lit(1e-9), 2
+        ).alias("cusum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stl_decompose",
+    """
+WITH o AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM o
+), cal AS (
+  SELECT unnest(generate_series(g.lo, g.hi)) AS day FROM g
+), d AS (
+  SELECT cal.day, coalesce(o.rev, 0)::BIGINT AS rev
+  FROM cal LEFT JOIN o ON o.day = cal.day
+), w AS (
+  SELECT day, rev,
+         row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS n_cal,
+         sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                        AND 3 FOLLOWING) AS s7
+  FROM d
+), dt AS (
+  SELECT day % 7 AS dow, 7 * rev - s7 AS detr7
+  FROM w WHERE rn >= 4 AND rn <= n_cal - 3
+), tot AS (
+  SELECT sum(detr7)::HUGEINT AS s_all, count(*)::BIGINT AS n_all FROM dt
+), se AS (
+  SELECT dow, count(*)::BIGINT AS n_days,
+         sum(detr7)::HUGEINT AS s_dow
+  FROM dt GROUP BY dow
+), sj AS (
+  SELECT se.dow, se.n_days,
+         se.s_dow::DOUBLE / (7.0 * se.n_days)
+           - tot.s_all::DOUBLE / (7.0 * tot.n_all) AS seasonal
+  FROM se CROSS JOIN tot
+)
+SELECT sj.dow::INT AS dow, sj.n_days,
+       round(sj.seasonal + 1e-9, 2) AS seasonal_cents,
+       round(sqrt(avg(power(dt.detr7 / 7.0
+                            - tot.s_all::DOUBLE / (7.0 * tot.n_all)
+                            - sj.seasonal, 2))) + 1e-9, 2) AS resid_rms
+FROM dt JOIN sj ON sj.dow = dt.dow CROSS JOIN tot
+GROUP BY sj.dow, sj.n_days, sj.seasonal
+ORDER BY dow
+""",
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: classical additive seasonal decomposition of daily
+    revenue with a weekly period (the moving-average decomposition
+    underlying STL, Cleveland et al. 1990 — the LOESS refinement needs
+    iterative local regression; the classical pass is the SQL-shaped
+    standard): trend = centered 7-day MA on the CALENDAR-FILLED day
+    grain, seasonal = per-day-of-week mean of the detrended series
+    re-centered to sum ~0, residual RMS per dow measures what the
+    weekly model leaves unexplained. Detrending is kept in exact
+    scaled integers (detr7 = 7*rev - window_sum, HUGEINT/decimal
+    sums), so seasonal indices derive from integer sums on both
+    engines; dow = day % 7 (0 = Thursday), the engine-portable
+    weekday. Edge days without a full 7-day window are excluded
+    (standard for the centered MA).
+
+    Scale shape: fact -> day grain, calendar fill via sequence +
+    left join, every window over the bounded calendar summary; the
+    seasonal/total joins are 7-row/1-row broadcasts back onto the
+    day grain. Never fact-sized state."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    d = cal.join(o, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0)).cast("bigint").alias("rev")
+    )
+    wd = Window.orderBy("day")
+    w7 = wd.rowsBetween(-3, 3)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = d.select(
+        "day",
+        "rev",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wall).alias("n_cal"),
+        F.sum("rev").over(w7).alias("s7"),
+    )
+    dt = w.filter(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n_cal") - 3)
+    ).select(
+        (F.col("day") % 7).alias("dow"),
+        (7 * F.col("rev") - F.col("s7")).cast("decimal(38,0)").alias(
+            "detr7"
+        ),
+    )
+    tot = dt.agg(
+        F.sum("detr7").alias("s_all"),
+        F.count("*").cast("bigint").alias("n_all"),
+    )
+    se = dt.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("detr7").alias("s_dow"),
+    )
+    sj = se.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        (
+            F.col("s_dow").cast("double") / (7.0 * F.col("n_days"))
+            - F.col("s_all").cast("double") / (7.0 * F.col("n_all"))
+        ).alias("seasonal"),
+    )
+    resid = (
+        dt.join(F.broadcast(sj), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "seasonal",
+            F.pow(
+                F.col("detr7").cast("double") / 7.0
+                - F.col("s_all").cast("double") / (7.0 * F.col("n_all"))
+                - F.col("seasonal"),
+                F.lit(2.0),
+            ).alias("r2"),
+        )
+    )
+    return (
+        resid.groupBy("dow", "n_days", "seasonal")
+        .agg(
+            F.round(F.sqrt(F.avg("r2")) + F.lit(1e-9), 2).alias("resid_rms")
+        )
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(F.col("seasonal") + F.lit(1e-9), 2).alias(
+                "seasonal_cents"
+            ),
+            "resid_rms",
+        )
+    )

@@ -986,3 +986,74 @@ class TestDpNoisyCounts:
         assert any(abs(x) > 1e-6 for x in noises)
         assert all(abs(x) < 10.0 for x in noises)
         assert all(r["epsilon"] == 1.0 for r in out)
+
+
+class TestDiffInDid:
+    def test_planted_parallel_trends_effect(self, spark, monkeypatch):
+        """Both arms drift +2.0 post; the treated arm gets +5.0 on
+        top. DiD must isolate the +5.0 and discard the shared drift;
+        arms are derived from the portable hash so the planted values
+        land in known cells."""
+        from resume_jd_matcher_spark.functions.text import hash32
+        from resume_jd_matcher_spark.queries import evalops_q
+        import datetime
+
+        ids = spark.range(0, 200).select(F.col("id").alias("user_id"))
+        arms = {
+            r["user_id"]: r["arm"]
+            for r in ids.select(
+                "user_id",
+                (
+                    hash32(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit("#did")
+                        )
+                    )
+                    % 2
+                ).alias("arm"),
+            ).collect()
+        }
+        rows, eid = [], 0
+        pre = datetime.datetime(2024, 1, 1)
+        post = datetime.datetime(2024, 1, 31)  # midpoint cutoff = day 15
+        for uid, arm in arms.items():
+            base = 10.0
+            rows.append((eid, pre, uid, "view", base, "{}")); eid += 1
+            lift = 2.0 + (5.0 if arm == 1 else 0.0)
+            rows.append((eid, post, uid, "view", base + lift, "{}")); eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_diff_in_did(spark, SF).collect()[0]
+        assert r["n_c_pre"] == r["n_c_post"]
+        assert r["n_t_pre"] == r["n_t_post"]
+        assert r["n_c_pre"] + r["n_t_pre"] == 200
+        assert r["mean_c_pre"] == pytest.approx(10.0)
+        assert r["mean_c_post"] == pytest.approx(12.0)
+        assert r["mean_t_pre"] == pytest.approx(10.0)
+        assert r["mean_t_post"] == pytest.approx(17.0)
+        assert r["did"] == pytest.approx(5.0)
+        # constant values inside every cell -> zero variance -> z NULL
+        assert r["se"] == pytest.approx(0.0)
+        assert r["z"] is None
+
+    def test_fixture_identity(self, spark, sf_dir):
+        """did == (t_post - t_pre) - (c_post - c_pre) on the real
+        fixture, and the four cells partition the events."""
+        from resume_jd_matcher_spark.queries import evalops_q
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        r = evalops_q.q_diff_in_did(spark, sf_dir).collect()[0]
+        n = load_table(spark, sf_dir, "events").count()
+        assert (
+            r["n_c_pre"] + r["n_c_post"] + r["n_t_pre"] + r["n_t_post"] == n
+        )
+        assert r["did"] == pytest.approx(
+            (r["mean_t_post"] - r["mean_t_pre"])
+            - (r["mean_c_post"] - r["mean_c_pre"]),
+            abs=5e-4,
+        )
+        assert r["se"] >= 0.0

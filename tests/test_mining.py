@@ -526,3 +526,192 @@ class TestParetoFrontier:
         # price along the frontier is non-increasing as recency grows
         for a, b in zip(out, out[1:]):
             assert a["cents"] >= b["cents"]
+
+
+class TestTheilSen:
+    def test_exact_linear_series_recovered(self, spark, monkeypatch):
+        """rev = 5000 + 300*day in cents exactly -> every pairwise
+        slope is 300, so slope_med == 300 and intercept_med == 5000
+        regardless of pairing."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = []
+        okey = 0
+        for day in range(40):
+            # one order per day priced so cents == 5000 + 300*day
+            rows.append((okey, f"1970-01-{day + 1:02d}" if day < 31
+                         else f"1970-02-{day - 30:02d}",
+                         (5000 + 300 * day) / 100.0))
+            okey += 1
+        o = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        r = mining_q.q_theil_sen_trend(spark, SF).collect()[0]
+        assert r["n_days"] == 40
+        assert r["n_pairs"] == 40 * 39 // 2
+        assert r["slope_cents_per_day"] == pytest.approx(300.0)
+        assert r["intercept_cents"] == pytest.approx(5000.0)
+
+    def test_outlier_robustness(self, spark, monkeypatch):
+        """One massive outlier day must not move the median slope
+        (the property OLS lacks)."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [(d, f"1970-01-{d + 1:02d}", (1000 + 100 * d) / 100.0)
+                for d in range(20)]
+        rows[10] = (10, "1970-01-11", 9_999_999.0)  # outlier
+        o = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        r = mining_q.q_theil_sen_trend(spark, SF).collect()[0]
+        assert r["slope_cents_per_day"] == pytest.approx(100.0)
+
+
+class TestMannKendall:
+    def test_strictly_increasing(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [(d, f"1970-01-{d + 1:02d}", (1000 + 50 * d) / 100.0)
+                for d in range(25)]
+        o = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        r = mining_q.q_mann_kendall(spark, SF).collect()[0]
+        n = 25
+        assert r["s_stat"] == n * (n - 1) // 2  # every pair concordant
+        assert r["var_s"] == pytest.approx(
+            n * (n - 1) * (2 * n + 5) / 18.0, abs=0.01
+        )
+        assert r["trend"] == "increasing"
+        assert r["z"] > 1.96
+
+    def test_all_tied_series_no_trend(self, spark, monkeypatch):
+        """Constant revenue: S=0, full tie correction collapses var to
+        0 -> z 0.0 via the nullif guard, verdict no-trend (no abort)."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [(d, f"1970-01-{d + 1:02d}", 10.0) for d in range(12)]
+        o = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        r = mining_q.q_mann_kendall(spark, SF).collect()[0]
+        assert r["s_stat"] == 0
+        assert r["var_s"] == pytest.approx(0.0)
+        assert r["z"] == pytest.approx(0.0)
+        assert r["trend"] == "no-trend"
+
+
+class TestCusumChangepoint:
+    def test_planted_step_located(self, spark, monkeypatch):
+        """Mean shift at day 15 of 30: |cusum| peaks exactly at the
+        last pre-shift day (day 14)."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = []
+        for d in range(30):
+            price = 10.0 if d < 15 else 90.0
+            rows.append((d, f"1970-01-{d + 1:02d}" if d < 31 else "",
+                         price))
+        o = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        r = mining_q.q_cusum_changepoint(spark, SF).collect()[0]
+        assert r["n_days"] == 30
+        assert r["cp_day_num"] == 14
+        assert r["cp_day"] == "1970-01-15"
+        # C_14 = sum_{i<=14}(x_i - mean); mean = 50.0 -> 15*(-40) cents
+        assert r["cusum_cents"] == pytest.approx(15 * -4000.0)
+
+
+class TestStlDecompose:
+    def test_pure_weekly_pattern_recovered(self, spark, monkeypatch):
+        """rev depends only on dow -> the centered MA7 is flat, the
+        seasonal indices recover the pattern (re-centered), and the
+        residual RMS is ~0 on every dow."""
+        from resume_jd_matcher_spark.queries import mining_q
+        import datetime
+
+        base = datetime.date(1970, 1, 1)
+        rows = []
+        for d in range(35):
+            day = base + datetime.timedelta(days=d)
+            dow = d % 7  # 1970-01-01 is day 0
+            rows.append((d, day.isoformat(), (1000 + 700 * dow) / 100.0))
+        o = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        out = {r["dow"]: r for r in mining_q.q_stl_decompose(spark, SF).collect()}
+        assert set(out) == set(range(7))
+        # pattern is 700*dow cents around its own mean 700*3
+        for dow in range(7):
+            assert out[dow]["seasonal_cents"] == pytest.approx(
+                700.0 * (dow - 3), abs=0.02
+            )
+            assert out[dow]["resid_rms"] == pytest.approx(0.0, abs=0.02)
+        # seasonal indices of an additive decomposition sum to ~0
+        assert sum(r["seasonal_cents"] for r in out.values()) == pytest.approx(
+            0.0, abs=0.1
+        )
+
+
+class TestGlobalMedianExact:
+    def test_matches_python_median_edges(self, spark):
+        """Exact (interpolated) median on odd/even counts, tiny
+        inputs, and a 30%-tie mass at one value — the cases where the
+        sketch bracket or the small-input collapse could slip."""
+        import random
+        import statistics
+
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_median_exact,
+        )
+
+        random.seed(7)
+        cases = [
+            [3.0],
+            [1.0, 2.0],
+            [5.0, 1.0, 9.0],
+            [random.uniform(-100, 100) for _ in range(101)],
+            [0.0] * 600 + [random.uniform(0, 1) for _ in range(1401)],
+        ]
+        for vals in cases:
+            df = spark.createDataFrame([(v,) for v in vals], "_x double")
+            r = global_median_exact(df, "_x").collect()[0]
+            assert r["n"] == len(vals)
+            assert r["med"] == pytest.approx(
+                statistics.median(vals), abs=1e-12
+            ), f"n={len(vals)}"
+
+    def test_nulls_skipped(self, spark):
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_median_exact,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (3.0,), (None,), (2.0,)], "_x double"
+        )
+        r = global_median_exact(df, "_x").collect()[0]
+        assert r["n"] == 3
+        assert r["med"] == pytest.approx(2.0)
+
+    def test_bracket_path_exact_beyond_small_n(self, spark):
+        """Above the 100k small-input cutoff the bracket slice path
+        runs; it must still be exact (even count -> interpolated)."""
+        import statistics
+
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_median_exact,
+        )
+
+        n = 120_000
+        vals = [((i * 2654435761) % 1_000_003) / 7.0 for i in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "_x double")
+        r = global_median_exact(df, "_x").collect()[0]
+        assert r["n"] == n
+        assert r["med"] == pytest.approx(statistics.median(vals), abs=1e-9)

@@ -278,6 +278,22 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast global (min,max) bounds crossed into
         # the event grain for zone assignment:
         "zone_map_pruning",
+        # calendar-bounded broadcast day-grain self-pairing (days^2
+        # pairs independent of fact rows) + the percentile operator's
+        # single-row broadcasts:
+        "theil_sen_trend",
+        # same calendar-bounded day-grain self-pairing + 1-row
+        # S/n/tie-census summaries crossed together:
+        "mann_kendall",
+        # single-row totals broadcast crossed into the bounded day
+        # grain before the calendar-sized cusum window:
+        "cusum_changepoint",
+        # 1-row calendar bounds + 1-row/7-row seasonal summaries
+        # crossed back onto the bounded day grain:
+        "stl_decompose",
+        # single-row calendar-midpoint cutoff broadcast crossed into
+        # the fact before the 4-group conditional agg:
+        "diff_in_did",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

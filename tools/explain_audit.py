@@ -305,6 +305,17 @@ HEADLINERS = {
     "grouping), 1-row finalize — no window, no join",
     "dp_noisy_counts": "one dimension-grain hash agg then scalar "
     "seeded-hash Laplace arithmetic per group — no second pass",
+    "theil_sen_trend": "day-grain collapse first; calendar-bounded "
+    "broadcast self-pairing; slope median via sketch-guided exact "
+    "selection — only the ~4% bracket slice is ever sorted",
+    "mann_kendall": "same calendar-bounded pair base; S and the tie "
+    "census are integer hash aggs, 1-row finalize",
+    "cusum_changepoint": "day-grain collapse, 1-row totals broadcast, "
+    "cusum window over the bounded calendar summary only",
+    "stl_decompose": "calendar-filled day grain; MA7/rank windows over "
+    "the bounded calendar; seasonal joins are 7-row broadcasts",
+    "diff_in_did": "ONE conditional hash agg over the fact after a "
+    "1-row cutoff broadcast — no window, 4-group finalize",
 }
 
 

@@ -194,6 +194,16 @@ REGISTERED = [
     "jackknife_ratio_ci",
     "forecast_backtest",
     "zone_map_pruning",
+    # round-8 batch 5: the calendar-bounded trend/changepoint family.
+    # theil_sen/mann_kendall build a days^2 pair space INDEPENDENT of
+    # fact rows, so their 10x ratio isolates the day-grain collapse
+    # cost; cusum/stl window only the bounded calendar; diff_in_did is
+    # one conditional agg over the fact (the closest to pure-scan).
+    "theil_sen_trend",
+    "mann_kendall",
+    "cusum_changepoint",
+    "stl_decompose",
+    "diff_in_did",
 ]
 
 
