@@ -121,6 +121,9 @@ _DRIVER_PRIORITY = [
     "cusum_changepoint",
     "stl_decompose",
     "diff_in_did",
+    "zipf_fit",
+    "llr_keyness",
+    "hurst_exponent",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

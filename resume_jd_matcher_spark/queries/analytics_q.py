@@ -820,3 +820,282 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("n_from").cast("double") + F.lit(1e-9), 4).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (top-k term law)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_K = 1000
+
+
+@register(
+    "zipf_fit",
+    f"""
+WITH tf AS (
+  SELECT unnest({_SQL_TOKS.format(c='text')}) AS token FROM documents
+), c AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM tf GROUP BY token
+), r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM c
+), t AS (
+  SELECT ln(rank::DOUBLE) AS lx, ln(cnt::DOUBLE) AS ly
+  FROM r WHERE rank <= {_ZIPF_TOP_K}
+), f AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         regr_slope(ly, lx) AS s, regr_intercept(ly, lx) AS i,
+         regr_r2(ly, lx) AS r2
+  FROM t
+), cov AS (
+  SELECT sum(CASE WHEN rank <= {_ZIPF_TOP_K} THEN cnt ELSE 0 END)::BIGINT
+           AS top_mass,
+         sum(cnt)::BIGINT AS total_mass,
+         count(*)::BIGINT AS vocab_size
+  FROM r
+)
+SELECT f.n_terms, cov.vocab_size,
+       round(f.s + 1e-9, 4) AS zipf_exponent,
+       round(exp(f.i) + 1e-9, 2) AS c0,
+       round(f.r2 + 1e-9, 4) AS r2,
+       round(cov.top_mass / cov.total_mass::DOUBLE + 1e-9, 4)
+         AS topk_coverage
+FROM f CROSS JOIN cov
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: Zipf's-law rank-frequency fit over the corpus
+    vocabulary — log-log OLS of ln(freq) on ln(rank) for the top-1000
+    terms (Zipf 1949; natural language sits near exponent -1, and a
+    much flatter/steeper slope flags synthetic or template-heavy
+    corpora — the companion corpus-health signal to heaps_law). Also
+    reports the head coverage (token mass captured by the top-1000),
+    the skew number a mixture/sampling plan needs.
+
+    Scale shape: ONE scan -> explode -> token hash agg (map-side
+    combined), then the global top-k is a sort-LIMIT
+    (TakeOrderedAndProject — per-partition heaps, never a full sort
+    or a vocab-sized window; the rank window runs over the k
+    surviving rows). The fit and coverage are 1-row aggs crossed
+    together. Vocabulary never leaves the distributed agg."""
+    from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # The vocab agg feeds three consumers (fit, head mass, coverage);
+    # without the cache each one re-scans and re-tokenizes the corpus
+    # (the heaps_law lesson). Vocab is orders of magnitude smaller
+    # than the corpus, so caching it is the cheap side of the trade.
+    c = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    # k rows; checkpointed so the fit and the head-mass agg provably
+    # share the one TakeOrdered result instead of re-running it.
+    top = (
+        c.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_ZIPF_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            ),
+        )
+        .localCheckpoint()
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    eps = F.lit(1e-9)
+    f = top.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.regr_slope(ly, lx).alias("s"),
+        F.regr_intercept(ly, lx).alias("i"),
+        F.regr_r2(ly, lx).alias("r2"),
+    )
+    top_mass = top.agg(
+        F.sum("cnt").cast("bigint").alias("top_mass")
+    )
+    cov = c.agg(
+        F.sum("cnt").cast("bigint").alias("total_mass"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+    )
+    return (
+        f.crossJoin(F.broadcast(top_mass))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_terms",
+            "vocab_size",
+            F.round(F.col("s") + eps, 4).alias("zipf_exponent"),
+            F.round(F.exp(F.col("i")) + eps, 2).alias("c0"),
+            F.round(F.col("r2") + eps, 4).alias("r2"),
+            F.round(
+                F.col("top_mass") / F.col("total_mass").cast("double")
+                + eps,
+                4,
+            ).alias("topk_coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-likelihood-ratio keyness (Dunning 1993) per source
+# ---------------------------------------------------------------------------
+
+_LLR_MIN_DF = 5
+_LLR_TOP_K = 10
+
+
+@register(
+    "llr_keyness",
+    f"""
+WITH tf AS (
+  SELECT source, unnest({_SQL_TOKS.format(c='text')}) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, count(*)::BIGINT AS a
+  FROM tf GROUP BY source, token
+), tok AS (
+  SELECT token, sum(a)::BIGINT AS tok_total FROM st GROUP BY token
+), src AS (
+  SELECT source, sum(a)::BIGINT AS src_total FROM st GROUP BY source
+), tot AS (
+  SELECT sum(a)::BIGINT AS grand FROM st
+), cells AS (
+  SELECT st.source, st.token,
+         st.a::DOUBLE AS a,
+         (tok.tok_total - st.a)::DOUBLE AS b,
+         (src.src_total - st.a)::DOUBLE AS c,
+         (tot.grand - tok.tok_total - src.src_total + st.a)::DOUBLE AS d,
+         tot.grand::DOUBLE AS n
+  FROM st
+  JOIN tok ON tok.token = st.token AND tok.tok_total >= {_LLR_MIN_DF}
+  JOIN src ON src.source = st.source
+  CROSS JOIN tot
+), scored AS (
+  SELECT source, token, a,
+         2.0 * ((CASE WHEN a > 0 THEN a * ln(a) ELSE 0.0 END)
+              + (CASE WHEN b > 0 THEN b * ln(b) ELSE 0.0 END)
+              + (CASE WHEN c > 0 THEN c * ln(c) ELSE 0.0 END)
+              + (CASE WHEN d > 0 THEN d * ln(d) ELSE 0.0 END)
+              - (a + b) * ln(a + b) - (a + c) * ln(a + c)
+              - (CASE WHEN b + d > 0 THEN (b + d) * ln(b + d)
+                      ELSE 0.0 END)
+              - (CASE WHEN c + d > 0 THEN (c + d) * ln(c + d)
+                      ELSE 0.0 END)
+              + n * ln(n)) AS llr,
+         sign(a * (b + d) - b * (a + c)) AS direction
+  FROM cells
+), ranked AS (
+  SELECT source, token, a::BIGINT AS n_in_source,
+         round(llr + 1e-9, 4) AS llr, direction::INT AS direction,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY round(llr, 6) DESC, token)
+           AS rk
+  FROM scored WHERE direction > 0
+)
+SELECT source, token, n_in_source, llr, rk::INT AS rk
+FROM ranked WHERE rk <= {_LLR_TOP_K}
+""",
+)
+def q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: per-source keyness — the top-{_LLR_TOP_K} terms most
+    OVER-represented in each source versus the rest of the corpus by
+    Dunning's log-likelihood ratio (Dunning 1993, the standard
+    keyness statistic in corpus linguistics; robust where chi-square
+    misbehaves on rare events). The 2x2 table per (source, token) is
+    (a=in-source count, b=elsewhere count, c/d=complements); only
+    positively-keyed terms (observed > expected) rank. Ranking uses
+    round(llr, 6) so a last-ulp libm divergence between engines can
+    never flip the top-k cut; ties break on token.
+
+    Scale shape: token hash agg -> (source, token) grain; the token
+    df-filter (>= {_LLR_MIN_DF}) prunes the vocabulary BEFORE the
+    per-source window (the term_frequency lesson), and the
+    source/grand totals are dimension-bounded broadcasts. The window
+    partitions by source over the df-filtered grain."""
+    from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # (source, token) grain feeds four consumers (token df, source
+    # totals, grand total, the cell join) — cached so the corpus is
+    # scanned and tokenized ONCE (the heaps_law lesson).
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("a"))
+        .persist()
+    )
+    tok = (
+        st.groupBy("token")
+        .agg(F.sum("a").cast("bigint").alias("tok_total"))
+        .filter(F.col("tok_total") >= _LLR_MIN_DF)
+    )
+    src = st.groupBy("source").agg(
+        F.sum("a").cast("bigint").alias("src_total")
+    )
+    tot = st.agg(F.sum("a").cast("bigint").alias("grand"))
+    cells = (
+        st.join(tok, "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "token",
+            F.col("a").cast("double").alias("a"),
+            (F.col("tok_total") - F.col("a")).cast("double").alias("b"),
+            (F.col("src_total") - F.col("a")).cast("double").alias("c"),
+            (
+                F.col("grand")
+                - F.col("tok_total")
+                - F.col("src_total")
+                + F.col("a")
+            )
+            .cast("double")
+            .alias("d"),
+            F.col("grand").cast("double").alias("n"),
+        )
+    )
+
+    def xlnx(col):
+        return F.when(col > 0, col * F.log(col)).otherwise(F.lit(0.0))
+
+    llr = 2.0 * (
+        xlnx(F.col("a"))
+        + xlnx(F.col("b"))
+        + xlnx(F.col("c"))
+        + xlnx(F.col("d"))
+        - (F.col("a") + F.col("b")) * F.log(F.col("a") + F.col("b"))
+        - (F.col("a") + F.col("c")) * F.log(F.col("a") + F.col("c"))
+        - xlnx(F.col("b") + F.col("d"))
+        - xlnx(F.col("c") + F.col("d"))
+        + F.col("n") * F.log(F.col("n"))
+    )
+    direction = F.signum(
+        F.col("a") * (F.col("b") + F.col("d"))
+        - F.col("b") * (F.col("a") + F.col("c"))
+    )
+    scored = cells.select(
+        "source",
+        "token",
+        F.col("a").cast("bigint").alias("n_in_source"),
+        llr.alias("llr"),
+        direction.alias("direction"),
+    ).filter(F.col("direction") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.round(F.col("llr"), 6).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LLR_TOP_K)
+        .select(
+            "source",
+            "token",
+            "n_in_source",
+            F.round(F.col("llr") + F.lit(1e-9), 4).alias("llr"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1677,3 +1677,100 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_rms",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent (aggregated-variance method, daily revenue)
+# ---------------------------------------------------------------------------
+
+_HURST_BLOCKS = [1, 2, 4, 8, 16]
+
+
+@register(
+    "hurst_exponent",
+    f"""
+WITH g AS (
+  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT unnest(ARRAY{_HURST_BLOCKS}) AS m
+), blk AS (
+  SELECT m.m, g.day // m.m AS blk,
+         count(*)::BIGINT AS c, sum(g.rev)::BIGINT AS s
+  FROM g CROSS JOIN m GROUP BY m.m, g.day // m.m
+), bm AS (
+  SELECT m, s / (c::DOUBLE) AS bmean FROM blk WHERE c = m
+), v AS (
+  SELECT m, count(*)::BIGINT AS n_blocks,
+         avg(bmean * bmean) - avg(bmean) * avg(bmean) AS var_m
+  FROM bm GROUP BY m HAVING count(*) >= 2
+)
+SELECT (SELECT count(*)::BIGINT FROM v) AS n_scales,
+       round(regr_slope(ln(var_m), ln(m::DOUBLE)) / 2.0 + 1.0 + 1e-9, 4)
+         AS hurst,
+       round(regr_r2(ln(var_m), ln(m::DOUBLE)) + 1e-9, 4) AS r2
+FROM v
+""",
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: Hurst exponent of the daily-revenue series by the
+    aggregated-variance method (Beran 1994; Taqqu et al. 1995): block
+    the series at sizes m = {_HURST_BLOCKS}, compute the variance of
+    the full-block means, and fit ln Var(m) ~ ln m — slope = 2H - 2.
+    H ~ 0.5 is short-memory noise; H -> 1 flags long-range dependence
+    (trend/seasonal structure a forecast must model); H < 0.5,
+    anti-persistence. Block means derive from exact integer sums, and
+    partial trailing blocks are excluded (c = m) so both engines see
+    identical block sets.
+
+    Scale shape: fact -> day grain, then ONE hash agg over
+    day-grain x |blocks| rows (calendar-bounded), a |blocks|-row
+    variance table, and a 1-row OLS — no window at all."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    m = F.explode(
+        F.array(*[F.lit(v) for v in _HURST_BLOCKS])
+    ).alias("m")
+    blk = (
+        g.select("day", "rev", m)
+        .groupBy("m", F.floor(F.col("day") / F.col("m")).alias("blk"))
+        .agg(
+            F.count("*").cast("bigint").alias("c"),
+            F.sum("rev").cast("bigint").alias("s"),
+        )
+    )
+    bm = blk.filter(F.col("c") == F.col("m")).select(
+        "m", (F.col("s") / F.col("c").cast("double")).alias("bmean")
+    )
+    v = (
+        bm.groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            (
+                F.avg(F.col("bmean") * F.col("bmean"))
+                - F.avg("bmean") * F.avg("bmean")
+            ).alias("var_m"),
+        )
+        .filter(F.col("n_blocks") >= 2)
+    )
+    lx = F.log(F.col("m").cast("double"))
+    ly = F.log(F.col("var_m"))
+    return v.agg(
+        F.count("*").cast("bigint").alias("n_scales"),
+        F.round(
+            F.regr_slope(ly, lx) / 2.0 + 1.0 + F.lit(1e-9), 4
+        ).alias("hurst"),
+        F.round(F.regr_r2(ly, lx) + F.lit(1e-9), 4).alias("r2"),
+    )

@@ -566,3 +566,78 @@ class TestEventTransitions:
             rowsum[f] += r["p"]
         for f, s in rowsum.items():
             assert s == pytest.approx(1.0, abs=1e-3)
+
+
+class TestZipfFit:
+    def test_planted_zipfian_corpus(self, spark, monkeypatch):
+        """Counts exactly C/rank -> log-log OLS recovers exponent -1
+        with r2 ~ 1; vocab < top-k so coverage is 1.0."""
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        words = []
+        for rank in range(1, 21):
+            words += [f"w{rank:02d}"] * (2520 // rank)  # exact C/rank
+        docs = [(i, "s", " ".join(words[i::10])) for i in range(10)]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        r = analytics_q.q_zipf_fit(spark, "ignored").collect()[0]
+        assert r["n_terms"] == 20
+        assert r["vocab_size"] == 20
+        assert r["zipf_exponent"] == pytest.approx(-1.0, abs=0.01)
+        assert r["r2"] > 0.999
+        assert r["topk_coverage"] == pytest.approx(1.0)
+
+    def test_flat_corpus_zero_slope(self, spark, monkeypatch):
+        """Every term equally frequent -> slope 0 (template corpus
+        signature)."""
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        words = [f"t{i:02d}" for i in range(30)] * 50
+        df = spark.createDataFrame(
+            [(0, "s", " ".join(words))], "doc_id long, source string, text string"
+        )
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        r = analytics_q.q_zipf_fit(spark, "ignored").collect()[0]
+        assert r["zipf_exponent"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestLlrKeyness:
+    def test_planted_key_term_ranks_first(self, spark, monkeypatch):
+        """A term appearing ONLY in source A (and often) must be A's
+        top keyness term; shared background terms must not outrank
+        it. A rare term (corpus df < 5) never appears."""
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        bg = "the and of to in " * 20  # shared background
+        docs = [
+            (0, "A", bg + " kubernetes " * 30 + " rare"),
+            (1, "A", bg + " kubernetes " * 30),
+            (2, "B", bg),
+            (3, "B", bg),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        out = analytics_q.q_llr_keyness(spark, "ignored").collect()
+        a_rows = sorted([r for r in out if r["source"] == "A"], key=lambda r: r["rk"])
+        assert a_rows and a_rows[0]["token"] == "kubernetes"
+        assert a_rows[0]["n_in_source"] == 60
+        assert a_rows[0]["llr"] > 0
+        assert all(r["token"] != "rare" for r in out)  # df=1 < min_df
+        # ranks are 1..k, contiguous per source
+        for src in {"A", "B"}:
+            rks = [r["rk"] for r in out if r["source"] == src]
+            assert rks == list(range(1, len(rks) + 1))
+
+    def test_balanced_term_not_keyed(self, spark, monkeypatch):
+        """A term spread exactly proportionally to source sizes has
+        observed == expected -> direction 0 -> excluded everywhere."""
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        docs = [
+            (0, "A", "even " * 10 + "alpha " * 10),
+            (1, "B", "even " * 10 + "beta " * 10),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        out = analytics_q.q_llr_keyness(spark, "ignored").collect()
+        assert all(r["token"] != "even" for r in out)

@@ -715,3 +715,46 @@ class TestGlobalMedianExact:
         r = global_median_exact(df, "_x").collect()[0]
         assert r["n"] == n
         assert r["med"] == pytest.approx(statistics.median(vals), abs=1e-9)
+
+
+class TestHurstExponent:
+    def _orders(self, spark, prices):
+        import datetime
+
+        base = datetime.date(1970, 1, 1)
+        rows = [
+            (i, (base + datetime.timedelta(days=i)).isoformat(), p)
+            for i, p in enumerate(prices)
+        ]
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
+
+    def test_iid_noise_near_half(self, spark, monkeypatch):
+        """Deterministic hash-noise daily series: block-mean variance
+        decays ~1/m -> H near 0.5."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        import random
+
+        rng = random.Random(42)
+        prices = [100.0 + rng.uniform(0, 100) for _ in range(512)]
+        monkeypatch.setattr(
+            mining_q, "load_table", lambda *a: self._orders(spark, prices)
+        )
+        r = mining_q.q_hurst_exponent(spark, SF).collect()[0]
+        assert r["n_scales"] == 5
+        assert 0.35 < r["hurst"] < 0.65
+        assert r["r2"] > 0.9
+
+    def test_strong_trend_near_one(self, spark, monkeypatch):
+        """A pure ramp keeps block-mean variance ~constant across m
+        -> slope ~0 -> H ~ 1 (long-range structure)."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        prices = [10.0 + 0.5 * i for i in range(512)]
+        monkeypatch.setattr(
+            mining_q, "load_table", lambda *a: self._orders(spark, prices)
+        )
+        r = mining_q.q_hurst_exponent(spark, SF).collect()[0]
+        assert r["hurst"] > 0.9

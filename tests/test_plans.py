@@ -294,6 +294,12 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row calendar-midpoint cutoff broadcast crossed into
         # the fact before the 4-group conditional agg:
         "diff_in_did",
+        # two 1-row summaries (OLS fit, corpus mass) crossed with the
+        # 1-row top-k mass agg:
+        "zipf_fit",
+        # single-row broadcast grand-total crossed into the
+        # df-filtered (source, token) grain:
+        "llr_keyness",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

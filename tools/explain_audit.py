@@ -316,6 +316,13 @@ HEADLINERS = {
     "the bounded calendar; seasonal joins are 7-row broadcasts",
     "diff_in_did": "ONE conditional hash agg over the fact after a "
     "1-row cutoff broadcast — no window, 4-group finalize",
+    "zipf_fit": "token hash agg, global top-k via TakeOrdered (never "
+    "a vocab-sized window), 1-row fit/coverage finalize",
+    "llr_keyness": "token df-filter BEFORE the per-source window; "
+    "source/grand totals broadcast; window over the pruned grain",
+    "hurst_exponent": "day-grain collapse, one calendar-bounded "
+    "(day x blocks) hash agg, |blocks|-row variance table, 1-row OLS "
+    "— no window",
 }
 
 
