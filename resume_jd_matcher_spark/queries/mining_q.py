@@ -1704,7 +1704,9 @@ WITH g AS (
 ), v AS (
   SELECT m, count(*)::BIGINT AS n_blocks,
          avg(bmean * bmean) - avg(bmean) * avg(bmean) AS var_m
-  FROM bm GROUP BY m HAVING count(*) >= 2
+  FROM bm GROUP BY m
+  HAVING count(*) >= 2
+     AND avg(bmean * bmean) - avg(bmean) * avg(bmean) > 0
 )
 SELECT (SELECT count(*)::BIGINT FROM v) AS n_scales,
        round(regr_slope(ln(var_m), ln(m::DOUBLE)) / 2.0 + 1.0 + 1e-9, 4)
@@ -1763,7 +1765,10 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.avg("bmean") * F.avg("bmean")
             ).alias("var_m"),
         )
-        .filter(F.col("n_blocks") >= 2)
+        # var 0 (constant series) or a tiny negative from float
+        # cancellation would hit ln(<=0): Spark's log returns NULL
+        # but DuckDB errors — filter the scale out on BOTH sides.
+        .filter((F.col("n_blocks") >= 2) & (F.col("var_m") > 0))
     )
     lx = F.log(F.col("m").cast("double"))
     ly = F.log(F.col("var_m"))

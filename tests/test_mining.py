@@ -758,3 +758,16 @@ class TestHurstExponent:
         )
         r = mining_q.q_hurst_exponent(spark, SF).collect()[0]
         assert r["hurst"] > 0.9
+
+    def test_constant_series_no_crash(self, spark, monkeypatch):
+        """Constant revenue -> every block-mean variance is 0 ->
+        all scales filtered, NULL fit, no ln(0) abort."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        prices = [42.0] * 64
+        monkeypatch.setattr(
+            mining_q, "load_table", lambda *a: self._orders(spark, prices)
+        )
+        r = mining_q.q_hurst_exponent(spark, SF).collect()[0]
+        assert r["n_scales"] == 0
+        assert r["hurst"] is None
