@@ -1415,10 +1415,22 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "s_stat",
         F.round(F.col("var_s") + F.lit(1e-9), 2).alias("var_s"),
+        # mirrors the oracle CASE exactly: s_stat NULL (no pairs) or 0
+        # falls to the ELSE 0.0 branch — putting the division in an
+        # otherwise() would instead yield NULL on the degenerate
+        # single-day input and diverge from the SQL.
         F.round(
-            F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
-                zc / F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0)))
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1)
+                / F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0))),
             )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1)
+                / F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0))),
+            )
+            .otherwise(F.lit(0.0))
             + F.lit(1e-9),
             4,
         ).alias("z"),

@@ -604,6 +604,22 @@ class TestMannKendall:
         assert r["z"] == pytest.approx(0.0)
         assert r["trend"] == "no-trend"
 
+    def test_single_day_degenerate(self, spark, monkeypatch):
+        """One day -> zero pairs -> s_stat NULL, z falls to the 0.0
+        ELSE branch (matching the SQL CASE), verdict no-trend."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        o = spark.createDataFrame(
+            [(0, "1970-01-01", 10.0)],
+            "o_orderkey long, o_orderdate string, o_totalprice double",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: o)
+        r = mining_q.q_mann_kendall(spark, SF).collect()[0]
+        assert r["n_days"] == 1
+        assert r["s_stat"] is None
+        assert r["z"] == pytest.approx(0.0)
+        assert r["trend"] == "no-trend"
+
 
 class TestCusumChangepoint:
     def test_planted_step_located(self, spark, monkeypatch):
