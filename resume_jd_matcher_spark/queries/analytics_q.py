@@ -914,17 +914,14 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_slope(ly, lx).alias("s"),
         F.regr_intercept(ly, lx).alias("i"),
         F.regr_r2(ly, lx).alias("r2"),
-    )
-    top_mass = top.agg(
-        F.sum("cnt").cast("bigint").alias("top_mass")
+        F.sum("cnt").cast("bigint").alias("top_mass"),
     )
     cov = c.agg(
         F.sum("cnt").cast("bigint").alias("total_mass"),
         F.count("*").cast("bigint").alias("vocab_size"),
     )
     return (
-        f.crossJoin(F.broadcast(top_mass))
-        .crossJoin(F.broadcast(cov))
+        f.crossJoin(F.broadcast(cov))
         .select(
             "n_terms",
             "vocab_size",

@@ -2518,8 +2518,8 @@ WITH e AS (
   FROM e CROSS JOIN b GROUP BY 1, 2
 ), m AS (
   SELECT arm, post, n, s::DOUBLE / n / 1e6 AS mean,
-         (ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n))
-           / nullif(n - 1, 0) * n / (n::DOUBLE * 1e12) AS var_mean
+         (ss * n - s * s)::DOUBLE
+           / nullif(n::DOUBLE * n * (n - 1), 0.0) / 1e12 AS var_mean
   FROM c
 ), f AS (
   SELECT
@@ -2596,15 +2596,19 @@ def q_diff_in_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean = F.col("s").cast("double") / F.col("n") / 1e6
+    # var(cell mean) from the EXACT integer identity (n*ss - s^2) /
+    # (n^2 (n-1)): the ss/n - mean^2 spelling cancels catastrophically
+    # once ss::DOUBLE rounds past 2^53 and can go (tiny) negative on a
+    # near-constant cell — sqrt then aborts the DuckDB oracle and NaNs
+    # the Spark side. n*ss >= s^2 holds exactly in decimal/HUGEINT
+    # (Cauchy-Schwarz), so the numerator is provably non-negative.
     var_mean = (
-        (
-            F.col("ss").cast("double") / F.col("n")
-            - (F.col("s").cast("double") / F.col("n"))
-            * (F.col("s").cast("double") / F.col("n"))
+        (F.col("ss") * F.col("n") - F.col("s") * F.col("s")).cast("double")
+        / F.nullif(
+            F.col("n").cast("double") * F.col("n") * (F.col("n") - 1),
+            F.lit(0.0),
         )
-        / F.nullif(F.col("n") - 1, F.lit(0))
-        * F.col("n")
-        / (F.col("n").cast("double") * 1e12)
+        / 1e12
     )
     m = c.select("arm", "post", "n", mean.alias("mean"), var_mean.alias("var_mean"))
 

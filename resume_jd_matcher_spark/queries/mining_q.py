@@ -1248,6 +1248,10 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev")
         )
+        # calendar-bounded (~2.5k rows); checkpointed so the pair
+        # build, the totals, and the finalize don't each re-scan and
+        # re-aggregate the orders fact (the heaps_law lesson)
+        .localCheckpoint()
     )
     b = g.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
     pairs = (
@@ -1356,6 +1360,10 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev")
         )
+        # calendar-bounded (~2.5k rows); checkpointed so the pair
+        # build, the totals, and the finalize don't each re-scan and
+        # re-aggregate the orders fact (the heaps_law lesson)
+        .localCheckpoint()
     )
     b = g.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
     s = (
@@ -1499,6 +1507,9 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev")
         )
+        # day grain checkpointed: totals + cusum window would
+        # otherwise each re-scan the fact
+        .localCheckpoint()
     )
     t = g.agg(
         F.sum(F.col("rev").cast("decimal(38,0)")).alias("tot"),
@@ -1616,6 +1627,9 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev")
         )
+        # day grain checkpointed: the calendar bounds and the fill
+        # join would otherwise each re-scan the fact
+        .localCheckpoint()
     )
     bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     cal = bounds.select(

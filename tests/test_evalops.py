@@ -1057,3 +1057,33 @@ class TestDiffInDid:
             abs=5e-4,
         )
         assert r["se"] >= 0.0
+
+    def test_large_constant_cells_exact_zero_variance(self, spark, monkeypatch):
+        """2000 identical large values: ss ~ 2e21 is far past 2^53, so
+        the ss/n - mean^2 double spelling can cancel to a tiny NEGATIVE
+        and abort sqrt on the oracle side; the exact integer identity
+        n*ss - s^2 gives se == 0.0 bit-exactly (z NULL, no NaN)."""
+        import datetime
+        import math
+
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        pre = datetime.datetime(2024, 1, 1)
+        post = datetime.datetime(2024, 1, 31)
+        rows = []
+        for i in range(1000):
+            rows.append((2 * i, pre, i, "view", 1000.0, "{}"))
+            rows.append((2 * i + 1, post, i, "view", 1000.0, "{}"))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_diff_in_did(spark, SF).collect()[0]
+        assert r["se"] == 0.0
+        assert r["did"] == pytest.approx(0.0)
+        assert r["z"] is None
+        for col in ("mean_c_pre", "mean_c_post", "mean_t_pre", "mean_t_post"):
+            assert r[col] == pytest.approx(1000.0)
+            assert not math.isnan(r[col])
