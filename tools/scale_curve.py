@@ -98,6 +98,11 @@ REGISTERED = [
     "readability_ari",
     "term_frequency",
     "text_quality",
+    # round-8 corpus-law fits: the top-k head (zipf) and the
+    # df-pruned per-source keyness window (llr) — both single-
+    # tokenization by construction (cached first aggregate).
+    "zipf_fit",
+    "llr_keyness",
 ]
 
 
@@ -133,7 +138,7 @@ def main() -> None:
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ratio {ratio:.1f}  {flag}")
 
     lines = [
-        "## Measured scale curve (round 7)",
+        "## Measured scale curve (rounds 7-8)",
         "",
         f"Synthetic corpus (sources/synthdocs, deterministic): {N_BASE} docs",
         f"vs {N_BASE * MULT} docs ({MULT}x) on local[32]; best-of-2 wall",
