@@ -46,7 +46,11 @@ def group_percentiles_exact(
     spark = df.sparkSession
     # quantile_cont / percentile() skip NULLs; without this filter a
     # NULL value lands in a NULL bucket that sorts FIRST in the
-    # cumulative window and shifts every rank.
+    # cumulative window and shifts every rank. A group whose values
+    # are ALL NULL must still appear in the output (with NULL
+    # percentiles, as quantile_cont emits it) — the group universe is
+    # re-joined at the end.
+    all_groups = df.select(group_col).distinct()
     l = df.filter(F.col(value_col).isNotNull()).select(
         group_col, value_col, F.floor(value_col).alias("_b")
     )
@@ -116,7 +120,7 @@ def group_percentiles_exact(
                 + frac * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
             ).alias(tag)
         )
-    return out.select(*out_cols)
+    return all_groups.join(out.select(*out_cols), group_col, "left")
 
 
 def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:

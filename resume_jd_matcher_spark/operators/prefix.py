@@ -55,7 +55,7 @@ DEFAULT_BUCKETS = 64
 def global_prefix(
     df: DataFrame,
     order_cols: list[str],
-    sum_col: str | list[str],
+    sum_col: str | list[str] | None = None,
     ascending: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
     sum_type: str = "double",
@@ -64,7 +64,10 @@ def global_prefix(
     """Append exact global ``rank`` (1-based) and ``cum_sum``
     (inclusive running total of ``sum_col``) under the total order
     given by ``order_cols``. The leading order column drives the
-    bucketing and must be numeric and non-null.
+    bucketing and must be numeric and non-null. ``sum_col=None``
+    skips the running totals entirely (rank-only callers like
+    equi-depth binning — no per-bucket sums, no data-sized running
+    aggregate, just the row_number over each bucket).
 
     Output: input columns + (rank BIGINT, cum_sum of ``sum_type``).
 
@@ -94,8 +97,12 @@ def global_prefix(
     if bounds not in ("width", "height"):
         raise ValueError(f"bounds must be 'width' or 'height': {bounds!r}")
     multi = isinstance(sum_col, (list, tuple))
-    sum_cols = list(sum_col) if multi else [sum_col]
-    out_names = [f"cum_{c}" for c in sum_cols] if multi else ["cum_sum"]
+    if sum_col is None:
+        sum_cols: list[str] = []
+        out_names: list[str] = []
+    else:
+        sum_cols = list(sum_col) if multi else [sum_col]
+        out_names = [f"cum_{c}" for c in sum_cols] if multi else ["cum_sum"]
     cols = [
         F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
     ]

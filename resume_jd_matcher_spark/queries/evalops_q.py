@@ -30,20 +30,22 @@ from pyspark.sql import functions as F
 from resume_jd_matcher_spark.queries import register
 from resume_jd_matcher_spark.sources.io import load_table
 
-# Oracle-side squared-L2 / LSH-signature macros — shared vocabulary
-# with queries/vector_q.py so both modules' oracles stay in lockstep
-# with functions/vector.squared_l2 and operators/ann.lsh_signature.
-_SQL_SQL2 = (
-    "list_sum(list_transform(generate_series(1, len({a})), "
-    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+# Oracle-side macros IMPORTED from their canonical modules (vector_q
+# for squared-L2 / LSH signature, text_q for the portable 32-bit
+# hash) so every oracle shares ONE spelling that stays in lockstep
+# with functions/vector.squared_l2, operators/ann.lsh_signature and
+# functions/text.hash32 — this module previously carried verbatim
+# copies, the third for the hash macro.
+from resume_jd_matcher_spark.queries.text_q import SQL_HASH32 as _SQL_H32_C
+from resume_jd_matcher_spark.queries.vector_q import (
+    SQL_SQL2 as _SQL_SQL2,
 )
-_SQL_LSH_SIG = (
-    "list_sum(list_transform(generate_series(0, {planes} - 1), j -> "
-    "CASE WHEN list_sum(list_transform(generate_series(1, len({a})), "
-    "i -> {a}[i] * sin(0.7 * j * len({a}) + 0.3 * i))) > 0.0 "
-    "THEN (1::BIGINT << j) ELSE 0 END))::BIGINT"
+from resume_jd_matcher_spark.queries.vector_q import (
+    _SQL_LSH_SIG,  # noqa: F401  (same package; shared oracle macro)
 )
-_SQL_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+# local placeholder name is {x}; the canonical macro uses {c}
+_SQL_H32 = _SQL_H32_C.replace("{c}", "{x}")
 
 
 # ---------------------------------------------------------------------------
@@ -464,10 +466,12 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
+    # sum_col=None: only the rank is consumed — no reason to carry a
+    # fact-sized running price total through the bucket windows
     ranked = global_prefix(
         o,
         ["o_totalprice", "o_orderkey"],
-        "o_totalprice",
+        None,
         bounds="height",
     )
     n = o.agg(F.count("*").alias("_n"))
@@ -1131,26 +1135,31 @@ WITH a AS (
   FROM a
 ), t AS (
   SELECT n_a, n_b,
-         sx_a / n_a AS m_a, sx_b / n_b AS m_b,
-         (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS v_a,
-         (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS v_b
+         sx_a / nullif(n_a, 0) AS m_a, sx_b / nullif(n_b, 0) AS m_b,
+         (sxx_a - sx_a * sx_a / nullif(n_a, 0))
+           / nullif(n_a - 1, 0) AS v_a,
+         (sxx_b - sx_b * sx_b / nullif(n_b, 0))
+           / nullif(n_b - 1, 0) AS v_b
   FROM s
 ), w AS (
   SELECT n_a, n_b, m_a, m_b, v_a, v_b,
-         v_a / n_a + v_b / n_b AS se2
+         v_a / nullif(n_a, 0) + v_b / nullif(n_b, 0) AS se2
   FROM t
 )
 SELECT n_a, n_b,
        round(m_a + 1e-9, 4) AS mean_a,
        round(m_b + 1e-9, 4) AS mean_b,
-       round((m_a - m_b) / sqrt(se2) + 1e-9, 4) AS t_stat,
-       round(se2 * se2 / (v_a * v_a / (n_a * n_a * (n_a - 1.0))
-                          + v_b * v_b / (n_b * n_b * (n_b - 1.0)))
+       round((m_a - m_b) / sqrt(nullif(se2, 0.0)) + 1e-9, 4) AS t_stat,
+       round(se2 * se2
+             / nullif(v_a * v_a / (n_a * n_a * (n_a - 1.0))
+                      + v_b * v_b / (n_b * n_b * (n_b - 1.0)), 0.0)
              + 1e-9, 1) AS df,
        round((m_a - m_b)
-             / sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b)
-                    / (n_a + n_b - 2.0)) + 1e-9, 4) AS cohens_d,
-       coalesce(abs(round((m_a - m_b) / sqrt(se2) + 1e-9, 4)) > 1.96,
+             / sqrt(nullif(((n_a - 1) * v_a + (n_b - 1) * v_b)
+                           / nullif(n_a + n_b - 2.0, 0.0), 0.0))
+             + 1e-9, 4) AS cohens_d,
+       coalesce(abs(round((m_a - m_b) / sqrt(nullif(se2, 0.0)) + 1e-9, 4))
+                  > 1.96,
                 false) AS significant
 FROM w
 """,
@@ -1201,27 +1210,37 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
         ).alias("sxx_b"),
     )
-    m_a = F.col("sx_a") / F.col("n_a")
-    m_b = F.col("sx_b") / F.col("n_b")
-    v_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
-        F.col("n_a") - 1
+    # one-sided / single-user splits: every divisor nullif-guarded so
+    # both engines yield NULL instead of Spark aborting under ANSI
+    # divide-by-zero while DuckDB floats run to inf/NaN (the
+    # ab_test_ztest discipline, previously missing here)
+    na = F.nullif(F.col("n_a"), F.lit(0))
+    nb = F.nullif(F.col("n_b"), F.lit(0))
+    m_a = F.col("sx_a") / na
+    m_b = F.col("sx_b") / nb
+    v_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / na) / F.nullif(
+        F.col("n_a") - 1, F.lit(0)
     )
-    v_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
-        F.col("n_b") - 1
+    v_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / nb) / F.nullif(
+        F.col("n_b") - 1, F.lit(0)
     )
     w = s.select("n_a", "n_b", m_a.alias("m_a"), m_b.alias("m_b"),
                  v_a.alias("v_a"), v_b.alias("v_b"),
-                 (v_a / F.col("n_a") + v_b / F.col("n_b")).alias("se2"))
+                 (v_a / na + v_b / nb).alias("se2"))
     t_stat = F.round(
-        (F.col("m_a") - F.col("m_b")) / F.sqrt(F.col("se2")) + F.lit(1e-9), 4
+        (F.col("m_a") - F.col("m_b"))
+        / F.sqrt(F.nullif(F.col("se2"), F.lit(0.0)))
+        + F.lit(1e-9),
+        4,
     )
     df = F.round(
         F.col("se2") * F.col("se2")
-        / (
+        / F.nullif(
             F.col("v_a") * F.col("v_a")
             / (F.col("n_a") * F.col("n_a") * (F.col("n_a") - F.lit(1.0)))
             + F.col("v_b") * F.col("v_b")
-            / (F.col("n_b") * F.col("n_b") * (F.col("n_b") - F.lit(1.0)))
+            / (F.col("n_b") * F.col("n_b") * (F.col("n_b") - F.lit(1.0))),
+            F.lit(0.0),
         )
         + F.lit(1e-9),
         1,
@@ -1229,11 +1248,16 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohens = F.round(
         (F.col("m_a") - F.col("m_b"))
         / F.sqrt(
-            (
-                (F.col("n_a") - 1) * F.col("v_a")
-                + (F.col("n_b") - 1) * F.col("v_b")
+            F.nullif(
+                (
+                    (F.col("n_a") - 1) * F.col("v_a")
+                    + (F.col("n_b") - 1) * F.col("v_b")
+                )
+                / F.nullif(
+                    F.col("n_a") + F.col("n_b") - F.lit(2.0), F.lit(0.0)
+                ),
+                F.lit(0.0),
             )
-            / (F.col("n_a") + F.col("n_b") - F.lit(2.0))
         )
         + F.lit(1e-9),
         4,
@@ -2296,7 +2320,7 @@ WITH e AS (
   FROM e
 ), p AS (
   SELECT label,
-         1.0 / (1.0 + exp(-(value - g.mu) / g.sd)) AS p_hat
+         round(1.0 / (1.0 + exp(-(value - g.mu) / g.sd)), 9) AS p_hat
   FROM e, g
 ), b AS (
   SELECT least(floor(p_hat * 10), 9)::INT AS bin, label, p_hat FROM p
@@ -2337,14 +2361,21 @@ def q_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sd"),
     )
+    # p_hat is rounded to 9 dp BEFORE the discrete bin cut: mu/sd come
+    # from parallel double summation whose accumulation order differs
+    # between engines, and floor(raw_p_hat * 10) is the one discrete
+    # key in the family computed from raw floats — a row whose score
+    # sits ulps from a decile edge would otherwise bin differently on
+    # the two engines.
     p = e.crossJoin(F.broadcast(g)).select(
         "label",
-        (
+        F.round(
             F.lit(1.0)
             / (
                 F.lit(1.0)
                 + F.exp(-(F.col("value") - F.col("mu")) / F.col("sd"))
-            )
+            ),
+            9,
         ).alias("p_hat"),
     )
     b = p.select(

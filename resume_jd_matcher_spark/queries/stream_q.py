@@ -568,7 +568,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_drift_monitor",
     """
 WITH bc AS (
-  SELECT event_type, least(floor(value / 25)::INT, 9) AS bkt,
+  SELECT event_type, greatest(least(floor(value / 25)::INT, 9), 0) AS bkt,
          count(*)::BIGINT AS n
   FROM events GROUP BY 1, 2
 ), bt AS (
@@ -584,7 +584,7 @@ WITH bc AS (
     ON c.event_type = g.event_type AND c.bkt = g.bkt
 ), cc AS (
   SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
-         event_type, least(floor(value / 25)::INT, 9) AS bkt,
+         event_type, greatest(least(floor(value / 25)::INT, 9), 0) AS bkt,
          count(*)::BIGINT AS n
   FROM events GROUP BY 1, 2, 3
 ), ct AS (

@@ -32,10 +32,19 @@ PSI_ALERT = 0.2  # the standard industry threshold
 def value_bucket(col: F.Column) -> F.Column:
     """Fixed-width value bucket, clamped to [0, N_BUCKETS): a pure
     projection, identical in the stream, the batch twin and the SQL
-    oracle (least(floor(value / 25), 9))."""
-    return F.least(
-        F.floor(col / F.lit(BUCKET_WIDTH)).cast("int"),
-        F.lit(N_BUCKETS - 1),
+    oracle (greatest(least(floor(value / 25), 9), 0)).
+
+    Clamped at BOTH ends: an unclamped negative value would take a
+    bucket < 0 that matches no row of the completed 0..9 grid — the
+    rows would still inflate the per-type totals while contributing
+    zero PSI terms, so a drift INTO negative values could never trip
+    the alert."""
+    return F.greatest(
+        F.least(
+            F.floor(col / F.lit(BUCKET_WIDTH)).cast("int"),
+            F.lit(N_BUCKETS - 1),
+        ),
+        F.lit(0),
     )
 
 

@@ -409,6 +409,42 @@ class TestWelchTtest:
         # Welch-Satterthwaite df is bounded by n_a + n_b - 2
         assert 1.0 <= r["df"] <= r["n_a"] + r["n_b"] - 2
 
+    def test_one_sided_split_yields_nulls_not_abort(self, spark, monkeypatch):
+        """Every event from ONE hash arm: all per-arm divisors hit the
+        nullif guards, stats come back NULL on both engines instead of
+        an ANSI divide-by-zero abort (Spark) vs inf/NaN (DuckDB)."""
+        from resume_jd_matcher_spark.functions.text import hash32
+        from resume_jd_matcher_spark.queries import evalops_q
+
+        ids = spark.range(0, 200).select(F.col("id").alias("user_id"))
+        arm0 = [
+            r["user_id"]
+            for r in ids.select(
+                "user_id",
+                (
+                    hash32(
+                        F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                    )
+                    % 2
+                ).alias("arm"),
+            ).collect()
+            if r["arm"] == 0
+        ]
+        rows = [(i, None, uid, "view", 5.0, "{}") for i, uid in enumerate(arm0)]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        monkeypatch.setattr(evalops_q, "load_table", lambda *a: ev)
+        r = evalops_q.q_welch_ttest(spark, SF).collect()[0]
+        assert r["n_b"] == 0
+        assert r["mean_b"] is None
+        assert r["t_stat"] is None
+        assert r["cohens_d"] is None
+        assert r["significant"] is False
+        assert r["df"] is None
+
     def test_same_distribution_small_t(self, spark, monkeypatch):
         """Both arms drawn from the same deterministic values -> the
         mean gap is sub-threshold."""

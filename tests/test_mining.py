@@ -787,3 +787,39 @@ class TestHurstExponent:
         r = mining_q.q_hurst_exponent(spark, SF).collect()[0]
         assert r["n_scales"] == 0
         assert r["hurst"] is None
+
+
+class TestGroupPercentilesAllNullGroup:
+    def test_all_null_group_emits_null_row(self, spark):
+        """quantile_cont emits a group whose values are all NULL with
+        a NULL percentile; the operator must not silently drop it
+        (row-count mismatch for any oracled caller)."""
+        from resume_jd_matcher_spark.operators.percentiles import (
+            group_percentiles_exact,
+        )
+
+        rows = [("a", 10.0), ("a", 20.0), ("b", None), ("b", None)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {
+            r["grp"]: r["p50"]
+            for r in group_percentiles_exact(
+                df, "grp", "v", [("p50", 0.5)]
+            ).collect()
+        }
+        assert set(out) == {"a", "b"}
+        assert out["a"] == pytest.approx(15.0)
+        assert out["b"] is None
+
+
+class TestGlobalPrefixRankOnly:
+    def test_sum_col_none_ranks_match(self, spark):
+        from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+        rows = [(i, (i * 37) % 101) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, key long").repartition(8)
+        out = global_prefix(df, ["key", "id"], None)
+        assert "cum_sum" not in out.columns
+        got = {r["id"]: r["rank"] for r in out.collect()}
+        seq = sorted(rows, key=lambda r: (r[1], r[0]))
+        for rnk, (i, _k) in enumerate(seq, start=1):
+            assert got[i] == rnk

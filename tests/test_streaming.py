@@ -292,3 +292,37 @@ def test_stream_drift_monitor_equals_batch(spark):
     assert _rows(got) == _rows(want)
     # PSI of a window against a baseline is >= 0 up to the eps floor
     assert all(r["psi"] >= -1e-6 for r in got.collect())
+
+
+def test_drift_bucket_clamped_both_ends(spark):
+    """Negative values must clamp into bucket 0 (not a phantom
+    bucket < 0 outside the completed grid): a drift INTO negative
+    values has to contribute PSI mass, and bucket shares must keep
+    summing to 1."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.streaming.drift import (
+        N_BUCKETS,
+        baseline_dist,
+        value_bucket,
+    )
+
+    vals = spark.createDataFrame(
+        [(-1000.0,), (-0.01,), (0.0,), (24.9,), (25.0,), (9999.0,)],
+        "value double",
+    )
+    got = [r[0] for r in vals.select(value_bucket(F.col("value"))).collect()]
+    assert got == [0, 0, 0, 0, 1, N_BUCKETS - 1]
+
+    # all-negative batch: every row lands in bucket 0, so the grid's
+    # p_base sums to ~1 (+ the 9 EPS floors), never < 1 from leakage
+    neg = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "click", -5.0, "{}")] * 40,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    base = {r["bkt"]: r["p_base"] for r in baseline_dist(neg).collect()}
+    assert base[0] == pytest.approx(1.0)
+    assert sum(base.values()) == pytest.approx(1.0 + 9e-4, abs=1e-6)

@@ -41,10 +41,19 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     ~uniform keys (the skew stress has its own dedicated kernel)."""
     from pyspark.sql import functions as F
 
-    # keyed on the newest synth artifact so a work dir from an older
-    # tool version (no events table) regenerates instead of half-missing
-    if os.path.exists(os.path.join(d, "events.parquet")):
+    # keyed on a size marker so a work dir left by a DIFFERENT
+    # n_orders run regenerates instead of silently timing stale data
+    # (an events.parquet-existence check ignored the CLI size args),
+    # and on the newest synth artifact so an older tool version's dir
+    # (no events table) regenerates instead of half-missing.
+    marker = os.path.join(d, f".n_orders_{n_orders}")
+    if os.path.exists(os.path.join(d, "events.parquet")) and os.path.exists(
+        marker
+    ):
         return
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
     n_cust = max(n_orders // 10, 1)
     n_parts = max(n_orders // 5, 1)
 
@@ -132,6 +141,7 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(d, "part.parquet"))
     )
+    open(marker, "w").close()
 
 
 def masstie_spend(spark, n: int):
