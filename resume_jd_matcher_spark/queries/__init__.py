@@ -124,6 +124,8 @@ _DRIVER_PRIORITY = [
     "zipf_fit",
     "llr_keyness",
     "hurst_exponent",
+    "cramers_v",
+    "effective_sources",
     # -- operator code touched in round 8 --
     "gini_concentration",
     "abc_pareto",

@@ -1805,3 +1805,114 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hurst"),
         F.round(F.regr_r2(ly, lx) + F.lit(1e-9), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association strength (effect size for chi-squared)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cramers_v",
+    """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS obs
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), dims AS (
+  SELECT n.c_nationkey, s.c_mktsegment
+  FROM (SELECT DISTINCT c_nationkey FROM customer) n
+  CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+), full_cells AS (
+  SELECT d.c_nationkey, d.c_mktsegment, coalesce(c.obs, 0)::BIGINT AS obs
+  FROM dims d LEFT JOIN cells c USING (c_nationkey, c_mktsegment)
+), rt AS (SELECT c_nationkey, sum(obs)::BIGINT AS r
+          FROM full_cells GROUP BY c_nationkey),
+ct AS (SELECT c_mktsegment, sum(obs)::BIGINT AS c
+       FROM full_cells GROUP BY c_mktsegment),
+n AS (SELECT sum(obs)::BIGINT AS total FROM full_cells),
+agg AS (
+  SELECT sum(pow(f.obs - rt.r * ct.c / n.total::DOUBLE, 2)
+             / (rt.r * ct.c / n.total::DOUBLE)) AS chi2,
+         count(DISTINCT f.c_nationkey)::BIGINT AS n_rows_dim,
+         count(DISTINCT f.c_mktsegment)::BIGINT AS n_cols_dim,
+         max(n.total)::BIGINT AS n
+  FROM full_cells f
+  JOIN rt USING (c_nationkey) JOIN ct USING (c_mktsegment) CROSS JOIN n
+)
+SELECT round(chi2 + 1e-9, 4) AS chi2, n_rows_dim, n_cols_dim, n,
+       round(sqrt(chi2 / nullif(n * (least(n_rows_dim, n_cols_dim) - 1),
+                                0)::DOUBLE) + 1e-9, 4) AS cramers_v
+FROM agg
+""",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Cramér's V association strength between customer
+    nation and market segment — the [0, 1] effect size
+    sqrt(chi2 / (n * (min(r, c) - 1))) that chi2_independence's raw
+    statistic lacks (chi² grows with n, V does not; Cramér 1946).
+    V ~ 0 means the segment mix is homogeneous across nations — the
+    go/no-go number for stratified sampling designs. Zero cells
+    completed exactly as in chi2_independence; nullif guards the
+    single-level degenerate case (min(r,c) = 1).
+
+    Scale shape: one (nation, segment) hash agg over the fact, then
+    dimension-bounded frames with broadcast joins only — the
+    chi2_independence plan plus a scalar finalize."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("obs")
+    )
+    nats = c.select("c_nationkey").distinct()
+    segs = c.select("c_mktsegment").distinct()
+    full = (
+        nats.crossJoin(segs)
+        .join(F.broadcast(cells), ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.coalesce("obs", F.lit(0)).cast("bigint").alias("obs"),
+        )
+    )
+    rt = full.groupBy("c_nationkey").agg(F.sum("obs").alias("r"))
+    ct = full.groupBy("c_mktsegment").agg(F.sum("obs").alias("c"))
+    n = full.agg(F.sum("obs").alias("total"))
+    exp = F.col("r") * F.col("c") / F.col("total").cast("double")
+    agg = (
+        full.join(F.broadcast(rt), "c_nationkey")
+        .join(F.broadcast(ct), "c_mktsegment")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"),
+            F.countDistinct("c_nationkey")
+            .cast("bigint")
+            .alias("n_rows_dim"),
+            F.countDistinct("c_mktsegment")
+            .cast("bigint")
+            .alias("n_cols_dim"),
+            F.max("total").cast("bigint").alias("n"),
+        )
+    )
+    return agg.select(
+        F.round(F.col("chi2") + F.lit(1e-9), 4).alias("chi2"),
+        "n_rows_dim",
+        "n_cols_dim",
+        "n",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / F.nullif(
+                    (
+                        F.col("n")
+                        * (
+                            F.least(
+                                F.col("n_rows_dim"), F.col("n_cols_dim")
+                            )
+                            - 1
+                        )
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("cramers_v"),
+    )

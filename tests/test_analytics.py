@@ -641,3 +641,44 @@ class TestLlrKeyness:
         monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
         out = analytics_q.q_llr_keyness(spark, "ignored").collect()
         assert all(r["token"] != "even" for r in out)
+
+
+class TestEffectiveSources:
+    def test_uniform_mix_equals_source_count(self, spark, monkeypatch):
+        """k equal sources -> effective number == k under BOTH Hill
+        orders, evenness == 1."""
+        from resume_jd_matcher_spark.queries import analytics_q
+
+        docs = [(i, f"s{i % 5}", "x") for i in range(500)]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        r = analytics_q.q_effective_sources(spark, "ignored").collect()[0]
+        assert r["n_sources"] == 5
+        assert r["effective_shannon"] == pytest.approx(5.0, abs=1e-3)
+        assert r["effective_simpson"] == pytest.approx(5.0, abs=1e-3)
+        assert r["evenness"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_dominated_mix_collapses(self, spark, monkeypatch):
+        """95/5 split over 2 sources behaves like ~1.2 effective
+        sources; single source -> H 0, effective 1, evenness NULL."""
+        from resume_jd_matcher_spark.queries import analytics_q
+        import math
+
+        docs = [(i, "big", "x") for i in range(95)] + [
+            (95 + i, "small", "x") for i in range(5)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: df)
+        r = analytics_q.q_effective_sources(spark, "ignored").collect()[0]
+        h = -(0.95 * math.log(0.95) + 0.05 * math.log(0.05))
+        assert r["shannon_h"] == pytest.approx(h, abs=1e-3)
+        assert r["effective_shannon"] == pytest.approx(math.exp(h), abs=1e-3)
+
+        solo = spark.createDataFrame(
+            [(0, "only", "x")], "doc_id long, source string, text string"
+        )
+        monkeypatch.setattr(analytics_q, "load_table", lambda s, d, n: solo)
+        r = analytics_q.q_effective_sources(spark, "ignored").collect()[0]
+        assert r["shannon_h"] == pytest.approx(0.0)
+        assert r["effective_shannon"] == pytest.approx(1.0)
+        assert r["evenness"] is None

@@ -823,3 +823,55 @@ class TestGlobalPrefixRankOnly:
         seq = sorted(rows, key=lambda r: (r[1], r[0]))
         for rnk, (i, _k) in enumerate(seq, start=1):
             assert got[i] == rnk
+
+
+class TestCramersV:
+    def test_perfect_association_is_one(self, spark, monkeypatch):
+        """Bijective nation<->segment mapping -> V == 1.0 exactly."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [(i, f"c{i}", i % 4, 100.0, f"SEG{i % 4}") for i in range(400)]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: cust)
+        r = mining_q.q_cramers_v(spark, SF).collect()[0]
+        assert r["n_rows_dim"] == 4 and r["n_cols_dim"] == 4
+        assert r["cramers_v"] == pytest.approx(1.0)
+        # V = sqrt(chi2 / (n*(k-1))) consistency
+        assert r["chi2"] == pytest.approx(400 * 3, abs=0.01)
+
+    def test_independent_mix_near_zero(self, spark, monkeypatch):
+        """Every nation has the identical segment mix -> chi2 0, V 0."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [
+            (i, f"c{i}", i % 5, 100.0, f"SEG{(i // 5) % 4}")
+            for i in range(400)
+        ]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: cust)
+        r = mining_q.q_cramers_v(spark, SF).collect()[0]
+        assert r["chi2"] == pytest.approx(0.0, abs=1e-6)
+        assert r["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_single_level_degenerate_null(self, spark, monkeypatch):
+        """One segment only -> min(r,c)-1 = 0 -> V NULL via nullif,
+        no divide-by-zero abort."""
+        from resume_jd_matcher_spark.queries import mining_q
+
+        rows = [(i, f"c{i}", i % 3, 100.0, "ONLY") for i in range(30)]
+        cust = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        monkeypatch.setattr(mining_q, "load_table", lambda *a: cust)
+        r = mining_q.q_cramers_v(spark, SF).collect()[0]
+        assert r["cramers_v"] is None

@@ -300,6 +300,12 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast grand-total crossed into the
         # df-filtered (source, token) grain:
         "llr_keyness",
+        # chi2_independence's dims cross join (two bounded distinct
+        # dimension lists) + the single-row total broadcast:
+        "cramers_v",
+        # single-row total broadcast crossed into the
+        # |sources|-bounded share table:
+        "effective_sources",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

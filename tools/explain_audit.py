@@ -323,6 +323,10 @@ HEADLINERS = {
     "hurst_exponent": "day-grain collapse, one calendar-bounded "
     "(day x blocks) hash agg, |blocks|-row variance table, 1-row OLS "
     "— no window",
+    "cramers_v": "the chi2_independence plan (dimension-bounded "
+    "cells, broadcast marginals) plus a 1-row scalar finalize",
+    "effective_sources": "ONE source-grain hash agg over the corpus, "
+    "scalar entropy arithmetic on |sources| rows",
 }
 
 
