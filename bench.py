@@ -57,12 +57,15 @@ def main() -> None:
         if (i + 1) % 10 == 0:
             spark.sparkContext._jvm.System.gc()
 
-    # The host is shared: single measurements of the slow tail mix true
-    # cost with scheduler noise and cold-codegen penalties. Re-measure
-    # anything slow once (now JIT-warm) and report the min — the
-    # standard best-of-N discipline, bounded to the tail so total bench
-    # wall time stays capped.
-    for name in [n for n, t in timings.items() if t > 1.5]:
+    # The host is shared: single measurements mix true cost with
+    # scheduler noise and cold-codegen penalties. Re-measure anything
+    # non-trivial once (now JIT-warm) and report the min — the standard
+    # best-of-N discipline. r8 lowered the threshold from 1.5 s to
+    # 0.5 s (r8 verdict task #7): the entire 1.10x round-over-round
+    # drift lived in single-shot sub-second queries with no code change
+    # (join_semi 0.10->1.04 s was pure queue position), so the
+    # sub-second tail needs the same protection as the heavy tail.
+    for name in [n for n, t in timings.items() if t > 0.5]:
         timings[name] = min(timings[name], run_once(name))
         # a still-slow number after the warm re-run can still be
         # first-JIT residue (r7: bootstrap_ci reported 5.0 s, settles

@@ -40,6 +40,22 @@ def shingles(word_arr: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_all(word_arr: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), WITH duplicates — one
+    entry per position. The repetition detectors (intradoc duplicate
+    n-gram mass) need occurrence counts, which the distinct variant
+    above erases. Documents shorter than n words yield an empty
+    array."""
+    def gram(i: Column) -> Column:
+        parts = [F.element_at(word_arr, i + j) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    idx = F.sequence(F.lit(1), F.size(word_arr) - (n - 1))
+    return F.when(
+        F.size(word_arr) >= n, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def hash32(col: Column | str) -> Column:
     """Portable 32-bit hash: first 8 hex chars of md5 as BIGINT.
 

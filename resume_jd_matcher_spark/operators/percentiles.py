@@ -146,7 +146,14 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     rank (operators/prefix.py) it never sorts the full input — the
     only sort covers the bracket slice. NULLs are skipped (quantile
     semantics). Heavy tie mass AT the median widens the slice (every
-    tied row falls inside the bracket) but never breaks correctness.
+    tied row falls inside the bracket) but never breaks correctness —
+    the slice rank below is an unpartitioned window, so a mass-tied
+    input (30%+ of rows on one value) funnels that mass through one
+    task. Known straggler trade-off, fine for the continuous-ish
+    metrics current callers feed it; if mass-tied inputs become a
+    real workload, route the slice through operators/prefix.
+    global_prefix (ties share a bucket, offsets stay exact) instead
+    of Window.orderBy.
     """
     small_n = 100_000
     x = df.filter(F.col(value_col).isNotNull()).select(

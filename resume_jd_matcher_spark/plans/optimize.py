@@ -80,3 +80,24 @@ def choose_similarity_strategy(
     if nl is None or nr is None:
         return "exact"
     return "exact" if nl * nr <= max_exact_pairs else "lsh"
+
+
+def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly compute a BOUNDED result frame, then unpersist the
+    caches that fed it.
+
+    Queries that ``persist()`` a shared intermediate (pair spaces,
+    vocab grains) would otherwise leave cached blocks alive for the
+    whole session — across a 230-query selfcheck/bench sweep those
+    accumulate and lean on LRU eviction under memory pressure (r8
+    advisor note). ``localCheckpoint(eager=True)`` runs the job NOW
+    and pins only the (small) result partitions; the upstream caches
+    are then released deterministically instead of at session end.
+
+    Only call this with a dimension-bounded / scalar result — the
+    checkpoint materializes it on executors.
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out

@@ -65,6 +65,7 @@ from resume_jd_matcher_spark.queries import retrieval_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import analytics_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import mining_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import evalops_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import curation_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -74,29 +75,50 @@ from resume_jd_matcher_spark.queries import evalops_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 8: silhouette_score leads — it is the single registered query
-# with zero driver CORRECTNESS rows (registered late in r7, behind the
-# 50-query window; r7 verdict task #2). Next the round-8 additions,
-# then the queries whose operator code changed this round
-# (gini_concentration: decimal accumulation for the int64 overflow;
-# abc_pareto: prefix.py NULL-key guard; approx_stats /
-# exact_percentiles: percentiles.py NULL-value filter), then the
-# round-7 cohort rotating back for its second confirmation per the
-# standing policy. Everything below the first 50 keeps registry order.
+# Round 9: the 10 new curation/governance queries lead (never
+# driver-checked), then the queries REWORKED this round —
+# kaplan_meier first (its r8 rows were vacuous: 0 == 0 rows; the
+# re-spec to time-to-first-high-value-purchase must show
+# spark_rows > 0 in CORRECTNESS_r09, r8 verdict task #1), the
+# single-scan fold in cramers_v/chi2_independence, snapshot_diff's
+# exact integer DIV, theil_sen/zipf/llr cache-release, and every
+# global_prefix caller touched by the bounds/checkpoint wiring.
+# Then the round-8 cohort rotates back for its second confirmation
+# per the standing policy. Everything below the first 50 keeps
+# registry order.
 _DRIVER_PRIORITY = [
-    # -- never driver-checked --
-    "silhouette_score",
-    # -- round-8 additions (inserted as they land) --
+    # -- round-9 additions (never driver-checked) --
+    "ngram_contamination",
+    "intradoc_repetition",
+    "unigram_logprob_quality",
+    "neyman_allocation",
+    "imr_control_chart",
+    "permutation_entropy",
+    "spearman_daily_corr",
+    "sort_key_advisor",
+    "obrien_fleming_monitor",
+    "benjamini_hochberg",
+    # -- reworked in round 9 (code changed; must re-confirm) --
+    "kaplan_meier",
+    "cramers_v",
+    "chi2_independence",
+    "snapshot_diff",
+    "theil_sen_trend",
+    "zipf_fit",
+    "llr_keyness",
+    "abc_pareto",
+    "gini_concentration",
+    "equi_depth_histogram",
+    "token_budget_curriculum",
+    "compaction_plan",
+    "ks_test",
+    "roc_auc",
+    # -- round-8 cohort: second confirmations --
     "ab_test_ztest",
     "mutual_information",
     "entity_resolution",
-    "equi_depth_histogram",
-    "snapshot_diff",
-    "token_budget_curriculum",
     "ndcg_eval",
     "vocab_overlap",
-    "ks_test",
-    "kaplan_meier",
     "acf_daily",
     "stream_drift_monitor",
     "welch_ttest",
@@ -109,32 +131,22 @@ _DRIVER_PRIORITY = [
     "forecast_backtest",
     "mde_power",
     "qte_deciles",
-    "compaction_plan",
     "join_plan_advisor",
-    "roc_auc",
     "calibration_eval",
     "pareto_frontier",
     "k_anonymity",
     "dp_noisy_counts",
-    "theil_sen_trend",
     "mann_kendall",
     "cusum_changepoint",
     "stl_decompose",
     "diff_in_did",
-    "zipf_fit",
-    "llr_keyness",
     "hurst_exponent",
-    "cramers_v",
     "effective_sources",
-    # -- operator code touched in round 8 --
-    "gini_concentration",
-    "abc_pareto",
-    "approx_stats",
-    "exact_percentiles",
-    # -- round-7 cohort: second confirmations --
+    "silhouette_score",
+    # -- r7/r6 cohorts: third confirmations (fill past the window;
+    #    kept explicit so the window stays fully rotation-determined)
     "market_basket",
     "rfm_segments",
-    "chi2_independence",
     "level_shift",
     "time_weighted_avg",
     "sax_symbolize",
@@ -146,7 +158,6 @@ _DRIVER_PRIORITY = [
     "kfold_assign",
     "heaps_law",
     "ensemble_neardup",
-    # -- round-6 cohort: third confirmations (fill to the window) --
     "mllib_lsh_agreement",
     "keyword_tag",
     "skill_coverage",
@@ -175,6 +186,8 @@ _DRIVER_PRIORITY = [
     "skew_salted_join",
     "tfidf_cosine_pairs",
     # -- multiply-confirmed anchors --
+    "approx_stats",
+    "exact_percentiles",
     "topk_similarity",
     "pricing_summary",
     "pipeline_e2e",

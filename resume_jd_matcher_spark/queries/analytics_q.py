@@ -880,7 +880,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows). The fit and coverage are 1-row aggs crossed
     together. Vocabulary never leaves the distributed agg."""
     from resume_jd_matcher_spark.functions.text import tokens
-    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+    from resume_jd_matcher_spark.plans.optimize import (
+        ensure_parallelism,
+        materialize_and_release,
+    )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # The vocab agg feeds three consumers (fit, head mass, coverage);
@@ -920,7 +923,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total_mass"),
         F.count("*").cast("bigint").alias("vocab_size"),
     )
-    return (
+    out = (
         f.crossJoin(F.broadcast(cov))
         .select(
             "n_terms",
@@ -935,6 +938,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("topk_coverage"),
         )
     )
+    # 1-row result: run the job now and release the vocab cache
+    # instead of leaving it to session-end LRU (r8 advisor note).
+    return materialize_and_release(out, c)
 
 
 # ---------------------------------------------------------------------------
@@ -1014,7 +1020,10 @@ def q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     source/grand totals are dimension-bounded broadcasts. The window
     partitions by source over the df-filtered grain."""
     from resume_jd_matcher_spark.functions.text import tokens
-    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+    from resume_jd_matcher_spark.plans.optimize import (
+        ensure_parallelism,
+        materialize_and_release,
+    )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # (source, token) grain feeds four consumers (token df, source
@@ -1085,7 +1094,7 @@ def q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.round(F.col("llr"), 6).desc(), F.col("token").asc()
     )
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _LLR_TOP_K)
         .select(
@@ -1096,6 +1105,9 @@ def q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+    # |sources| x top-k rows: run the job now and release the
+    # (source, token) grain cache deterministically.
+    return materialize_and_release(out, st)
 
 
 # ---------------------------------------------------------------------------

@@ -460,7 +460,10 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`bounds="height"`) — one bucketed shuffle of the fact, the only
     unpartitioned window over n_buckets summary rows, robust to
     price skew by construction; the ntile arithmetic is a pure
-    projection against one broadcast 1-row count."""
+    projection against one broadcast 1-row count. checkpoint=False:
+    the input is a bare 2-column scan projection, so re-reading the
+    pruned parquet scan per internal consumer beats materializing
+    the fact on executors at large sf."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -473,6 +476,7 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_totalprice", "o_orderkey"],
         None,
         bounds="height",
+        checkpoint=False,
     )
     n = o.agg(F.count("*").alias("_n"))
     size = F.floor(F.col("_n") / _EQD_BINS)
@@ -560,9 +564,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_old = base.filter(F.col("o_orderkey") % 1000 != 0)
     v_new = base.filter(F.col("o_orderkey") % 997 != 0).select(
         "o_orderkey",
+        # integer DIV, not floor(x*11/10.0): the double spelling only
+        # matches the oracle's exact // while cents*11 < 2^53 — DIV on
+        # bigint is exact for the whole int64 domain.
         F.when(
             F.col("o_orderkey") % 7 == 0,
-            F.floor(F.col("cents") * 11 / 10).cast("bigint"),
+            F.expr("CAST((cents * 11) DIV 10 AS BIGINT)"),
         )
         .otherwise(F.col("cents"))
         .alias("cents"),
@@ -625,12 +632,22 @@ def q_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one operators/prefix.global_prefix pass (bucketed shuffle,
     no single-partition window); the total is one broadcast 1-row
     agg. Phase cuts compare the same exact-integer ratio on both
-    engines, so the boundary assignment can't drift."""
+    engines, so the boundary assignment can't drift.
+    bounds="height": document lengths are heavy-tailed (the
+    spend/length power-law case the measured skew curve favors
+    equal-height for); checkpoint=False: the input is a bare
+    2-column scan projection — re-reading the pruned scan beats
+    materializing the fact (see operators/prefix docstring)."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ranked = global_prefix(
-        d, ["n_chars", "doc_id"], "n_chars", sum_type="bigint"
+        d,
+        ["n_chars", "doc_id"],
+        "n_chars",
+        sum_type="bigint",
+        bounds="height",
+        checkpoint=False,
     )
     t = d.agg(F.sum("n_chars").cast("bigint").alias("total"))
     share = F.col("cum_sum") / F.col("total").cast("double")
@@ -842,7 +859,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer cross-multiples (cum_a·n_b − cum_b·n_a in
     decimal(38,0) ≡ DuckDB HUGEINT — no float ties at any sf; the
     products reach ~1e24 at 100 TB, past int64 but inside decimal38),
-    divided once at the end."""
+    divided once at the end. bounds="width" deliberately: the order
+    key is the distinct cents of o_totalprice — a bell-shaped (sum of
+    line items) value domain, not power-law — so equal-width buckets
+    stay balanced without the height mode's extra percentile pass."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     o = load_table(spark, sf_dir, "orders")
@@ -915,21 +935,32 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan-Meier churn survival
 # ---------------------------------------------------------------------------
 
-_KM_HORIZON_DAYS = 7
+# A "conversion" (the KM death event) is the user's first purchase at
+# or above this value. The r8 spec ("churn" = last event >= 7 days
+# before corpus end) was VACUOUS on the fixtures — the 30-day events
+# span keeps every user active to the end, so both engines returned
+# the empty set at every sf and the green driver rows certified
+# nothing (r8 verdict, What's wrong #1). Time-to-first-high-value-
+# purchase gives real deaths AND real right-censoring at every sf
+# (sf0.001: 12 deaths / 3 censored; sf0.01: 127/23; sf0.1: 1341/159).
+_KM_VALUE_CUTOFF = 90.0
 
 
 @register(
     "kaplan_meier",
     f"""
 WITH u AS (
-  SELECT user_id, min(ts::DATE) AS fd, max(ts::DATE) AS ld
+  SELECT user_id, min(ts::DATE) AS fd, max(ts::DATE) AS ld,
+         min(CASE WHEN event_type = 'purchase'
+                   AND value >= {_KM_VALUE_CUTOFF}
+              THEN ts::DATE END) AS dd
   FROM events GROUP BY user_id
 ), m AS (
   SELECT max(ld) AS mx, count(*)::BIGINT AS n_users FROM u
 ), l AS (
-  SELECT date_diff('day', fd, ld) AS t,
-         CASE WHEN date_diff('day', ld, m.mx) >= {_KM_HORIZON_DAYS}
-              THEN 1 ELSE 0 END AS death
+  SELECT CASE WHEN dd IS NOT NULL THEN date_diff('day', fd, dd)
+              ELSE date_diff('day', fd, m.mx) END AS t,
+         CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS death
   FROM u CROSS JOIN m
 ), g AS (
   SELECT t, sum(death)::BIGINT AS d, sum(1 - death)::BIGINT AS c
@@ -946,19 +977,22 @@ WITH u AS (
              OVER (ORDER BY t)) AS surv
   FROM r
 )
-SELECT t::INT AS t_days, n_risk, d AS d_deaths,
+SELECT t::INT AS t_days, n_risk::BIGINT AS n_risk, d AS d_deaths,
        round(surv + 1e-9, 6) AS survival
 FROM s WHERE d > 0
 """,
 )
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/W4 [EXT]: Kaplan-Meier survival curve of user lifetime
-    (days between first and last event), with users still active
-    within {_KM_HORIZON_DAYS} days of the corpus end treated as
-    right-CENSORED — the churn readout behind every retention
-    dashboard (Kaplan & Meier 1958). Censored users leave the risk
-    set after their time without contributing a death factor; rows
-    are emitted at death times only. The product is computed as
+    """A4/W4 [EXT]: Kaplan-Meier survival curve of time-to-conversion
+    — days from a user's first event to their first high-value
+    purchase (value >= {_KM_VALUE_CUTOFF}); users who never convert
+    are right-CENSORED at the corpus end (Kaplan & Meier 1958). The
+    standard time-to-event readout behind conversion funnels and
+    churn dashboards. Censored users leave the risk set after their
+    time without contributing a death factor; ties at the same t
+    follow the KM convention (deaths before censorings — a user
+    censored at t is still at risk for the deaths at t); rows are
+    emitted at death times only. The product is computed as
     exp(Σ ln(1 − d/n)) with a 1e-300 floor so a terminal
     everyone-dies time yields survival 0 instead of ln(0) divergence
     — the same spelling on both engines.
@@ -971,17 +1005,22 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     level_shift/time_weighted_avg). The corpus max date is one
     broadcast 1-row agg."""
     e = load_table(spark, sf_dir, "events")
+    converted = (F.col("event_type") == "purchase") & (
+        F.col("value") >= _KM_VALUE_CUTOFF
+    )
     u = e.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+        F.min(F.to_date("ts")).alias("fd"),
+        F.max(F.to_date("ts")).alias("ld"),
+        F.min(F.when(converted, F.to_date("ts"))).alias("dd"),
     )
     m = u.agg(
         F.max("ld").alias("mx"), F.count("*").cast("bigint").alias("n_users")
     )
     life = u.crossJoin(F.broadcast(m)).select(
-        F.datediff("ld", "fd").alias("t"),
-        F.when(
-            F.datediff("mx", "ld") >= _KM_HORIZON_DAYS, F.lit(1)
-        )
+        F.when(F.col("dd").isNotNull(), F.datediff("dd", "fd"))
+        .otherwise(F.datediff("mx", "fd"))
+        .alias("t"),
+        F.when(F.col("dd").isNotNull(), F.lit(1))
         .otherwise(F.lit(0))
         .alias("death"),
         "n_users",
@@ -2082,11 +2121,18 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bucketed prefix-scan shuffle (data partitioned
     by range bucket, one n_buckets-row offsets broadcast), then a
-    bin-grain agg — both linear, no global window over data rows."""
+    bin-grain agg — both linear, no global window over data rows.
+    bounds="width" deliberately: the order key is doc_id, a dense
+    UNIFORM surrogate key — equal-width buckets are already balanced
+    and skip the height mode's extra percentile pass (the skew curve
+    only favors height for power-law keys); checkpoint=False: bare
+    2-column scan projection, re-read beats materializing."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    p = global_prefix(d, ["doc_id"], "n_chars", sum_type="bigint")
+    p = global_prefix(
+        d, ["doc_id"], "n_chars", sum_type="bigint", checkpoint=False
+    )
     b = p.select(
         F.floor(
             (F.col("cum_sum") - F.col("n_chars")) / F.lit(100000)
@@ -2263,7 +2309,10 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fact -> value-grain agg (map-side combined), the
     bucketed prefix-scan shuffle over distinct values, then a 1-row
-    finalize."""
+    finalize. bounds="width" deliberately: the order key is the
+    distinct event value — near-uniform over its range in this
+    domain, so equal-width buckets are balanced without the height
+    mode's extra percentile pass."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     e = load_table(spark, sf_dir, "events").select(

@@ -263,7 +263,11 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window in the plan covers n_partitions summary
     rows, never the part dimension. Revenue is folded to integer
     cents BEFORE summing: the running total is then associative and
-    matches the oracle's strict left-to-right window sum exactly."""
+    matches the oracle's strict left-to-right window sum exactly.
+    bounds="height": per-part revenue is the power-law-key case where
+    equal-width buckets funnel ~all rows into one bucket — the
+    measured skew curve (SCALE.md) has equal-height at 8.08 s vs
+    equal-width 9.04 s at 10x on exactly this distribution."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -285,7 +289,11 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = rev.agg(F.sum("rev_cents").alias("t"))
     ranked = global_prefix(
-        rev, ["_neg", "partkey"], "rev_cents", sum_type="bigint"
+        rev,
+        ["_neg", "partkey"],
+        "rev_cents",
+        sum_type="bigint",
+        bounds="height",
     )
     share = F.col("cum_sum") / F.col("t").cast("double")
     return ranked.crossJoin(F.broadcast(tot)).select(
@@ -334,7 +342,10 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window); the final reduction is a 1-row agg of
     exact integer products, so the double arithmetic at the end is
     bit-identical to the oracle's. Ties in spend don't affect
-    Σ(i·xᵢ): equal x under any tie order yield the same sum."""
+    Σ(i·xᵢ): equal x under any tie order yield the same sum.
+    bounds="height": per-customer spend is power-law-shaped — the
+    skewed-key case the measured curve (SCALE.md) shows equal-height
+    bucketing wins (8.08 s vs 9.04 s at 10x)."""
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     o = load_table(spark, sf_dir, "orders")
@@ -344,7 +355,11 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     ranked = global_prefix(
-        spend, ["cents", "o_custkey"], "cents", sum_type="bigint"
+        spend,
+        ["cents", "o_custkey"],
+        "cents",
+        sum_type="bigint",
+        bounds="height",
     )
     n = F.count("*")
     tot = F.sum("cents")
@@ -405,11 +420,19 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion is a cross join of two distinct dimension lists —
     bounded by catalog size, never fact-sized."""
     c = load_table(spark, sf_dir, "customer")
-    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").alias("obs")
+    # ONE scan of the fact: the dimension lists derive from the
+    # (nation, segment) cell agg — every observed level appears in
+    # some cell, so distinct-over-cells == distinct-over-customer.
+    # The cell grain is |nations|x|segments|-bounded; checkpointing it
+    # keeps its three consumers (nats, segs, the left join) from each
+    # re-scanning customer (the multi-consumer checklist).
+    cells = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint()
     )
-    nats = c.select("c_nationkey").distinct()
-    segs = c.select("c_mktsegment").distinct()
+    nats = cells.select("c_nationkey").distinct()
+    segs = cells.select("c_mktsegment").distinct()
     full = (
         nats.crossJoin(segs)
         .join(F.broadcast(cells), ["c_nationkey", "c_mktsegment"], "left")
@@ -1235,6 +1258,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.percentiles import (
         global_median_exact,
     )
+    from resume_jd_matcher_spark.plans.optimize import (
+        materialize_and_release,
+    )
 
     g = (
         load_table(spark, sf_dir, "orders")
@@ -1273,7 +1299,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev") - F.col("med") * F.col("day")).alias("r")
     )
     stats = g.agg(F.count("*").cast("bigint").alias("n_days"))
-    return (
+    out = (
         stats.crossJoin(F.broadcast(n_pairs))
         .crossJoin(F.broadcast(m.select("med")))
         .crossJoin(
@@ -1290,6 +1316,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ic") + F.lit(1e-9), 2).alias("intercept_cents"),
         )
     )
+    # 1-row result: compute it now, then drop the pair-space and
+    # median caches instead of leaving them to session-end LRU.
+    return materialize_and_release(out, pairs, m)
 
 
 # ---------------------------------------------------------------------------
@@ -1858,11 +1887,15 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-bounded frames with broadcast joins only — the
     chi2_independence plan plus a scalar finalize."""
     c = load_table(spark, sf_dir, "customer")
-    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").alias("obs")
+    # single customer scan: dims derive from the checkpointed cell agg
+    # (see q_chi2_independence — identical fold).
+    cells = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint()
     )
-    nats = c.select("c_nationkey").distinct()
-    segs = c.select("c_mktsegment").distinct()
+    nats = cells.select("c_nationkey").distinct()
+    segs = cells.select("c_mktsegment").distinct()
     full = (
         nats.crossJoin(segs)
         .join(F.broadcast(cells), ["c_nationkey", "c_mktsegment"], "left")

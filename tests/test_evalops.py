@@ -289,8 +289,11 @@ class TestKsTest:
 
 class TestKaplanMeier:
     def test_hand_computed_curve(self, spark, monkeypatch):
-        """10 users, horizon 7 d: 4 die at t=2, 2 censored at t=5,
-        3 die at t=10, 1 censored at t=20 (defines corpus max).
+        """10 users, conversion = first purchase with value >= 90:
+        4 convert at t=2, 2 never convert (first event day 25 →
+        censored at t = 30-25 = 5; their low-value purchase must NOT
+        count), 3 convert at t=10, 1 never converts (first event day
+        0, corpus max day 30 → censored at t=30).
         KM: S(2) = 1 - 4/10 = 0.6; at t=10 risk = 10-4-2 = 4,
         S(10) = 0.6 * (1 - 3/4) = 0.15."""
         import datetime as dt
@@ -301,22 +304,23 @@ class TestKaplanMeier:
         day = dt.timedelta(days=1)
         rows, eid = [], 0
 
-        def span(uid, t_days, last_offset):
+        def ev(uid, offset, etype="view", value=0.0):
             nonlocal eid
-            last = d0 + day * last_offset
-            first = last - day * t_days
-            for ts in (first, last):
-                rows.append((eid, ts, uid, "view", 0.0, "{}"))
-                eid += 1
+            rows.append((eid, d0 + day * offset, uid, etype, value, "{}"))
+            eid += 1
 
-        # corpus max day = d0 + 30 (user 9's last event)
-        for uid in range(4):
-            span(uid, 2, 3)       # die at t=2 (30-3 >= 7)
-        for uid in range(4, 6):
-            span(uid, 5, 27)      # censored (30-27 < 7)
-        for uid in range(6, 9):
-            span(uid, 10, 12)     # die at t=10
-        span(9, 20, 30)           # censored, defines max
+        for uid in range(4):          # convert at t=2
+            ev(uid, 1)
+            ev(uid, 3, "purchase", 150.0)
+        for uid in range(4, 6):       # censored at t=5 (30-25)
+            ev(uid, 25)
+            ev(uid, 26, "purchase", 50.0)   # below cutoff: no death
+            ev(uid, 27)
+        for uid in range(6, 9):       # convert at t=10
+            ev(uid, 2)
+            ev(uid, 12, "purchase", 90.0)   # boundary: >= counts
+        ev(9, 0)                      # censored at t=30
+        ev(9, 30)                     # defines corpus max
         ev = spark.createDataFrame(
             rows,
             "event_id long, ts timestamp, user_id long, event_type string, "
@@ -339,6 +343,10 @@ class TestKaplanMeier:
             evalops_q.q_kaplan_meier(spark, sf_dir).collect(),
             key=lambda r: r["t_days"],
         )
+        # the r8 vacuous-row lesson: an empty curve hash-matches the
+        # oracle's empty set and certifies nothing — the fixture MUST
+        # produce deaths at every sf for the driver row to be signal
+        assert len(out) > 0
         surv = [r["survival"] for r in out]
         assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
         assert all(0.0 <= s <= 1.0 + 1e-9 for s in surv)

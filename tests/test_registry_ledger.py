@@ -1,12 +1,23 @@
-"""Registry-vs-ledger invariant (r7 verdict task #3): every registered
-query must carry driver signal — either a row in some committed
-CORRECTNESS_r*/SELFCHECK_r*.json artifact, or a slot inside the
-driver's first-50 window so the CURRENT round will produce one.
+"""Registry-vs-ledger invariant (r7 verdict task #3, tightened per r8
+verdict task #2): every registered query must carry NON-VACUOUS driver
+signal — either a row in some committed CORRECTNESS_r*/SELFCHECK_r*
+artifact showing ``spark_rows > 0`` (or ``MATCH/rows_only: N>0``), or
+a slot inside the driver's first-50 window so the CURRENT round will
+produce one.
 
-This is how `silhouette_score` slipped in round 7: registered late,
-never rotated into `_DRIVER_PRIORITY`, zero driver rows for a full
-round. A late registration now fails this test until it is either
-rotated into the window or swept into a committed SELFCHECK artifact.
+Two historical failure modes this guards:
+
+- round 7 ``silhouette_score``: registered late, never rotated into
+  ``_DRIVER_PRIORITY``, zero driver rows for a full round;
+- round 8 ``kaplan_meier``: green rows at EVERY sf that hash-matched
+  the EMPTY set (0 == 0 rows) — the censoring rule was unsatisfiable
+  on the fixture, so the signal was vacuous. A 0-row ledger entry now
+  counts as NO signal.
+
+Legacy SELFCHECK artifacts (r8 and earlier) record a bare "MATCH"
+with no row count; those are grandfathered as signal (their rows are
+unknowable) — every artifact from r9 on embeds "MATCH: N rows"
+(tools/driver_sim.py), so vacuous rows are detectable going forward.
 
 Pure-ledger test: reads the registry and the JSON artifacts, starts
 no SparkSession.
@@ -17,12 +28,34 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_WINDOW = 50
 
+_ROWS_RE = re.compile(r"^(?:MATCH|rows_only):\s*(\d+) rows")
 
-def _ledger_names() -> set[str]:
+
+def row_is_signal(value) -> bool:
+    """Does one ledger entry certify the query ran and produced
+    rows? 0-row entries are vacuous — an empty-set hash match can't
+    distinguish a correct query from an unsatisfiable predicate."""
+    if isinstance(value, dict):  # CORRECTNESS rows
+        if value.get("err"):
+            return False
+        if not (value.get("hash_match") or value.get("rows_match")):
+            return False
+        return value.get("spark_rows", 0) > 0
+    if isinstance(value, str):  # SELFCHECK rows
+        m = _ROWS_RE.match(value)
+        if m:
+            return int(m.group(1)) > 0
+        # legacy bare "MATCH" (pre-r9 artifacts, no row count)
+        return value == "MATCH"
+    return False
+
+
+def _signal_names() -> set[str]:
     names: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")) + glob.glob(
         os.path.join(REPO, "SELFCHECK_r*.json")
@@ -32,23 +65,69 @@ def _ledger_names() -> set[str]:
         # CORRECTNESS files map name -> row dict; SELFCHECK files nest
         # the same mapping under "results".
         rows = data.get("results", data)
-        names.update(k for k in rows if isinstance(rows[k], (dict, str)))
+        names.update(k for k, v in rows.items() if row_is_signal(v))
     return names
 
 
-def test_every_registered_query_has_driver_signal():
+def test_every_registered_query_has_nonvacuous_driver_signal():
     from resume_jd_matcher_spark import queries as Q
 
     registered = list(Q.queries().keys())
     window = set(registered[:DRIVER_WINDOW])
-    ledger = _ledger_names()
+    ledger = _signal_names()
 
     orphans = [n for n in registered if n not in ledger and n not in window]
     assert not orphans, (
-        f"{len(orphans)} registered queries have no committed driver "
-        f"signal AND sit outside the first-{DRIVER_WINDOW} window — "
+        f"{len(orphans)} registered queries have no committed NON-VACUOUS "
+        f"driver signal AND sit outside the first-{DRIVER_WINDOW} window — "
         f"rotate them into _DRIVER_PRIORITY or run the SELFCHECK sweep: "
         f"{orphans}"
+    )
+
+
+def test_zero_row_ledger_entries_are_not_signal():
+    """The kaplan_meier lesson, pinned as a unit check: every 0-row
+    spelling an artifact can contain must classify as NO signal."""
+    assert not row_is_signal(
+        {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "spark_rows": 0,
+            "oracle_rows": 0,
+            "err": None,
+        }
+    )
+    assert not row_is_signal("MATCH: 0 rows")
+    assert not row_is_signal("rows_only: 0 rows")
+    assert not row_is_signal("MISMATCH: rowcount 3 != 4")
+    assert not row_is_signal("SPARK_ERROR: boom")
+    # and the positive spellings still count
+    assert row_is_signal("MATCH: 17 rows")
+    assert row_is_signal("rows_only: 500 rows")
+    assert row_is_signal(
+        {"rows_match": True, "hash_match": True, "spark_rows": 1, "err": None}
+    )
+
+
+def test_known_vacuous_history_is_quarantined():
+    """CORRECTNESS_r08's kaplan_meier row is the one 0-row entry in
+    the committed history (full audit, r9): it must NOT be counted
+    as signal, and no OTHER committed artifact row may be 0-row."""
+    vacuous = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")) + glob.glob(
+        os.path.join(REPO, "SELFCHECK_r*.json")
+    ):
+        with open(path) as f:
+            rows = json.load(f)
+        rows = rows.get("results", rows)
+        for name, v in rows.items():
+            if isinstance(v, dict) and v.get("spark_rows") == 0:
+                vacuous.append((os.path.basename(path), name))
+            elif isinstance(v, str) and _ROWS_RE.match(v) and not row_is_signal(v):
+                vacuous.append((os.path.basename(path), name))
+    assert vacuous == [("CORRECTNESS_r08.json", "kaplan_meier")], (
+        f"unexpected vacuous ledger rows: {vacuous}"
     )
 
 

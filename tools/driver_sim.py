@@ -83,9 +83,17 @@ def main() -> None:
             results[name] = f"ORACLE_ERROR: {e}"
             continue
         err = values_match(spark_pdf, duck_pdf)
-        results[name] = "MATCH" if err is None else f"MISMATCH: {err}"
+        # embed the row count: a MATCH on the EMPTY set certifies
+        # nothing (the r8 kaplan_meier lesson) — the registry-ledger
+        # invariant needs per-query row evidence, so artifacts built
+        # from this output carry "MATCH: N rows", not a bare verdict.
+        results[name] = (
+            f"MATCH: {len(spark_pdf)} rows"
+            if err is None
+            else f"MISMATCH: {err}"
+        )
 
-    n_match = sum(1 for v in results.values() if v == "MATCH")
+    n_match = sum(1 for v in results.values() if v.startswith("MATCH"))
     n_bad = sum(1 for v in results.values() if v.startswith(("MISMATCH", "SPARK_ERROR", "ORACLE_ERROR")))
     print(json.dumps(results, indent=2))
     print(f"TOTAL: {len(results)} queries, {n_match} oracle-match, {n_bad} failing")

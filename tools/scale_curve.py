@@ -18,7 +18,6 @@ section (replacing a previous run) and prints it.
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
@@ -154,18 +153,14 @@ def main() -> None:
         lines.append(
             f"| `{name}` | {t1:.2f} | {t10:.2f} | {ratio:.1f} | {flag} |"
         )
-    block = "\n".join(lines) + "\n"
+    block = "\n".join(lines)
 
-    path = os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
-    with open(path) as f:
-        text = f.read()
-    pat = re.compile(r"## Measured scale curve.*?(?=\n## |\Z)", re.S)
-    if pat.search(text):
-        text = pat.sub(block, text)
-    else:
-        text = text.rstrip() + "\n\n" + block
-    with open(path, "w") as f:
-        f.write(text)
+    # marker-delimited: replaces ONLY this tool's section — the r8
+    # heading-prefix regex also matched the relational section and
+    # clobbered it (tools/scale_md.py docstring).
+    from scale_md import write_section
+
+    write_section("text", block)
     print("wrote SCALE.md")
     spark.stop()
 

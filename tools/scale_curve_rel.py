@@ -20,7 +20,6 @@ in SCALE.md and prints the table.
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
@@ -301,20 +300,13 @@ def main() -> None:
         lines.append(
             f"| `{name}` | {t1:.2f} | {t10:.2f} | {ratio:.1f} | {flag} |"
         )
-    block = "\n".join(lines) + "\n"
+    block = "\n".join(lines)
 
-    path = os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
-    with open(path) as f:
-        text = f.read()
-    pat = re.compile(
-        r"## Measured scale curve - relational.*?(?=\n## |\Z)", re.S
-    )
-    if pat.search(text):
-        text = pat.sub(block, text)
-    else:
-        text = text.rstrip() + "\n\n" + block
-    with open(path, "w") as f:
-        f.write(text)
+    # marker-delimited: replaces ONLY this tool's section (see
+    # tools/scale_md.py — the r8 regen-clobber lesson).
+    from scale_md import write_section
+
+    write_section("rel", block)
     print("wrote SCALE.md")
     spark.stop()
 
