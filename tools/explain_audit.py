@@ -327,6 +327,33 @@ HEADLINERS = {
     "cells, broadcast marginals) plus a 1-row scalar finalize",
     "effective_sources": "ONE source-grain hash agg over the corpus, "
     "scalar entropy arithmetic on |sources| rows",
+    # -- round 9: curation / governance family --
+    "ngram_contamination": "train grams collapse to DISTINCT before the "
+    "probe; eval-vs-train is ONE hash equi-join on the gram key — no "
+    "pair enumeration, no window",
+    "intradoc_repetition": "non-distinct bigram explode -> (doc, gram) "
+    "map-side-combined hash agg -> doc-grain agg; zero joins, zero "
+    "windows, zero Python",
+    "unigram_logprob_quality": "ONE tokenization into the cached "
+    "(doc, token, cnt) grain feeding both the vocab agg and the "
+    "scoring join; 1-row LM totals and corpus moments broadcast",
+    "neyman_allocation": "one dim-table hash agg to |nations| rows "
+    "with exact-integer moments; 1-row total broadcast; projection out",
+    "imr_control_chart": "fact -> day grain; ONE calendar-bounded lag "
+    "window; 1-row limits broadcast back over the day grain",
+    "permutation_entropy": "day grain -> bounded lead window -> <=6-row "
+    "pattern agg; entropy and top pattern on that 6-row frame",
+    "spearman_daily_corr": "rank windows run over the calendar-bounded "
+    "day grain only; 1-row corr finalize",
+    "sort_key_advisor": "physical rank via the bucketed prefix scan "
+    "(no single-partition fact window); blocks collapse to n/4096 "
+    "summary rows; 1-row global range broadcast; 3-row unpivot",
+    "obrien_fleming_monitor": "fact filter -> (arm, look) hash agg "
+    "(<=10 rows out); cumulative window PARTITIONED BY arm over <=5 "
+    "rows; 5-row output",
+    "benjamini_hochberg": "two dim-table hash aggs (global + segment "
+    "moments, exact integers); rank window and step-up max over "
+    "|nations| rows only",
 }
 
 
