@@ -24,11 +24,11 @@ def tokens(col: Column | str, lowercase: bool = True) -> Column:
     return F.split(F.trim(c), WHITESPACE)
 
 
-def shingles(word_arr: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), distinct.
-
-    Documents shorter than n words yield an empty array.
-    """
+def shingles_all(word_arr: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), WITH duplicates — one
+    entry per position. The repetition detectors (intradoc duplicate
+    n-gram mass) need occurrence counts. Documents shorter than n
+    words yield an empty array."""
     def gram(i: Column) -> Column:
         parts = [F.element_at(word_arr, i + j) for j in range(n)]
         return F.concat_ws(" ", *parts)
@@ -36,24 +36,15 @@ def shingles(word_arr: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.size(word_arr) - (n - 1))
     # sequence(1, 0) would count DOWN in Spark — guard short docs.
     return F.when(
-        F.size(word_arr) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
-
-
-def shingles_all(word_arr: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), WITH duplicates — one
-    entry per position. The repetition detectors (intradoc duplicate
-    n-gram mass) need occurrence counts, which the distinct variant
-    above erases. Documents shorter than n words yield an empty
-    array."""
-    def gram(i: Column) -> Column:
-        parts = [F.element_at(word_arr, i + j) for j in range(n)]
-        return F.concat_ws(" ", *parts)
-
-    idx = F.sequence(F.lit(1), F.size(word_arr) - (n - 1))
-    return F.when(
         F.size(word_arr) >= n, F.transform(idx, gram)
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(word_arr: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), distinct — the dedup/
+    similarity variant of ``shingles_all`` (single definition of the
+    span/guard logic; this just drops duplicate positions)."""
+    return F.array_distinct(shingles_all(word_arr, n))
 
 
 def hash32(col: Column | str) -> Column:

@@ -66,6 +66,7 @@ from resume_jd_matcher_spark.queries import analytics_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import mining_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import evalops_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import curation_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -88,6 +89,13 @@ from resume_jd_matcher_spark.queries import curation_q  # noqa: E402,F401
 # registry order.
 _DRIVER_PRIORITY = [
     # -- round-9 additions (never driver-checked) --
+    "incremental_agg_merge",
+    "changelog_apply",
+    "link_prediction_jaccard",
+    "degree_assortativity",
+    "theta_sketch_setops",
+    "lsh_param_planner",
+    "event_paths_top",
     "ngram_contamination",
     "intradoc_repetition",
     "unigram_logprob_quality",

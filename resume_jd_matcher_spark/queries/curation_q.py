@@ -81,10 +81,15 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_CONTAM_N}-grams here to fit the fixture doc length). The corpus
     is split train/eval by doc_id % 5; each eval doc reports how many
     of its distinct {_CONTAM_N}-gram shingles also appear anywhere in
-    the train split. Every eval doc emits a row (contamination 0 is a
-    result, not an absence), so the driver signal can't go vacuous.
+    the train split. Every eval doc WITH ≥ {_CONTAM_N} tokens emits a
+    row (contamination 0 is a result, not an absence); shorter docs
+    have no shingles and are excluded on both sides — on the driver
+    fixtures every doc qualifies (fixture_has_rows pytest), so the
+    driver rows stay non-vacuous there.
 
-    Scale shape: shingles explode once; the train side collapses to
+    Scale shape: the shingle expression is evaluated per consuming
+    branch (train distinct, eval probe — two column-pruned scans, the
+    checkpoint=False trade); the train side collapses to
     DISTINCT grams (map-side combined); the probe is one hash
     equi-join on the gram key — the same banded/bucketed discipline
     as the dedup family, no pair enumeration, no window. At 100 TB
@@ -256,27 +261,34 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the corpus-moment pass, so both engines band from
     identical inputs; z is rounded before the band comparison.
 
-    Scale shape: tokenize once into the (doc, token, cnt) grain
-    (map-side combined), which feeds both the vocab agg and the
-    scoring join — cached and released after the eager finalize (the
-    zipf/llr multi-consumer discipline). The scoring join shuffles
-    by token; doc grain out. At 100 TB the per-doc quality table is
-    itself the product (it feeds the filter step), so materializing
-    it is the pipeline's own write, not overhead."""
+    Scale shape: the (doc, token, cnt) grain is REBUILT for each of
+    its two consumers (vocab agg, scoring join) from the pruned
+    parquet scan — caching a fact × token grain on executors is the
+    wrong trade at 100 TB (the global_prefix checkpoint=False
+    rationale); the VOCAB is checkpointed instead (orders of
+    magnitude smaller, two consumers: the LM totals and the join),
+    and the per-doc NLL table is checkpointed once because it is the
+    pipeline's own product (the moments pass and the banded output
+    both read it; at scale this is the table the filter step writes
+    anyway). 1-row LM totals and corpus moments broadcast."""
     from resume_jd_matcher_spark.functions.text import tokens
-    from resume_jd_matcher_spark.plans.optimize import (
-        ensure_parallelism,
-        materialize_and_release,
-    )
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    dt = (
-        d.select("doc_id", F.explode(tokens("text")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .persist()
+
+    def dt() -> DataFrame:
+        return (
+            d.select("doc_id", F.explode(tokens("text")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    v = (
+        dt()
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+        .localCheckpoint()
     )
-    v = dt.groupBy("token").agg(F.sum("cnt").cast("bigint").alias("c"))
     s = v.agg(
         F.sum("c").cast("bigint").alias("t_total"),
         F.count("*").cast("bigint").alias("v_size"),
@@ -286,7 +298,8 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("t_total") + F.col("v_size")).cast("double")
     )
     nll = (
-        dt.join(v, "token")
+        dt()
+        .join(v, "token")
         .crossJoin(F.broadcast(s))
         .groupBy("doc_id")
         .agg(
@@ -298,6 +311,7 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("nll"),
         )
+        .localCheckpoint()
     )
     m = nll.agg(
         F.avg("nll").alias("mu"), F.stddev_samp("nll").alias("sd")
@@ -307,7 +321,7 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1e-9),
         4,
     )
-    out = nll.crossJoin(F.broadcast(m)).select(
+    return nll.crossJoin(F.broadcast(m)).select(
         "doc_id",
         "n_tokens",
         "nll",
@@ -317,7 +331,6 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("junk"))
         .alias("band"),
     )
-    return materialize_and_release(out, dt)
 
 
 # ---------------------------------------------------------------------------
@@ -346,9 +359,11 @@ WITH s AS (
   SELECT sum(n_h)::BIGINT AS n_total, sum(n_h * sd_h) AS w_total FROM v
 )
 SELECT c_nationkey, n_h, round(sd_h + 1e-9, 2) AS sd_acctbal,
-       floor({_NEYMAN_BUDGET} * (n_h * sd_h) / t.w_total + 0.5)::BIGINT
+       floor({_NEYMAN_BUDGET}
+             * round((n_h * sd_h) / t.w_total + 1e-12, 9) + 0.5)::BIGINT
          AS alloc_neyman,
-       floor({_NEYMAN_BUDGET} * n_h / t.n_total::DOUBLE + 0.5)::BIGINT
+       floor({_NEYMAN_BUDGET}
+             * round(n_h / t.n_total::DOUBLE + 1e-12, 9) + 0.5)::BIGINT
          AS alloc_proportional
 FROM v CROSS JOIN t
 """,
@@ -365,9 +380,10 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: σ_h comes from the exact-integer variance identity
     (n·Σx² − (Σx)²) / (n(n−1)) accumulated in decimal(38,0) ≡
-    HUGEINT (the r8 diff-in-differences discipline) — both engines
-    take sqrt of the SAME rational, so the floor(+0.5) allocation
-    can't straddle an engine float gap.
+    HUGEINT (the r8 diff-in-differences discipline); the allocation
+    share is then ROUNDED to 9 decimals before the floor(+0.5), so
+    an engine float gap in the weight sum can't flip an allocation
+    sitting on a half-integer.
 
     Scale shape: one map-side-combined hash agg over the dim table
     to |nations| rows; a 1-row total broadcast; pure projection out.
@@ -403,22 +419,27 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_h").cast("bigint").alias("n_total"),
         F.sum(F.col("n_h") * F.col("sd_h")).alias("w_total"),
     )
+    # floor(+0.5) on a RAW double share can straddle engines (and
+    # Spark's partial-agg order makes w_total itself run-dependent)
+    # when the exact allocation sits on a half-integer — two equal
+    # strata put it at exactly 500.5. Round the share to 9 decimals
+    # first, so both engines floor the SAME number; a flip now needs
+    # raw shares differing across a 5e-10 boundary (the repo-standard
+    # +1e-9-class residual, not a designed-in coin toss).
+    w_share = F.round(
+        (F.col("n_h") * F.col("sd_h")) / F.col("w_total") + F.lit(1e-12), 9
+    )
+    p_share = F.round(
+        F.col("n_h") / F.col("n_total").cast("double") + F.lit(1e-12), 9
+    )
     return v.crossJoin(F.broadcast(t)).select(
         "c_nationkey",
         "n_h",
         F.round(F.col("sd_h") + F.lit(1e-9), 2).alias("sd_acctbal"),
-        F.floor(
-            _NEYMAN_BUDGET * (F.col("n_h") * F.col("sd_h")) / F.col("w_total")
-            + F.lit(0.5)
-        )
+        F.floor(_NEYMAN_BUDGET * w_share + F.lit(0.5))
         .cast("bigint")
         .alias("alloc_neyman"),
-        F.floor(
-            _NEYMAN_BUDGET
-            * F.col("n_h")
-            / F.col("n_total").cast("double")
-            + F.lit(0.5)
-        )
+        F.floor(_NEYMAN_BUDGET * p_share + F.lit(0.5))
         .cast("bigint")
         .alias("alloc_proportional"),
     )
@@ -904,11 +925,21 @@ WITH p AS (
                 / span.s) + 1)::INT AS look,
          micros
   FROM p CROSS JOIN span
-), g AS (
+), g0 AS (
   SELECT arm, look, count(*)::BIGINT AS n,
          sum(micros::HUGEINT) AS s,
          sum(micros::HUGEINT * micros) AS ss
   FROM lk GROUP BY arm, look
+), spine AS (
+  SELECT a.arm, l.look
+  FROM (SELECT unnest([0, 1])::BIGINT AS arm) a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_OBF_LOOKS}))::INT AS look) l
+), g AS (
+  SELECT spine.arm, spine.look,
+         coalesce(g0.n, 0)::BIGINT AS n,
+         coalesce(g0.s, 0::HUGEINT) AS s,
+         coalesce(g0.ss, 0::HUGEINT) AS ss
+  FROM spine LEFT JOIN g0 USING (arm, look)
 ), cum AS (
   SELECT arm, look,
          sum(n) OVER w AS cn, sum(s) OVER w AS cs, sum(ss) OVER w AS css
@@ -926,11 +957,12 @@ WITH p AS (
   FROM cum GROUP BY look
 ), z AS (
   SELECT look, n_a, n_b,
-         (s_a::DOUBLE / n_a - s_b::DOUBLE / n_b)
+         (s_a::DOUBLE / nullif(n_a, 0) - s_b::DOUBLE / nullif(n_b, 0))
          / sqrt(((n_a * ss_a - s_a * s_a)
-                 / (n_a::HUGEINT * n_a * (n_a - 1)))::DOUBLE
+                 / nullif(n_a::HUGEINT * n_a * (n_a - 1), 0))::DOUBLE
                 + ((n_b * ss_b - s_b * s_b)
-                   / (n_b::HUGEINT * n_b * (n_b - 1)))::DOUBLE) AS zval
+                   / nullif(n_b::HUGEINT * n_b * (n_b - 1), 0))::DOUBLE)
+           AS zval
   FROM piv
 )
 SELECT look, n_a, n_b,
@@ -962,9 +994,11 @@ def q_obrien_fleming_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rationals; z and the boundary are compared ROUNDED.
 
     Scale shape: fact filter -> (arm, look) hash agg (map-side
-    combined, ≤ 2·{_OBF_LOOKS} rows out); the cumulative window runs
-    PARTITIONED BY arm over ≤ {_OBF_LOOKS} rows; 1-row span
-    broadcast; {_OBF_LOOKS}-row output."""
+    combined, ≤ 2·{_OBF_LOOKS} rows out), zero-filled onto the full
+    arm × look spine so a purchase-free (arm, look) cell carries its
+    cumulative stats forward instead of nulling the look; the
+    cumulative window runs PARTITIONED BY arm over ≤ {_OBF_LOOKS}
+    rows; 1-row span broadcast; {_OBF_LOOKS}-row output."""
     from resume_jd_matcher_spark.functions.text import hash32
 
     e = load_table(spark, sf_dir, "events")
@@ -997,12 +1031,34 @@ def q_obrien_fleming_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("look"),
         "micros",
     )
-    g = lk.groupBy("arm", "look").agg(
+    g0 = lk.groupBy("arm", "look").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("micros").cast(dec)).alias("s"),
         F.sum(F.col("micros").cast(dec) * F.col("micros").cast(dec)).alias(
             "ss"
         ),
+    )
+    # Densify the (arm, look) grid: a look in which one arm records no
+    # purchase would otherwise DROP that arm's row, and the per-look
+    # pivot below would emit NULL n/z/crossed for a look whose true
+    # cumulative sample is nonzero — a look the monitor silently
+    # cannot fire at (r9 review finding). Zero-filled cells carry the
+    # cumulative stats forward instead.
+    spark_ = spark
+    spine = (
+        spark_.range(2)
+        .select(F.col("id").alias("arm"))
+        .crossJoin(
+            spark_.range(1, _OBF_LOOKS + 1)
+            .select(F.col("id").cast("int").alias("look"))
+        )
+    )
+    g = spine.join(g0, ["arm", "look"], "left").select(
+        "arm",
+        "look",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("s"), F.lit(0).cast(dec)).alias("s"),
+        F.coalesce(F.col("ss"), F.lit(0).cast(dec)).alias("ss"),
     )
     w = Window.partitionBy("arm").orderBy("look").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1029,16 +1085,17 @@ def q_obrien_fleming_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(n).cast(dec) * F.col(ss)
                 - F.col(s) * F.col(s)
             )
-            / (
+            / F.nullif(
                 F.col(n).cast(dec)
                 * F.col(n).cast(dec)
-                * (F.col(n) - 1).cast(dec)
+                * (F.col(n) - 1).cast(dec),
+                F.lit(0).cast(dec),
             )
         ).cast("double")
 
     zval = (
-        F.col("s_a").cast("double") / F.col("n_a")
-        - F.col("s_b").cast("double") / F.col("n_b")
+        F.col("s_a").cast("double") / F.nullif(F.col("n_a"), F.lit(0))
+        - F.col("s_b").cast("double") / F.nullif(F.col("n_b"), F.lit(0))
     ) / F.sqrt(
         var_term("n_a", "s_a", "ss_a") + var_term("n_b", "s_b", "ss_b")
     )

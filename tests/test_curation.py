@@ -79,6 +79,14 @@ class TestNgramContamination:
         monkeypatch.setattr(curation_q, "load_table", lambda *a: docs)
         assert curation_q.q_ngram_contamination(spark, SF).count() == 0
 
+    def test_fixture_has_rows(self, spark, sf_dir):
+        """Non-vacuous on the driver fixtures: every fixture doc is
+        long enough to shingle, so eval rows exist at every sf (the
+        r8 kaplan_meier lesson — assert the signal is real)."""
+        from resume_jd_matcher_spark.queries import curation_q
+
+        assert curation_q.q_ngram_contamination(spark, sf_dir).count() > 0
+
 
 class TestIntradocRepetition:
     def test_repeated_word_doc_is_dropped(self, spark, monkeypatch):

@@ -306,6 +306,36 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row total broadcast crossed into the
         # |sources|-bounded share table:
         "effective_sources",
+        # -- round 9 --
+        # corpus z-moments (1-row broadcast) crossed into the per-doc
+        # NLL grain; LM totals a second 1-row broadcast:
+        "unigram_logprob_quality",
+        # single-row (n_total, weight_total) broadcast crossed into
+        # the |nations|-bounded stratum table:
+        "neyman_allocation",
+        # single-row control-limits row broadcast back over the
+        # calendar-bounded day grain:
+        "imr_control_chart",
+        # 1-row window total + 1-row top-pattern row crossed with the
+        # <=6-row pattern census:
+        "permutation_entropy",
+        # global_prefix single-row bucket-stats broadcast + 1-row
+        # global column ranges crossed into the block-summary grain:
+        "sort_key_advisor",
+        # 1-row calendar-span broadcast assigning looks, then the
+        # <=2x5-row spine/pivot frames crossed together:
+        "obrien_fleming_monitor",
+        # 1-row global moments + 1-row step-up k* crossed into the
+        # |nations|-bounded test table:
+        "benjamini_hochberg",
+        # 1-row cutoff broadcast tagging old/delta partials:
+        "incremental_agg_merge",
+        # |types|-bounded type pairs (<=5x5 crossJoin, both sides
+        # broadcastable) + per-pair theta rows — every side <=k rows:
+        "theta_sketch_setops",
+        # 1-row path total broadcast crossed into the
+        # |types|^3-bounded path grain:
+        "event_paths_top",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

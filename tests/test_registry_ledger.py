@@ -15,9 +15,12 @@ Two historical failure modes this guards:
   counts as NO signal.
 
 Legacy SELFCHECK artifacts (r8 and earlier) record a bare "MATCH"
-with no row count; those are grandfathered as signal (their rows are
-unknowable) — every artifact from r9 on embeds "MATCH: N rows"
-(tools/driver_sim.py), so vacuous rows are detectable going forward.
+with no row count; those carry NO signal under this invariant (their
+row counts are unknowable, and the r8 kaplan_meier sweep proves a
+bare MATCH can be the empty set) — verified at tightening time that
+every registered query still has a row-counted CORRECTNESS entry or
+a window slot, so dropping them creates no false orphans. Every
+artifact from r9 on embeds "MATCH: N rows" (tools/driver_sim.py).
 
 Pure-ledger test: reads the registry and the JSON artifacts, starts
 no SparkSession.
@@ -50,8 +53,10 @@ def row_is_signal(value) -> bool:
         m = _ROWS_RE.match(value)
         if m:
             return int(m.group(1)) > 0
-        # legacy bare "MATCH" (pre-r9 artifacts, no row count)
-        return value == "MATCH"
+        # legacy bare "MATCH" (pre-r9 artifacts): row count unknowable
+        # -> no signal; the r8 kaplan_meier sweeps were bare-MATCH on
+        # the empty set, exactly the case this invariant exists for
+        return False
     return False
 
 
@@ -102,6 +107,9 @@ def test_zero_row_ledger_entries_are_not_signal():
     assert not row_is_signal("rows_only: 0 rows")
     assert not row_is_signal("MISMATCH: rowcount 3 != 4")
     assert not row_is_signal("SPARK_ERROR: boom")
+    # legacy bare MATCH (pre-r9, no row count): NOT signal — the r8
+    # kaplan_meier SELFCHECK rows were bare-MATCH on the empty set
+    assert not row_is_signal("MATCH")
     # and the positive spellings still count
     assert row_is_signal("MATCH: 17 rows")
     assert row_is_signal("rows_only: 500 rows")

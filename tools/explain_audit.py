@@ -334,9 +334,10 @@ HEADLINERS = {
     "intradoc_repetition": "non-distinct bigram explode -> (doc, gram) "
     "map-side-combined hash agg -> doc-grain agg; zero joins, zero "
     "windows, zero Python",
-    "unigram_logprob_quality": "ONE tokenization into the cached "
-    "(doc, token, cnt) grain feeding both the vocab agg and the "
-    "scoring join; 1-row LM totals and corpus moments broadcast",
+    "unigram_logprob_quality": "(doc, token) grain rebuilt per "
+    "consumer from the pruned scan (no fact-sized cache); vocab "
+    "checkpointed; per-doc NLL checkpointed once as the pipeline's "
+    "own product; 1-row totals/moments broadcast",
     "neyman_allocation": "one dim-table hash agg to |nations| rows "
     "with exact-integer moments; 1-row total broadcast; projection out",
     "imr_control_chart": "fact -> day grain; ONE calendar-bounded lag "
@@ -354,6 +355,25 @@ HEADLINERS = {
     "benjamini_hochberg": "two dim-table hash aggs (global + segment "
     "moments, exact integers); rank window and step-up max over "
     "|nations| rows only",
+    # -- round 9 batch 2: maintenance / graph / sketch ops --
+    "incremental_agg_merge": "two map-side-combined partial aggs "
+    "(old, delta) merged at the |priorities| grain; 1-row cutoff "
+    "broadcast — the stored-summary + delta plan",
+    "changelog_apply": "ONE window partitioned by key over <=3 ops "
+    "per key; filter; |priorities|-row agg — the MERGE-compaction "
+    "plan",
+    "link_prediction_jaccard": "pair space from df-capped part "
+    "postings (hash equi-join, never customers^2); degree tables "
+    "join back by key; top-k = TakeOrderedAndProject",
+    "degree_assortativity": "edge dedup distinct agg; vertex-bounded "
+    "degree joins by key; 1-row corr finalize — no pair enumeration",
+    "theta_sketch_setops": "every pairwise step joins <=k-row "
+    "sketches (KMV rank window per type); exact companion one "
+    "distinct + user-keyed self-join",
+    "lsh_param_planner": "literal 5-row frame, pure projection + a "
+    "5-row rank window — touches no data",
+    "event_paths_top": "ONE per-user window produces both leads; "
+    "path grain |types|^3-bounded; rank/top-k on that bounded frame",
 }
 
 

@@ -102,6 +102,11 @@ REGISTERED = [
     # tokenization by construction (cached first aggregate).
     "zipf_fit",
     "llr_keyness",
+    # round-9 curation family (documents-only members): gram-join
+    # contamination probe, per-doc repetition agg, LM-quality scoring
+    "ngram_contamination",
+    "intradoc_repetition",
+    "unigram_logprob_quality",
 ]
 
 
@@ -137,7 +142,7 @@ def main() -> None:
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ratio {ratio:.1f}  {flag}")
 
     lines = [
-        "## Measured scale curve (rounds 7-8)",
+        "## Measured scale curve (rounds 7-9)",
         "",
         f"Synthetic corpus (sources/synthdocs, deterministic): {N_BASE} docs",
         f"vs {N_BASE * MULT} docs ({MULT}x) on local[32]; best-of-2 wall",

@@ -45,7 +45,8 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     # (an events.parquet-existence check ignored the CLI size args),
     # and on the newest synth artifact so an older tool version's dir
     # (no events table) regenerates instead of half-missing.
-    marker = os.path.join(d, f".n_orders_{n_orders}")
+    # v2: adds customer.parquet (round-9 neyman/BH kernels)
+    marker = os.path.join(d, f".n_orders_v2_{n_orders}")
     if os.path.exists(os.path.join(d, "events.parquet")) and os.path.exists(
         marker
     ):
@@ -140,6 +141,26 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(d, "part.parquet"))
     )
+    cid = F.col("id")
+    (
+        spark.range(1, n_cust + 1, 1, 32)
+        .select(
+            cid.alias("c_custkey"),
+            F.concat(F.lit("Customer#"), cid).alias("c_name"),
+            h(cid, 20, 25).cast("int").alias("c_nationkey"),
+            ((h(cid, 21, 1_099_999) - 99_999) / 100.0).alias("c_acctbal"),
+            F.element_at(
+                F.array(
+                    F.lit("AUTOMOBILE"), F.lit("BUILDING"),
+                    F.lit("FURNITURE"), F.lit("HOUSEHOLD"),
+                    F.lit("MACHINERY"),
+                ),
+                (h(cid, 22, 5) + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "customer.parquet"))
+    )
     open(marker, "w").close()
 
 
@@ -213,6 +234,26 @@ REGISTERED = [
     "cusum_changepoint",
     "stl_decompose",
     "diff_in_did",
+    # round-9 curation/governance members with relational inputs:
+    # day-grain SPC/complexity/rank-corr kernels, the prefix-scan
+    # layout advisor (the one fact-ranking member), the event-grain
+    # group-sequential monitor, and the two customer-dim designs.
+    "imr_control_chart",
+    "permutation_entropy",
+    "spearman_daily_corr",
+    "sort_key_advisor",
+    "obrien_fleming_monitor",
+    "neyman_allocation",
+    "benjamini_hochberg",
+    # round-9 batch 2: maintenance/graph/sketch kernels (lineitem /
+    # orders / events inputs; lsh_param_planner touches no data and
+    # is excluded)
+    "incremental_agg_merge",
+    "changelog_apply",
+    "link_prediction_jaccard",
+    "degree_assortativity",
+    "theta_sketch_setops",
+    "event_paths_top",
 ]
 
 
@@ -278,7 +319,7 @@ def main() -> None:
                   f"ratio {ratio:.1f}  {flag}")
 
     lines = [
-        "## Measured scale curve - relational (round 8)",
+        "## Measured scale curve - relational (rounds 8-9)",
         "",
         f"Synthetic TPC-H-shaped tables ({N_BASE:,} orders / "
         f"{4 * N_BASE:,} lineitem rows at 1x, deterministic "

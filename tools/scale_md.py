@@ -36,12 +36,14 @@ def write_section(key: str, block: str, path: str = SCALE_MD) -> None:
     with open(path) as f:
         text = f.read()
     if begin in text:
-        if end not in text:
+        head, rest = text.split(begin, 1)
+        # the end marker must FOLLOW begin — an end-only or
+        # end-before-begin file would otherwise crash on the unpack
+        if end not in rest:
             raise ValueError(
                 f"SCALE.md has {begin!r} without its end marker — "
                 "refusing to guess the section extent"
             )
-        head, rest = text.split(begin, 1)
         _, tail = rest.split(end, 1)
         tail = tail.lstrip("\n")
         text = head + wrapped + ("\n" + tail if tail else "")
