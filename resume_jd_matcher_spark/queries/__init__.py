@@ -76,7 +76,7 @@ from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 9: the 10 new curation/governance queries lead (never
+# Round 9: the 21 new curation/ops/governance queries lead (never
 # driver-checked), then the queries REWORKED this round —
 # kaplan_meier first (its r8 rows were vacuous: 0 == 0 rows; the
 # re-spec to time-to-first-high-value-purchase must show
@@ -89,6 +89,10 @@ from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 # registry order.
 _DRIVER_PRIORITY = [
     # -- round-9 additions (never driver-checked) --
+    "anomaly_mad_daily",
+    "elasticity_by_brand",
+    "funnel_time_to_convert",
+    "cross_source_leakage",
     "incremental_agg_merge",
     "changelog_apply",
     "link_prediction_jaccard",

@@ -1258,3 +1258,111 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         thresh.alias("bh_thresh"),
         (F.col("rnk") <= F.col("kstar")).alias("reject"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-duplicate leakage matrix
+# ---------------------------------------------------------------------------
+
+_LEAK_MIN_EST = 0.5
+_SQL_H32C = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+
+@register(
+    "cross_source_leakage",
+    f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_distinct({_SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({_SQL_H32C.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.left_id, c.right_id,
+         round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4)
+           AS est_jaccard
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.left_id
+  JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+  GROUP BY c.left_id, c.right_id
+), leak AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b,
+         e.est_jaccard
+  FROM est e
+  JOIN docs da ON da.doc_id = e.left_id
+  JOIN docs db ON db.doc_id = e.right_id
+  WHERE e.est_jaccard >= {_LEAK_MIN_EST} AND da.source != db.source
+)
+SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+       round(avg(est_jaccard) + 1e-9, 4) AS avg_est_jaccard
+FROM leak GROUP BY src_a, src_b
+""",
+)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8/U5 [EXT]: cross-source near-duplicate leakage matrix — for
+    every pair of corpus sources, how many near-duplicate document
+    pairs (MinHash-LSH candidates with estimated Jaccard ≥
+    {_LEAK_MIN_EST}) straddle the source boundary. Within-source
+    duplication is a dedup problem; CROSS-source duplication is a
+    provenance/licensing/contamination problem (the same document
+    entering via two crawls defeats per-source mixture weights and
+    leaks across declared splits) — the remediation unit is the
+    source pair, which is why the matrix readout, not the pair list,
+    is the product. doc_id < 200 caps the oracle's replay exactly
+    like the registered `minhash_lsh` (whose uncapped kernel carries
+    the measured 10x curve).
+
+    Scale shape: identical to the dedup family — banded equi-join
+    candidates (never corpus²), signature verify by seed equi-join,
+    then a |sources|²-bounded matrix agg; the source join is a
+    doc-keyed equi-join against the (doc, source) projection."""
+    from resume_jd_matcher_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cand = dedup.minhash_lsh_candidates(
+        d, n_hashes=16, rows_per_band=4
+    ).filter(F.col("est_jaccard") >= _LEAK_MIN_EST)
+    src = d.select("doc_id", "source").localCheckpoint()
+    leak = (
+        cand.join(
+            src.select(
+                F.col("doc_id").alias("left_id"),
+                F.col("source").alias("src_l"),
+            ),
+            "left_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("right_id"),
+                F.col("source").alias("src_r"),
+            ),
+            "right_id",
+        )
+        .filter(F.col("src_l") != F.col("src_r"))
+        .select(
+            F.least("src_l", "src_r").alias("src_a"),
+            F.greatest("src_l", "src_r").alias("src_b"),
+            "est_jaccard",
+        )
+    )
+    return leak.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("est_jaccard") + F.lit(1e-9), 4).alias(
+            "avg_est_jaccard"
+        ),
+    )

@@ -2726,3 +2726,113 @@ def q_diff_in_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             did / F.nullif(F.sqrt("var_sum"), F.lit(0.0)) + F.lit(1e-9), 4
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (signup -> purchase latency percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS fs
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT u.user_id, u.fs,
+         min(e.ts) AS fp
+  FROM u JOIN events e
+    ON e.user_id = u.user_id AND e.event_type = 'purchase'
+   AND e.ts >= u.fs
+  WHERE u.fs IS NOT NULL
+  GROUP BY u.user_id, u.fs
+), base AS (
+  SELECT count(*)::BIGINT AS n_signup FROM u WHERE fs IS NOT NULL
+), d AS (
+  SELECT epoch(fp) - epoch(fs) AS delay_s FROM conv
+)
+SELECT base.n_signup,
+       count(*)::BIGINT AS n_converted,
+       round(count(*) / base.n_signup::DOUBLE + 1e-9, 4) AS conv_rate,
+       round(quantile_disc(delay_s, 0.5) / 3600.0 + 1e-9, 3) AS p50_hours,
+       round(quantile_disc(delay_s, 0.9) / 3600.0 + 1e-9, 3) AS p90_hours
+FROM d CROSS JOIN base
+GROUP BY base.n_signup
+""",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J2 [EXT]: funnel latency — time from a user's first signup
+    to their first subsequent purchase, with the conversion rate and
+    p50/p90 latency (the funnel-health readout next to
+    funnel_conversion's stage counts and kaplan_meier's censored
+    curve: this is the converting cohort's latency distribution).
+    The conversion join requires purchase AT OR AFTER the signup, so
+    pre-signup purchases never produce a negative delay.
+
+    Scale shape: user-grain signup agg (map-side combined), one
+    user-keyed equi-join filtered to purchases, a second user-grain
+    min-agg, then percentiles over the converted-user grain and a
+    1-row output. Delays are exact integer seconds and the
+    percentiles are DISCRETE (percentile_disc ≡ quantile_disc,
+    verified identical boundary semantics) so both engines divide
+    the SAME integer by 3600 — the interpolated spelling lost a
+    last-ulp rounding flip at sf0.001 (lo+g·(hi−lo) vs
+    (1−g)·lo+g·hi)."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("fs")
+        )
+        .filter(F.col("fs").isNotNull())
+        .localCheckpoint()  # user grain; feeds base count + the join
+    )
+    conv = (
+        u.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("fs"))
+        .groupBy("user_id", "fs")
+        .agg(F.min("pts").alias("fp"))
+    )
+    base = u.agg(F.count("*").cast("bigint").alias("n_signup"))
+    d = conv.select(
+        (
+            F.unix_timestamp("fp") - F.unix_timestamp("fs")
+        ).alias("delay_s")
+    )
+    return (
+        d.crossJoin(F.broadcast(base))
+        .groupBy("n_signup")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.round(
+                F.count("*") / F.col("n_signup").cast("double") + F.lit(1e-9),
+                4,
+            ).alias("conv_rate"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s)"
+                )
+                / 3600.0
+                + F.lit(1e-9),
+                3,
+            ).alias("p50_hours"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s)"
+                )
+                / 3600.0
+                + F.lit(1e-9),
+                3,
+            ).alias("p90_hours"),
+        )
+        .select("n_signup", "n_converted", "conv_rate", "p50_hours", "p90_hours")
+    )

@@ -1949,3 +1949,174 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust daily anomaly screen (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_mad_daily",
+    """
+WITH g AS (
+  SELECT o_orderdate::DATE AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT quantile_cont(rev, 0.5) AS m FROM g
+), mad AS (
+  SELECT quantile_cont(abs(rev - med.m), 0.5) AS mad FROM g CROSS JOIN med
+), rz AS (
+  SELECT day, rev,
+         round(0.6745 * (rev - med.m) / nullif(mad.mad, 0.0) + 1e-9, 4)
+           AS robust_z
+  FROM g CROSS JOIN med CROSS JOIN mad
+), top AS (
+  SELECT day AS top_day, robust_z AS top_rz FROM rz
+  ORDER BY abs(robust_z) DESC, day LIMIT 1
+)
+SELECT count(*)::BIGINT AS n_days,
+       round(max(med.m) / 100.0 + 1e-9, 2) AS median_dollars,
+       round(max(mad.mad) / 100.0 + 1e-9, 2) AS mad_dollars,
+       sum(CASE WHEN abs(robust_z) > 3.5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_anomalies,
+       max(top.top_rz) AS top_robust_z,
+       strftime(max(top.top_day), '%Y-%m-%d') AS top_day
+FROM rz CROSS JOIN med CROSS JOIN mad CROSS JOIN top
+""",
+)
+def q_anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: robust daily-revenue anomaly screen — modified
+    z-scores 0.6745·(x − median)/MAD with the Iglewicz-Hoaglin 3.5
+    cut (the robust twin of rolling_anomaly's mean/std window: one
+    bad day inflates a stddev and masks itself; the median/MAD pair
+    has a 50% breakdown point). Emits a 1-row summary (always
+    non-vacuous): day count, median, MAD, anomaly count, and the
+    most extreme day with a deterministic (|z| desc, day) tie-break.
+
+    Scale shape: fact -> day grain (one hash agg); median and MAD
+    are interpolated percentiles over the CALENDAR-bounded day grain
+    (thousands of rows at any sf — never the fact); two 1-row
+    broadcasts back over the day grain; 1-row output."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev")
+        )
+        .localCheckpoint()  # calendar-bounded; feeds med, mad, rz
+    )
+    med = g.agg(F.percentile("rev", F.lit(0.5)).alias("m"))
+    mad = (
+        g.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("rev") - F.col("m")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    rz = (
+        g.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "rev",
+            "m",
+            "mad",
+            F.round(
+                0.6745
+                * (F.col("rev") - F.col("m"))
+                / F.nullif(F.col("mad"), F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            ).alias("robust_z"),
+        )
+        .localCheckpoint()  # day grain; feeds the summary and the top-1
+    )
+    top = rz.orderBy(F.abs(F.col("robust_z")).desc(), F.col("day")).limit(1)
+    return (
+        rz.crossJoin(
+            F.broadcast(
+                top.select(
+                    F.col("day").alias("top_day"),
+                    F.col("robust_z").alias("top_rz"),
+                )
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.max("m") / 100.0 + F.lit(1e-9), 2).alias(
+                "median_dollars"
+            ),
+            F.round(F.max("mad") / 100.0 + F.lit(1e-9), 2).alias(
+                "mad_dollars"
+            ),
+            F.sum(F.when(F.abs(F.col("robust_z")) > 3.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.max("top_rz").alias("top_robust_z"),
+            F.date_format(F.max("top_day"), "yyyy-MM-dd").alias("top_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity by brand (log-log regression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "elasticity_by_brand",
+    """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         ln(l.l_quantity) AS ln_q,
+         ln(l.l_extendedprice / l.l_quantity) AS ln_p
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+)
+SELECT brand, count(*)::BIGINT AS n_lines,
+       round(regr_slope(ln_q, ln_p) + 1e-9, 4) AS elasticity,
+       round(regr_r2(ln_q, ln_p) + 1e-9, 4) AS r2
+FROM li GROUP BY brand
+""",
+)
+def q_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J2 [EXT]: own-price elasticity per brand — the log-log OLS
+    slope of quantity on unit price (elasticity = d ln q / d ln p,
+    the workhorse demand-curve estimate; cf. any econometrics text,
+    e.g. Wooldridge ch. 2's log-log functional form). Slope ~ 0:
+    inelastic; << 0: price-sensitive. r2 flags brands where the
+    log-linear fit is meaningless. Positive-domain filters guard
+    ln() identically on both engines (Spark returns NULL on ln(<=0),
+    DuckDB raises — the r8 hurst lesson).
+
+    Scale shape: broadcast dim join (part is the small side), then
+    ONE map-side-combined regression-moment hash agg per brand —
+    regr_* decomposes like sum/count (the regression_stats scale
+    story); |brands| rows out, no window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity")).alias("ln_q"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ln_p"
+            ),
+        )
+    )
+    return j.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.regr_slope("ln_q", "ln_p") + F.lit(1e-9), 4).alias(
+            "elasticity"
+        ),
+        F.round(F.regr_r2("ln_q", "ln_p") + F.lit(1e-9), 4).alias("r2"),
+    )

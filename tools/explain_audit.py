@@ -374,6 +374,16 @@ HEADLINERS = {
     "5-row rank window — touches no data",
     "event_paths_top": "ONE per-user window produces both leads; "
     "path grain |types|^3-bounded; rank/top-k on that bounded frame",
+    "anomaly_mad_daily": "day-grain collapse; median/MAD percentiles "
+    "over the calendar-bounded grain; 1-row limits broadcast; 1-row "
+    "out",
+    "elasticity_by_brand": "broadcast dim join + ONE map-side-"
+    "combined regression-moment hash agg per brand; no window",
+    "funnel_time_to_convert": "user-grain aggs + one user-keyed "
+    "equi-join; percentiles over the converted-user grain; 1-row out",
+    "cross_source_leakage": "the dedup family's banded equi-join "
+    "candidates + doc-keyed source joins; |sources|^2-bounded matrix "
+    "agg",
 }
 
 

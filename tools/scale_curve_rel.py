@@ -254,6 +254,11 @@ REGISTERED = [
     "degree_assortativity",
     "theta_sketch_setops",
     "event_paths_top",
+    # round-9 batch 3 (relational members; cross_source_leakage is a
+    # documents kernel measured via the text curve's minhash kernel)
+    "anomaly_mad_daily",
+    "elasticity_by_brand",
+    "funnel_time_to_convert",
 ]
 
 
