@@ -336,6 +336,12 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row path total broadcast crossed into the
         # |types|^3-bounded path grain:
         "event_paths_top",
+        # 1-row median/MAD/limits + 1-row top-day broadcast crossed
+        # over the calendar-bounded day grain:
+        "anomaly_mad_daily",
+        # 1-row signup-base count broadcast crossed into the
+        # converted-user grain:
+        "funnel_time_to_convert",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -118,11 +118,17 @@ def test_zero_row_ledger_entries_are_not_signal():
     )
 
 
-def test_known_vacuous_history_is_quarantined():
-    """CORRECTNESS_r08's kaplan_meier row is the one 0-row entry in
-    the committed history (full audit, r9): it must NOT be counted
-    as signal, and no OTHER committed artifact row may be 0-row."""
-    vacuous = []
+def test_zero_row_entries_need_compensating_signal():
+    """Audit every committed artifact for 0-row entries. A 0-row row
+    is tolerable ONLY when the same query shows rows > 0 at some
+    other scale factor / round (scale-dependent emptiness — e.g.
+    `decontaminate` finds no 8-gram collisions in sf0.1's doc slice,
+    `join_theta_band` has no in-band pairs at sf0.001; both carry
+    positive rows at the driver's sf0.01). A query whose EVERY ledger
+    row is 0-row is the r8 kaplan_meier failure: green paint over an
+    unsatisfiable predicate — hard fail."""
+    zero_rows: dict[str, list[str]] = {}
+    positive: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")) + glob.glob(
         os.path.join(REPO, "SELFCHECK_r*.json")
     ):
@@ -130,12 +136,32 @@ def test_known_vacuous_history_is_quarantined():
             rows = json.load(f)
         rows = rows.get("results", rows)
         for name, v in rows.items():
-            if isinstance(v, dict) and v.get("spark_rows") == 0:
-                vacuous.append((os.path.basename(path), name))
-            elif isinstance(v, str) and _ROWS_RE.match(v) and not row_is_signal(v):
-                vacuous.append((os.path.basename(path), name))
-    assert vacuous == [("CORRECTNESS_r08.json", "kaplan_meier")], (
-        f"unexpected vacuous ledger rows: {vacuous}"
+            is_zero = (isinstance(v, dict) and v.get("spark_rows") == 0) or (
+                isinstance(v, str)
+                and _ROWS_RE.match(v)
+                and not row_is_signal(v)
+            )
+            if is_zero:
+                zero_rows.setdefault(name, []).append(os.path.basename(path))
+            elif row_is_signal(v):
+                positive.add(name)
+    all_vacuous = {n: ps for n, ps in zero_rows.items() if n not in positive}
+    assert not all_vacuous, (
+        f"queries with ONLY 0-row ledger entries (the kaplan_meier "
+        f"failure mode): {all_vacuous}"
+    )
+    # the audited, explained scale-edge empties; anything new here
+    # must be investigated (is the empty CORRECT at that sf?) before
+    # being added
+    known_scale_edges = {
+        "kaplan_meier",      # r8 history only (re-specced in r9)
+        "decontaminate",     # no 8-gram train/bench collision at sf0.1
+        "join_theta_band",   # no in-band pairs in the 15-user sf0.001
+    }
+    unexplained = {n for n in zero_rows if n not in known_scale_edges}
+    assert not unexplained, (
+        f"unexplained 0-row ledger entries (investigate before "
+        f"whitelisting): { {n: zero_rows[n] for n in unexplained} }"
     )
 
 
