@@ -905,7 +905,13 @@ def q_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OBF_LOOKS = 5
 _OBF_C = 2.04  # two-sided alpha ~ 0.05 at K=5 (O'Brien & Fleming 1979)
 
-_SQL_H32_X = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+# canonical portable-hash SQL spelling (must stay bit-for-bit with
+# functions/text.hash32); {c}-keyed in text_q, re-keyed to {x} here
+from resume_jd_matcher_spark.queries.text_q import (  # noqa: E402
+    SQL_HASH32 as _SQL_H32_C,
+)
+
+_SQL_H32_X = _SQL_H32_C.replace("{c}", "{x}")
 
 
 @register(
@@ -1265,7 +1271,6 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEAK_MIN_EST = 0.5
-_SQL_H32C = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
 
 
 @register(
@@ -1279,7 +1284,7 @@ WITH docs AS (
   SELECT doc_id, unnest(words) AS w FROM docs
 ), h AS (
   SELECT doc_id, seed,
-         min({_SQL_H32C.format(c="w || '#' || seed")}) AS mh
+         min({_SQL_H32_C.format(c="w || '#' || seed")}) AS mh
   FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
   GROUP BY doc_id, seed
 ), bands AS (

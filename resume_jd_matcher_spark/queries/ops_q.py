@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from resume_jd_matcher_spark.queries import register
 from resume_jd_matcher_spark.sources.io import load_table
 
-_SQL_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+# canonical portable-hash SQL spelling (single source: text_q),
+# re-keyed from {c} to {x} for readability at the call sites
+from resume_jd_matcher_spark.queries.text_q import (  # noqa: E402
+    SQL_HASH32 as _SQL_H32_C,
+)
+
+_SQL_H32 = _SQL_H32_C.replace("{c}", "{x}")
 
 
 # ---------------------------------------------------------------------------
@@ -211,13 +217,17 @@ WITH e AS (
   SELECT cust, count(*)::BIGINT AS d FROM e GROUP BY cust
 ), posting AS (
   SELECT part, count(*)::BIGINT AS pdf FROM e GROUP BY part
-), pairs AS (
-  SELECT a.cust AS cust_a, b.cust AS cust_b,
-         count(*)::BIGINT AS common
+), cand AS (
+  SELECT DISTINCT a.cust AS cust_a, b.cust AS cust_b
   FROM e a
   JOIN posting p ON p.part = a.part AND p.pdf <= {_LP_DF_CAP}
   JOIN e b ON b.part = a.part AND b.cust > a.cust
-  GROUP BY cust_a, cust_b
+), pairs AS (
+  SELECT c.cust_a, c.cust_b, count(*)::BIGINT AS common
+  FROM cand c
+  JOIN e ea ON ea.cust = c.cust_a
+  JOIN e eb ON eb.cust = c.cust_b AND eb.part = ea.part
+  GROUP BY c.cust_a, c.cust_b
 ), scored AS (
   SELECT cust_a, cust_b, common,
          round(common / (da.d + db.d - common)::DOUBLE + 1e-9, 4)
@@ -237,17 +247,23 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — rank customer pairs by common purchased parts and
     Jaccard overlap of their part sets (Liben-Nowell & Kleinberg
     2003's common-neighbors/Jaccard predictors): high-overlap pairs
-    are the "customers like you" edges a recommender would add. The
-    candidate pairs come from part postings CAPPED at df ≤
-    {_LP_DF_CAP} customers — the containment_neardup discipline: a
-    popular part contributes df² pairs and no information, so the
-    cap bounds the pair space by Σ min(df, cap)² instead of
-    customers².
+    are the "customers like you" edges a recommender would add.
+    Candidates-then-verify (the minhash_lsh split): CANDIDATE pairs
+    come only from part postings CAPPED at df ≤ {_LP_DF_CAP}
+    customers — a popular part contributes df² pairs and little
+    information, so the cap bounds the pair space by Σ min(df, cap)²
+    instead of customers² — but common/jaccard are then recounted
+    over ALL shared parts of each candidate pair, so the cap only
+    gates discovery, never the reported metric (an r9 review catch:
+    capping the scored intersection understated Jaccard for baskets
+    containing one popular part).
 
-    Scale shape: edge dedup is one distinct agg; the pair build is a
-    posting-list self-join keyed by part (hash equi-join, df-capped,
-    never customers²); degrees join back by key; the final top-k is
-    TakeOrderedAndProject with a full deterministic tie-break."""
+    Scale shape: edge dedup is one distinct agg; the candidate build
+    is a df-capped posting-list self-join keyed by part; the verify
+    recount joins the candidate pairs back to the edge list by
+    customer key (candidate-bounded, never customers²); degrees join
+    by key; the final top-k is TakeOrderedAndProject with a full
+    deterministic tie-break."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -260,12 +276,22 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = e.groupBy("part").agg(F.count("*").cast("bigint").alias("pdf"))
     a = e.select(F.col("cust").alias("cust_a"), "part")
     b = e.select(F.col("cust").alias("cust_b"), "part")
-    pairs = (
+    cand = (
         a.join(
             F.broadcast(posting.filter(F.col("pdf") <= _LP_DF_CAP)), "part"
         )
         .join(b, "part")
         .filter(F.col("cust_b") > F.col("cust_a"))
+        .select("cust_a", "cust_b")
+        .distinct()
+    )
+    # verify: recount COMMON over all shared parts (capped postings
+    # only generate candidates — see docstring)
+    ea = e.select(F.col("cust").alias("cust_a"), "part")
+    eb = e.select(F.col("cust").alias("cust_b"), "part")
+    pairs = (
+        cand.join(ea, "cust_a")
+        .join(eb, ["cust_b", "part"])
         .groupBy("cust_a", "cust_b")
         .agg(F.count("*").cast("bigint").alias("common"))
     )
@@ -557,7 +583,7 @@ def q_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     b=4 bands of r=4 rows (threshold (1/4)^(1/4) ≈ 0.707).
     Deterministic tie-break on b.
 
-    Scale shape: a 7-row literal frame and pure projection — the
+    Scale shape: a 5-row literal frame and pure projection — the
     planner runs before any data is touched; nothing scales with
     input at all (sf_dir is unused, accepted for the uniform query
     signature)."""

@@ -107,6 +107,48 @@ class TestLinkPrediction:
         # cust 4 shares nothing -> never appears
         assert not any(4 in k for k in out)
 
+    def test_popular_part_caps_discovery_not_the_metric(
+        self, spark, monkeypatch
+    ):
+        """The r9 review catch: a part above the df cap must not be
+        SCORED out of the intersection — it only stops generating
+        candidate pairs. Custs 1 and 2 share {P, Q}; P has df=45
+        (> cap 40), Q has df=2: the pair is discovered via Q but its
+        common count and Jaccard must still include P."""
+        from resume_jd_matcher_spark.queries import ops_q
+
+        P, Q = 100, 200
+        orders = spark.createDataFrame(
+            [
+                (c, c, "O", 0.0, dt.datetime(2024, 1, 1), "P")
+                for c in range(1, 46)
+            ],
+            _ORD_SCHEMA,
+        )
+        li_rows = [(c, P) for c in range(1, 46)]  # P: df=45
+        li_rows += [(1, Q), (2, Q)]               # Q: df=2
+        li = spark.createDataFrame(
+            [(ok, pk, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O",
+              dt.datetime(2024, 1, 1)) for ok, pk in li_rows],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber long, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        )
+        monkeypatch.setattr(
+            ops_q,
+            "load_table",
+            lambda spark_, sf, name: li if name == "lineitem" else orders,
+        )
+        out = {
+            (r["cust_a"], r["cust_b"]): r
+            for r in ops_q.q_link_prediction_jaccard(spark, SF).collect()
+        }
+        # only (1, 2) is discoverable (via Q); P alone generates none
+        assert set(out) == {(1, 2)}
+        assert out[(1, 2)]["common"] == 2              # P counted too
+        assert out[(1, 2)]["jaccard"] == pytest.approx(1.0)
+
 
 class TestDegreeAssortativity:
     def test_fixture_bounds_and_edge_count(self, spark, sf_dir, duck):
