@@ -107,14 +107,15 @@ class TestLinkPrediction:
         # cust 4 shares nothing -> never appears
         assert not any(4 in k for k in out)
 
-    def test_popular_part_caps_discovery_not_the_metric(
+    def test_popular_part_excluded_consistently(
         self, spark, monkeypatch
     ):
-        """The r9 review catch: a part above the df cap must not be
-        SCORED out of the intersection — it only stops generating
-        candidate pairs. Custs 1 and 2 share {P, Q}; P has df=45
-        (> cap 40), Q has df=2: the pair is discovered via Q but its
-        common count and Jaccard must still include P."""
+        """The r9 review arc: the df cap defines the similarity
+        UNIVERSE consistently — a popular part is excluded from the
+        intersection AND both degrees (stop-item filter), so
+        identical baskets still score 1.0. Custs 1 and 2 share
+        {P, Q}; P has df=45 (> cap 40), Q has df=2: within the
+        universe both baskets are {Q} -> common=1, jaccard=1.0."""
         from resume_jd_matcher_spark.queries import ops_q
 
         P, Q = 100, 200
@@ -146,7 +147,7 @@ class TestLinkPrediction:
         }
         # only (1, 2) is discoverable (via Q); P alone generates none
         assert set(out) == {(1, 2)}
-        assert out[(1, 2)]["common"] == 2              # P counted too
+        assert out[(1, 2)]["common"] == 1              # universe = {Q}
         assert out[(1, 2)]["jaccard"] == pytest.approx(1.0)
 
 
