@@ -120,7 +120,20 @@ def group_percentiles_exact(
                 + frac * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
             ).alias(tag)
         )
-    return all_groups.join(out.select(*out_cols), group_col, "left")
+    # The operator's contract already requires a dimension-bounded
+    # group universe (totals/spec broadcast above), so the result is
+    # |groups|-sized: materialize it eagerly and release the spec
+    # cache HERE rather than leaving the persist for the caller to
+    # forget — the r10 driver_sim cache-leak gate caught exactly that
+    # in all three callers (approx_stats / exact_percentiles /
+    # qte_deciles).
+    from resume_jd_matcher_spark.plans.optimize import (
+        materialize_and_release,
+    )
+
+    return materialize_and_release(
+        all_groups.join(out.select(*out_cols), group_col, "left"), spec
+    )
 
 
 def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
@@ -146,15 +159,28 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     rank (operators/prefix.py) it never sorts the full input — the
     only sort covers the bracket slice. NULLs are skipped (quantile
     semantics). Heavy tie mass AT the median widens the slice (every
-    tied row falls inside the bracket) but never breaks correctness —
-    the slice rank below is an unpartitioned window, so a mass-tied
-    input (30%+ of rows on one value) funnels that mass through one
-    task. Known straggler trade-off, fine for the continuous-ish
-    metrics current callers feed it; if mass-tied inputs become a
-    real workload, route the slice through operators/prefix.
-    global_prefix (ties share a bucket, offsets stay exact) instead
-    of Window.orderBy.
+    tied row falls inside the bracket) but never breaks correctness.
+
+    r10 (carried r8/r9 verdict item): the slice is first collapsed to
+    its VALUE GRAIN — ``groupBy(_v).count()``, map-side combined — and
+    the running count comes from ``operators/prefix.global_prefix``
+    over the distinct values instead of an unpartitioned
+    ``Window.orderBy`` over the raw slice rows. The value at a global
+    rank only needs each distinct value's covering rank interval
+    (cum−cnt, cum], never an intra-tie order, so a mass-tied input
+    (30%+ of rows on one value) costs ONE row in the prefix — the
+    straggler the r8-r9 docstrings warned about is structurally gone,
+    not just rebalanced (rank-within-tie was the one thing no bucket
+    scheme could parallelize, and the median never needed it). The
+    1-row stats frame is pinned eagerly for the same reason prefix.py
+    pins its height-mode bounds: ``percentile_approx`` is
+    merge-order-sensitive and ``s`` is embedded in BOTH the
+    below-count subtree and the slice filter — a divergent recompute
+    would count "below" against a different bracket than it slices,
+    corrupting the rank. One row: pinning is free.
     """
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
     small_n = 100_000
     x = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v")
@@ -164,7 +190,7 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
         F.percentile_approx(
             "_v", F.array(F.lit(0.48), F.lit(0.52)), F.lit(2_000)
         ).alias("_br"),
-    )
+    ).localCheckpoint(eager=True)
     lo = F.when(F.col("_n") <= small_n, F.lit(float("-inf"))).otherwise(
         F.col("_br")[0]
     )
@@ -180,16 +206,44 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
         .alias("_c_below")
     )
     t = F.lit(0.5) * (F.col("_n") - 1) + 1
-    mid = (
+    # Value grain: ties collapse to one (value, count) row here, via
+    # partial aggregation — no downstream stage ever sees the tie
+    # mass row-wise. Project down to _v first: global_prefix's
+    # internals use _lo/_hi/_n working columns, which would be
+    # ambiguous against the bracket columns; _n re-attaches from the
+    # pinned 1-row stats.
+    vc = (
         xb.filter(
             (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
         )
-        .crossJoin(F.broadcast(below))
-        .withColumn(
-            "_rk",
-            F.row_number().over(Window.orderBy("_v")) + F.col("_c_below"),
+        .groupBy("_v")
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+    )
+    # checkpoint=False: the value-grain lineage is a pruned agg over
+    # the caller's (typically persisted) input with the 1-row pinned
+    # stats — re-running it per internal consumer beats materializing
+    # it.
+    ranked = global_prefix(
+        vc, ["_v"], sum_col="_cnt", sum_type="bigint", checkpoint=False
+    )
+    # A value row covers slice-local ranks (cum_sum-_cnt, cum_sum];
+    # shift by _c_below to global ranks and keep the row(s) covering
+    # the two middle ranks.
+    k_lo = F.floor(t) - F.col("_c_below")
+    k_hi = F.ceil(t) - F.col("_c_below")
+    mid = (
+        ranked.crossJoin(F.broadcast(below))
+        .crossJoin(F.broadcast(s.select("_n")))
+        .filter(
+            (
+                (F.col("cum_sum") >= k_lo)
+                & (F.col("cum_sum") - F.col("_cnt") < k_lo)
+            )
+            | (
+                (F.col("cum_sum") >= k_hi)
+                & (F.col("cum_sum") - F.col("_cnt") < k_hi)
+            )
         )
-        .filter((F.col("_rk") == F.floor(t)) | (F.col("_rk") == F.ceil(t)))
     )
     return mid.agg(
         (

@@ -142,10 +142,20 @@ def global_prefix(
         )
         # accuracy 2000 bounds the sketch cost; bound precision only
         # affects load balance (never rank correctness), so a coarse
-        # sketch is the right trade.
+        # sketch is the right trade. Pinned eagerly REGARDLESS of the
+        # checkpoint flag: the stats subplan is embedded in two
+        # consumer subtrees (offsets build + final rank join), and
+        # percentile_approx is merge-order-sensitive — if Spark's
+        # exchange reuse ever fails to kick in (reuse disabled, AQE
+        # replanning diverges), the two sides would bucket with
+        # DIFFERENT bounds and silently corrupt every rank. One row /
+        # n_buckets-1 doubles: computing it exactly once by
+        # construction costs nothing. width mode needs no pin —
+        # min/max are merge-order-invariant, so a recompute cannot
+        # diverge.
         stats = grain.agg(
             F.percentile_approx(lead, fracs, F.lit(2_000)).alias("_bnds")
-        )
+        ).localCheckpoint(eager=True)
         # bucket = 1 + #bounds strictly below the key: monotone, ties
         # share a bucket, and the per-row cost is an O(n_buckets) fold
         # inside codegen (no shuffle, no UDF).

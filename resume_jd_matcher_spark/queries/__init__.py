@@ -76,27 +76,32 @@ from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 9: the 21 new curation/ops/governance queries lead (never
-# driver-checked), then the queries REWORKED this round —
-# kaplan_meier first (its r8 rows were vacuous: 0 == 0 rows; the
-# re-spec to time-to-first-high-value-purchase must show
-# spark_rows > 0 in CORRECTNESS_r09, r8 verdict task #1), the
-# single-scan fold in cramers_v/chi2_independence, snapshot_diff's
-# exact integer DIV, theil_sen/zipf/llr cache-release, and every
-# global_prefix caller touched by the bounds/checkpoint wiring.
-# Then the round-8 cohort rotates back for its second confirmation
-# per the standing policy. Everything below the first 50 keeps
-# registry order.
+# Round 10: new r10 queries lead (never driver-checked), then
+# effective_sources (r9 verdict task #4 — exactly one driver row,
+# from r8; rotate forward for its second confirmation), then the
+# queries REWORKED this round (link prediction's df-cap elbow,
+# degree_assortativity's posting-list rewrite, decontaminate's
+# span-derived split, join_theta_band's widened band,
+# cross_source_leakage's cache release — all must re-confirm in a
+# driver window), then the remaining r9 cohort for ITS second
+# confirmation, then the r8 tail that didn't fit in the r9 window.
+# Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
-    # -- round-9 additions (never driver-checked) --
+    # -- round-10 additions (never driver-checked) --
+    # -- rotate-forward: one driver row only (r8) --
+    "effective_sources",
+    # -- reworked in round 10 (code changed; must re-confirm) --
+    "link_prediction_jaccard",
+    "degree_assortativity",
+    "decontaminate",
+    "join_theta_band",
+    "cross_source_leakage",
+    # -- round-9 cohort: second confirmations --
     "anomaly_mad_daily",
     "elasticity_by_brand",
     "funnel_time_to_convert",
-    "cross_source_leakage",
     "incremental_agg_merge",
     "changelog_apply",
-    "link_prediction_jaccard",
-    "degree_assortativity",
     "theta_sketch_setops",
     "lsh_param_planner",
     "event_paths_top",
@@ -110,37 +115,9 @@ _DRIVER_PRIORITY = [
     "sort_key_advisor",
     "obrien_fleming_monitor",
     "benjamini_hochberg",
-    # -- reworked in round 9 (code changed; must re-confirm) --
     "kaplan_meier",
-    "cramers_v",
-    "chi2_independence",
-    "snapshot_diff",
-    "theil_sen_trend",
-    "zipf_fit",
-    "llr_keyness",
-    "abc_pareto",
-    "gini_concentration",
-    "equi_depth_histogram",
-    "token_budget_curriculum",
-    "compaction_plan",
-    "ks_test",
-    "roc_auc",
-    # -- round-8 cohort: second confirmations --
-    "ab_test_ztest",
-    "mutual_information",
-    "entity_resolution",
-    "ndcg_eval",
-    "vocab_overlap",
-    "acf_daily",
-    "stream_drift_monitor",
-    "welch_ttest",
-    "ratio_metric_delta",
-    "cuped_adjustment",
-    "srm_check",
-    "jackknife_ratio_ci",
-    "zone_map_pruning",
-    "user_streaks",
-    "forecast_backtest",
+    # -- r8 names whose second confirmation did NOT fit r9's window
+    #    (everything confirmed in CORRECTNESS_r09 rotates below) --
     "mde_power",
     "qte_deciles",
     "join_plan_advisor",
@@ -153,7 +130,6 @@ _DRIVER_PRIORITY = [
     "stl_decompose",
     "diff_in_did",
     "hurst_exponent",
-    "effective_sources",
     "silhouette_score",
     # -- r7/r6 cohorts: third confirmations (fill past the window;
     #    kept explicit so the window stays fully rotation-determined)
@@ -169,6 +145,35 @@ _DRIVER_PRIORITY = [
     "weighted_median",
     "kfold_assign",
     "heaps_law",
+    # -- confirmed twice+ (latest in r9's window); keep explicit --
+    "cramers_v",
+    "chi2_independence",
+    "snapshot_diff",
+    "theil_sen_trend",
+    "zipf_fit",
+    "llr_keyness",
+    "abc_pareto",
+    "gini_concentration",
+    "equi_depth_histogram",
+    "token_budget_curriculum",
+    "compaction_plan",
+    "ks_test",
+    "roc_auc",
+    "ab_test_ztest",
+    "mutual_information",
+    "entity_resolution",
+    "ndcg_eval",
+    "vocab_overlap",
+    "acf_daily",
+    "stream_drift_monitor",
+    "welch_ttest",
+    "ratio_metric_delta",
+    "cuped_adjustment",
+    "srm_check",
+    "jackknife_ratio_ci",
+    "zone_map_pruning",
+    "user_streaks",
+    "forecast_backtest",
     "ensemble_neardup",
     "mllib_lsh_agreement",
     "keyword_tag",

@@ -1365,9 +1365,17 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard",
         )
     )
-    return leak.groupBy("src_a", "src_b").agg(
+    out = leak.groupBy("src_a", "src_b").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.round(F.avg("est_jaccard") + F.lit(1e-9), 4).alias(
             "avg_est_jaccard"
         ),
     )
+    # minhash_lsh_candidates persists its signature frame into
+    # dedup._PERSISTED; materialize the bounded |sources|^2 matrix NOW
+    # and drop that cache deterministically (the round-9/10
+    # materialize_and_release discipline) instead of letting it
+    # accumulate across a 250-query sweep.
+    out = out.localCheckpoint(eager=True)
+    dedup.release_persisted()
+    return out

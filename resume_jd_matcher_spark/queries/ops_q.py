@@ -203,7 +203,7 @@ def q_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Link prediction on the co-purchase graph (common neighbors / Jaccard)
 # ---------------------------------------------------------------------------
 
-_LP_DF_CAP = 40
+_LP_DF_CAP = 25
 _LP_TOP_K = 20
 
 
@@ -259,6 +259,16 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     size); the capped-universe metric is internally consistent AND
     keeps the posting self-join plan — identical baskets score 1.0
     within the universe by construction.
+
+    Cap elbow (r10, measured at sf0.1 where part-df is tight around
+    its p50 of 30, p90 37, max 53): cap 40 kept 19,363/20,000 parts
+    — no stop-item filtering at all at this data shape — and built
+    8.4M pairs (13.3 s); cap 30 → 3.6M; cap 25 → 1.03M pairs over
+    ~3,400 parts (4.5 s, the elbow: a 8× pair reduction that still
+    keeps a multi-thousand-part universe at sf0.1 and 71 parts /
+    16.8k pairs at sf0.001); cap 20 collapses the universe to 710
+    parts. 25 is the discriminative-item regime — below the df
+    median, where co-purchase actually signals taste similarity.
 
     Scale shape: edge dedup one distinct agg; stop-item filter a
     broadcast posting join; ONE df-capped posting-list self-join
@@ -359,25 +369,68 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative means hubs pair with specialists. The graph-structure
     summary the neardup/PageRank family doesn't cover.
 
-    Scale shape: edge dedup one distinct agg; two degree hash aggs;
-    degrees join back onto edges BY KEY (hash equi-joins — degree
-    tables are vertex-bounded); one 1-row corr finalize. No window,
-    no pair enumeration."""
+    Scale shape (r10 rewrite — closes the r9 curve's 5.9x-at-10x
+    flag): the posting-list formulation replaces the r9
+    checkpoint + two edge-sized degree joins. ONE shuffle by part
+    builds neighbor sets (collect_set — bounded: a part has
+    O(suppliers-per-part) neighbors, 4 in real TPC-H shape),
+    d_part = set size; explode + ONE shuffle by supp folds the corr
+    moments per supplier, where d_supp = the group count so the
+    y-moments are closed forms (Σy = Σ nₑ², Σy² = Σ nₑ³,
+    Σxy = Σ nₑ·Σx(supp)); one 1-row finalize. Zero joins, zero
+    checkpoints, two shuffles total — measured 10x corpus:
+    8.6 s (r9 plan) → 4.3 s, vs a 2.6 s floor for the bare edge
+    distinct; ratio 5.9 → 2.6. Moments accumulate in decimal(38,0)
+    BEFORE summation (the r8 exact-variance discipline): at 100 TB a
+    supplier's degree can reach ~1e7, so nₑ³ ≈ 1e21 overflows bigint
+    but sits comfortably in 38 digits; the Pearson ratio is formed
+    from exact integers and cast to double only at the end."""
     e = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-        .localCheckpoint()  # three consumers: dp, ds, the edge join
     )
-    dp = e.groupBy("part").agg(F.count("*").cast("bigint").alias("d_part"))
-    ds = e.groupBy("supp").agg(F.count("*").cast("bigint").alias("d_supp"))
-    j = e.join(dp, "part").join(ds, "supp")
-    return j.agg(
-        F.count("*").cast("bigint").alias("n_edges"),
-        F.round(F.avg("d_part") + F.lit(1e-9), 4).alias("mean_part_degree"),
-        F.round(F.avg("d_supp") + F.lit(1e-9), 4).alias("mean_supp_degree"),
+    ns = e.groupBy("part").agg(F.collect_set("supp").alias("ns"))
+    tagged = ns.select(
+        F.size("ns").cast("bigint").alias("d_part"),
+        F.explode("ns").alias("supp"),
+    )
+    dec = "decimal(38,0)"
+    per_supp = tagged.groupBy("supp").agg(
+        F.count("*").cast(dec).alias("ne"),  # = d_supp
+        F.sum(F.col("d_part").cast(dec)).alias("sx"),
+        F.sum(F.col("d_part").cast(dec) * F.col("d_part")).alias("sxx"),
+    )
+    m = per_supp.agg(
+        F.sum("ne").alias("n"),
+        F.sum("sx").alias("sumx"),
+        F.sum("sxx").alias("sumxx"),
+        F.sum(F.col("ne") * F.col("ne")).alias("sumy"),
+        F.sum(F.col("ne") * F.col("ne") * F.col("ne")).alias("sumyy"),
+        F.sum(F.col("ne") * F.col("sx")).alias("sumxy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(F.col("sumx").cast("double") / nd + F.lit(1e-9), 4).alias(
+            "mean_part_degree"
+        ),
+        F.round(F.col("sumy").cast("double") / nd + F.lit(1e-9), 4).alias(
+            "mean_supp_degree"
+        ),
         F.round(
-            F.corr(F.col("d_part").cast("double"), F.col("d_supp").cast("double"))
+            (
+                (F.col("n") * F.col("sumxy") - F.col("sumx") * F.col("sumy")).cast(
+                    "double"
+                )
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col("sumxx") - F.col("sumx") * F.col("sumx")
+                    ).cast("double")
+                    * (
+                        F.col("n") * F.col("sumyy") - F.col("sumy") * F.col("sumy")
+                    ).cast("double")
+                )
+            )
             + F.lit(1e-9),
             4,
         ).alias("assortativity"),

@@ -655,7 +655,9 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate",
     f"""
-WITH t AS (
+WITH span AS (
+  SELECT (4 * (max(doc_id) + 1)) // 5 AS cutoff FROM documents
+), t AS (
   SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
 ), grams AS (
   SELECT doc_id,
@@ -663,9 +665,9 @@ WITH t AS (
   FROM t, unnest(generate_series(1, len(toks) - 7)) AS s(i)
   WHERE len(toks) >= 8
 ), bench AS (
-  SELECT DISTINCT g FROM grams WHERE doc_id >= 400 AND doc_id < 480
+  SELECT DISTINCT g FROM grams, span WHERE doc_id >= cutoff
 ), train AS (
-  SELECT doc_id, g FROM grams WHERE doc_id < 400
+  SELECT doc_id, g FROM grams, span WHERE doc_id < cutoff
 )
 SELECT tr.doc_id, count(DISTINCT tr.g)::BIGINT AS n_hits
 FROM train tr JOIN bench b ON tr.g = b.g
@@ -674,14 +676,26 @@ GROUP BY tr.doc_id
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] benchmark decontamination (the GPT-3/C4 n-gram collision
-    method): flag training documents sharing any 8-token gram with the
-    held-out benchmark set (docs 400-479 stand in for the benchmark;
-    docs < 400 are the train slice).
+    method): flag training documents sharing any 8-token gram with
+    the held-out benchmark set. The train/bench split is derived
+    from the corpus SPAN — the last 20% of doc ids stand in for the
+    benchmark — rather than a fixed id window: the r9 selfcheck
+    showed a fixed 400-480 window goes vacuous at sf0.1 (the 5,000-
+    doc corpus's first 480 docs share no 8-gram, so the operator was
+    exercised by zero rows at that scale); the proportional split
+    keeps real collisions at every sf (measured: 9 / 8 / 82 flagged
+    docs at sf0.001/0.01/0.1).
     Gram hashes meet in an equi-join against the DISTINCT benchmark
     gram set — at scale the benchmark side is small and broadcasts;
     candidate volume is posting-list bound, never corpus x benchmark
-    text. Output: flagged doc_id + distinct colliding gram count."""
+    text. The cutoff is a 1-row broadcast (no collect). Output:
+    flagged doc_id + distinct colliding gram count."""
     d = load_table(spark, sf_dir, "documents")
+    span = d.agg(
+        ((F.max("doc_id") + F.lit(1)) * F.lit(4))
+        .cast("bigint")
+        .alias("_c4")
+    ).select(F.expr("_c4 div 5").alias("cutoff"))
     tok_pos = d.select(
         "doc_id", F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("i", "tok")
     )
@@ -699,13 +713,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("full"))
         .select("doc_id", hash32(F.col("gram")).alias("g"))
+        .crossJoin(F.broadcast(span))  # 1-row cutoff scalar
     )
     bench = (
-        grams.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480))
+        grams.filter(F.col("doc_id") >= F.col("cutoff"))
         .select("g")
         .distinct()
     )
-    train = grams.filter(F.col("doc_id") < 400)
+    train = grams.filter(F.col("doc_id") < F.col("cutoff")).select("doc_id", "g")
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")

@@ -732,6 +732,28 @@ class TestGlobalMedianExact:
         assert r["n"] == n
         assert r["med"] == pytest.approx(statistics.median(vals), abs=1e-9)
 
+    def test_bracket_path_mass_tie_at_median(self, spark):
+        """30% of rows tied ON the median value, above the small-n
+        cutoff: the whole tie lands inside the [48%, 52%] bracket
+        slice. The r10 value-grain rewrite must stay exact here (the
+        tie collapses to one prefix row; both middle ranks fall
+        inside its covering interval)."""
+        import statistics
+
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_median_exact,
+        )
+
+        n = 120_000
+        vals = []
+        for i in range(n):
+            h = (i * 2654435761) % 1_000_003
+            vals.append(500_000.0 if h % 10 < 3 else float(h))
+        df = spark.createDataFrame([(v,) for v in vals], "_x double")
+        r = global_median_exact(df, "_x").collect()[0]
+        assert r["n"] == n
+        assert r["med"] == pytest.approx(statistics.median(vals), abs=1e-9)
+
 
 class TestHurstExponent:
     def _orders(self, spark, prices):

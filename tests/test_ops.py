@@ -114,8 +114,9 @@ class TestLinkPrediction:
         UNIVERSE consistently — a popular part is excluded from the
         intersection AND both degrees (stop-item filter), so
         identical baskets still score 1.0. Custs 1 and 2 share
-        {P, Q}; P has df=45 (> cap 40), Q has df=2: within the
-        universe both baskets are {Q} -> common=1, jaccard=1.0."""
+        {P, Q}; P has df=45 (> _LP_DF_CAP at any of its measured
+        settings), Q has df=2: within the universe both baskets are
+        {Q} -> common=1, jaccard=1.0."""
         from resume_jd_matcher_spark.queries import ops_q
 
         P, Q = 100, 200

@@ -342,6 +342,11 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row signup-base count broadcast crossed into the
         # converted-user grain:
         "funnel_time_to_convert",
+        # -- round 10 --
+        # 1-row span-derived train/bench cutoff broadcast crossed
+        # into the gram stream (replaces the fixed id window that
+        # went vacuous at sf0.1):
+        "decontaminate",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -52,9 +52,22 @@ def main() -> None:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from resume_jd_matcher_spark.operators import dedup
     from resume_jd_matcher_spark.session import get_spark
 
     spark = get_spark("driver-sim")
+
+    def cache_leak() -> bool:
+        """True if any explicit DataFrame persist is still live.
+
+        Explicit ``persist()`` goes through the session CacheManager;
+        ``localCheckpoint`` does not (RDD-level, cleaned asynchronously
+        by the ContextCleaner once the Python ref dies) — so
+        CacheManager emptiness is exactly the sweep invariant the r9
+        verdict asked to pin: no query leaves cached blocks behind
+        after its action + the release call every sweep owes
+        (bench.py has always made it; this sim now matches)."""
+        return not spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
     smoke = entrymod.entry(spark)
     smoke_rows = smoke.count()
@@ -66,6 +79,7 @@ def main() -> None:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     results: dict[str, str] = {}
+    leakers: list[str] = []
     for name, fn in sorted(qs.items()):
         if ONLY and name not in ONLY:
             continue
@@ -74,6 +88,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK_ERROR: {e}"
             continue
+        finally:
+            # Every query owes its caches back after its action.
+            dedup.release_persisted()
+            if cache_leak():
+                leakers.append(name)
+                spark.catalog.clearCache()  # don't double-bill the next query
         if name not in oracles:
             results[name] = f"rows_only: {len(spark_pdf)} rows"
             continue
@@ -96,9 +116,11 @@ def main() -> None:
     n_match = sum(1 for v in results.values() if v.startswith("MATCH"))
     n_bad = sum(1 for v in results.values() if v.startswith(("MISMATCH", "SPARK_ERROR", "ORACLE_ERROR")))
     print(json.dumps(results, indent=2))
+    if leakers:
+        print(f"CACHE_LEAK: {len(leakers)} queries left explicit persists behind: {leakers}")
     print(f"TOTAL: {len(results)} queries, {n_match} oracle-match, {n_bad} failing")
     spark.stop()
-    sys.exit(1 if n_bad else 0)
+    sys.exit(1 if (n_bad or leakers) else 0)
 
 
 if __name__ == "__main__":

@@ -9,9 +9,24 @@ queries:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Docstrings reference module constants as plain-string placeholders
+# ({_BH_Q}, {_LP_DF_CAP}, ...) — the oracle SQL beside them is an
+# f-string so the SAME constant interpolates there, but making every
+# docstring an f-string would force escaping the literal braces they
+# also contain ({P, Q}, {0,1}). Substitute just the module-constant
+# tokens here instead (r9 ADVICE item #2).
+_PLACEHOLDER = re.compile(r"\{(_[A-Z][A-Z0-9_]*)\}")
+
+
+def _fill(doc: str, module_globals: dict) -> str:
+    return _PLACEHOLDER.sub(
+        lambda m: str(module_globals.get(m.group(1), m.group(0))), doc
+    )
 
 
 def main() -> None:
@@ -20,6 +35,7 @@ def main() -> None:
     rows = []
     for name, qd in sorted(Q._REGISTRY.items()):
         doc = (qd.fn.__doc__ or "").strip().replace("\n", " ")
+        doc = _fill(doc, vars(sys.modules[qd.fn.__module__]))
         while "  " in doc:
             doc = doc.replace("  ", " ")
         first = doc.split(". ")[0].rstrip(".") + "." if doc else ""
