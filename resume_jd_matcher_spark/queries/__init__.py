@@ -67,6 +67,7 @@ from resume_jd_matcher_spark.queries import mining_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import evalops_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import curation_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import evalplan_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -88,6 +89,20 @@ from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 # Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
     # -- round-10 additions (never driver-checked) --
+    "lead_lag_ccf",
+    "multitouch_attribution",
+    "ips_policy_eval",
+    "entropy_l_diversity",
+    "join_cardinality_qerror",
+    "term_dispersion",
+    "matryoshka_eval",
+    "session_overlap_join",
+    "encoding_advisor",
+    "nelson_aalen",
+    "woe_iv",
+    "pr_auc",
+    "cohens_kappa",
+    "t_closeness",
     # -- rotate-forward: one driver row only (r8) --
     "effective_sources",
     # -- reworked in round 10 (code changed; must re-confirm) --

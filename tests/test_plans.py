@@ -347,6 +347,25 @@ def test_registry_wide_no_cartesian_products(spark):
         # into the gram stream (replaces the fixed id window that
         # went vacuous at sf0.1):
         "decontaminate",
+        # 15-row lag spine broadcast crossed into the calendar-bounded
+        # day grain (the shifted join itself is an equi-join):
+        "lead_lag_ccf",
+        # per relation: 1-row histogram estimate crossed with the
+        # 1-row exact cardinality:
+        "join_cardinality_qerror",
+        # 1-row corpus token total crossed into the top-k x |sources|
+        # bounded dispersion grain:
+        "term_dispersion",
+        # 1-row (corpus max date, n_users) broadcast crossed into the
+        # user grain — same lifetable shape as kaplan_meier:
+        "nelson_aalen",
+        # 1-row class totals + 1-row IV sum crossed into the 5-row
+        # priority grain:
+        "woe_iv",
+        # |classes| x |buckets| spine (both dimension-bounded,
+        # buckets broadcast) + 1-row global-total/bucket-count
+        # broadcasts:
+        "t_closeness",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -363,10 +363,14 @@ HEADLINERS = {
     "per key; filter; |priorities|-row agg — the MERGE-compaction "
     "plan",
     "link_prediction_jaccard": "pair space from df-capped part "
-    "postings (hash equi-join, never customers^2); degree tables "
-    "join back by key; top-k = TakeOrderedAndProject",
-    "degree_assortativity": "edge dedup distinct agg; vertex-bounded "
-    "degree joins by key; 1-row corr finalize — no pair enumeration",
+    "postings (hash equi-join, never customers^2; cap 25 at the "
+    "measured pair-count elbow — 1.03M pairs at sf0.1, was 8.4M at "
+    "cap 40); degree tables join back by key; top-k = "
+    "TakeOrderedAndProject",
+    "degree_assortativity": "posting-list plan: ONE shuffle by part "
+    "(collect_set), explode, ONE shuffle by supp folding closed-form "
+    "decimal(38,0) corr moments; zero joins, zero checkpoints, 1-row "
+    "finalize — no pair enumeration",
     "theta_sketch_setops": "every pairwise step joins <=k-row "
     "sketches (KMV rank window per type); exact companion one "
     "distinct + user-keyed self-join",
@@ -384,6 +388,47 @@ HEADLINERS = {
     "cross_source_leakage": "the dedup family's banded equi-join "
     "candidates + doc-keyed source joins; |sources|^2-bounded matrix "
     "agg",
+    # -- round 10 --
+    "lead_lag_ccf": "fact collapses to the calendar-bounded day grain "
+    "FIRST; the lag sweep is a 15-row broadcast over that grain; "
+    "exact-integer moments, 15-row out",
+    "multitouch_attribution": "purchase-touch pairs from a user-keyed "
+    "equi-join with a time band (never user^2); purchase-partitioned "
+    "rank windows; three models read ONE pair frame",
+    "ips_policy_eval": "one (segment x action) hash agg (15 cells), "
+    "segment rollup broadcast back, 1-row finalize - no per-event "
+    "weight column",
+    "entropy_l_diversity": "two nested dimension-bounded hash aggs "
+    "(QI x sensitive, then QI); entropy a closed form of exact cell "
+    "counts - no window, no join",
+    "join_cardinality_qerror": "estimates from 16-row histograms; "
+    "EXACT cardinality from key-grain aggs joined key-to-key - no "
+    "joined row ever materialized",
+    "term_dispersion": "(term x source) hash agg; top-k = "
+    "TakeOrderedAndProject bounds the dispersion grain; absent cells "
+    "folded algebraically, never materialized",
+    "matryoshka_eval": "consecutive-id equi self-join (LINEAR pair "
+    "generator); all three cosines fold in one projection; 2-row "
+    "moment finalize",
+    "session_overlap_join": "bin-replicated interval join: explode to "
+    "covered bins, hash equi-join on bin, first-shared-bin predicate "
+    "dedups pairs WITHOUT a distinct shuffle",
+    "encoding_advisor": "per-column runs from (orderkey)-partitioned "
+    "lag windows (order-bounded, never global); 4-row union of "
+    "1-row profiles",
+    "nelson_aalen": "kaplan_meier's lifetable shape: user-grain agg, "
+    "calendar-bounded lifetime grain, cumulative windows only over "
+    "that bounded grain",
+    "woe_iv": "order-grain label by key equi-join + hash agg; 5-row "
+    "category grain; totals and IV are 1-row broadcasts",
+    "pr_auc": "value-grain agg + ONE distributed prefix scan over "
+    "distinct scores descending (global_prefix multi-sum, negated "
+    "key); no per-row global rank; 1-row finalize",
+    "cohens_kappa": "order-grain label join + ONE map-side-combined "
+    "2x2 confusion agg; closed-form 1-row finalize",
+    "t_closeness": "|classes| x |buckets| bounded spine (broadcast); "
+    "cumulative windows partitioned BY CLASS; absent buckets filled "
+    "by left join, never enumerated row-wise",
 }
 
 

@@ -107,6 +107,12 @@ REGISTERED = [
     "ngram_contamination",
     "intradoc_repetition",
     "unigram_logprob_quality",
+    # round-10 documents-only member (Gries DP over the token grain;
+    # matryoshka_eval is the round's other corpus kernel but needs an
+    # embeddings table this corpus doesn't synthesize — its pair
+    # generator is a consecutive-id equi self-join, LINEAR by
+    # construction, measured via bench + the three-sf sims instead)
+    "term_dispersion",
 ]
 
 

@@ -46,7 +46,8 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     # and on the newest synth artifact so an older tool version's dir
     # (no events table) regenerates instead of half-missing.
     # v2: adds customer.parquet (round-9 neyman/BH kernels)
-    marker = os.path.join(d, f".n_orders_v2_{n_orders}")
+    # v3: adds supplier.parquet (round-10 join_cardinality_qerror)
+    marker = os.path.join(d, f".n_orders_v3_{n_orders}")
     if os.path.exists(os.path.join(d, "events.parquet")) and os.path.exists(
         marker
     ):
@@ -161,6 +162,19 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(d, "customer.parquet"))
     )
+    sid = F.col("id")
+    n_supp = max(n_orders // 150, 1)
+    (
+        spark.range(1, n_supp + 1, 1, 32)
+        .select(
+            sid.alias("s_suppkey"),
+            F.concat(F.lit("Supplier#"), sid).alias("s_name"),
+            h(sid, 23, 25).cast("int").alias("s_nationkey"),
+            ((h(sid, 24, 1_099_999) - 99_999) / 100.0).alias("s_acctbal"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "supplier.parquet"))
+    )
     open(marker, "w").close()
 
 
@@ -259,6 +273,25 @@ REGISTERED = [
     "anomaly_mad_daily",
     "elasticity_by_brand",
     "funnel_time_to_convert",
+    # round-10 evalplan members with relational inputs. Excluded:
+    # term_dispersion / matryoshka_eval (documents / embeddings
+    # kernels — same boundary as cross_source_leakage) and
+    # session_overlap_join: its OUTPUT is the co-active pair set,
+    # which is Theta(event-density^2 x time) by definition — on this
+    # synth corpus the 10x point multiplies density 10x and the pair
+    # count 100x, so a wall-clock ratio would grade the readout's
+    # size, not the plan (the bin-replicated join enumerates exactly
+    # the pairs it returns). Its scale signal is the committed
+    # three-sf sims + bench at sf0.1, where testdata keeps per-user
+    # density constant.
+    "lead_lag_ccf",
+    "multitouch_attribution",
+    "ips_policy_eval",
+    "entropy_l_diversity",
+    "join_cardinality_qerror",
+    "encoding_advisor",
+    "nelson_aalen",
+    "woe_iv",
 ]
 
 
