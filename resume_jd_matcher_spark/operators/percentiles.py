@@ -120,20 +120,20 @@ def group_percentiles_exact(
                 + frac * (F.col(f"_{tag}_hi") - F.col(f"_{tag}_lo"))
             ).alias(tag)
         )
-    # The operator's contract already requires a dimension-bounded
-    # group universe (totals/spec broadcast above), so the result is
-    # |groups|-sized: materialize it eagerly and release the spec
-    # cache HERE rather than leaving the persist for the caller to
-    # forget — the r10 driver_sim cache-leak gate caught exactly that
-    # in all three callers (approx_stats / exact_percentiles /
-    # qte_deciles).
-    from resume_jd_matcher_spark.plans.optimize import (
-        materialize_and_release,
-    )
+    # Enroll the spec cache in the engine-wide release ledger
+    # (dedup._PERSISTED — the same list cluster.py uses) so the sweep
+    # hooks (driver_sim / bench release_persisted() after every
+    # query) reclaim it deterministically. The r10 driver_sim
+    # cache-leak gate caught the bare persist in all three callers
+    # (approx_stats / exact_percentiles / qte_deciles). A lazy
+    # registered persist — NOT an eager localCheckpoint — keeps the
+    # full subplan visible to the plan audits (explain_audit, the
+    # registry-wide cartesian sweep), which a construction-time
+    # checkpoint would blind behind a Scan ExistingRDD node.
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
 
-    return materialize_and_release(
-        all_groups.join(out.select(*out_cols), group_col, "left"), spec
-    )
+    _PERSISTED.append(spec)
+    return all_groups.join(out.select(*out_cols), group_col, "left")
 
 
 def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:

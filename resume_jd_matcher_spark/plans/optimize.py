@@ -23,33 +23,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     inherits the scan's partitioning, so one input split = one core.
     At real scale the scan already yields hundreds of splits and this
     is a no-op (the partition check avoids a gratuitous shuffle).
+
+    Caveat: the check reads the PRE-AQE partition count, so it is
+    blind to runtime coalescing — a shuffle feeding a bare
+    ``localCheckpoint`` can still land on ~3 partitions and pin that
+    (the r9 ``degree_assortativity`` 5.9x-at-10x trace). If a
+    checkpoint must keep its parallelism, ``repartition(n)`` FIRST
+    (REPARTITION_BY_NUM is exempt from AQE coalescing by contract) —
+    though the better fix is usually restructuring so no checkpoint
+    is needed at all, which is how that query was actually closed.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
-
-
-def parallel_checkpoint(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """``repartition(n).localCheckpoint()`` — a checkpoint that keeps
-    its parallelism.
-
-    ``ensure_parallelism`` inspects the PRE-AQE partition count, which
-    is right for already-materialized inputs (scans, prior checkpoints)
-    but blind to what AQE will do: a shuffle feeding a bare
-    ``localCheckpoint`` gets coalesced to a handful of partitions at
-    runtime and the checkpoint pins that, so every downstream consumer
-    runs on ~3 cores (r9 ``degree_assortativity``: 5.9x at 10x traced
-    to exactly this). An explicit user ``repartition(n)`` is exempt
-    from AQE coalescing by contract (REPARTITION_BY_NUM), so the
-    checkpointed blocks land n-wide by construction. Costs one extra
-    shuffle of the frame — only worth it when multiple non-trivial
-    consumers follow.
-    """
-    spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    return df.repartition(target).localCheckpoint()
 
 
 def physical_plan(df: DataFrame) -> str:
@@ -103,22 +91,15 @@ def choose_similarity_strategy(
     return "exact" if nl * nr <= max_exact_pairs else "lsh"
 
 
-def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Eagerly compute a BOUNDED result frame, then unpersist the
-    caches that fed it.
-
-    Queries that ``persist()`` a shared intermediate (pair spaces,
-    vocab grains) would otherwise leave cached blocks alive for the
-    whole session — across a 230-query selfcheck/bench sweep those
-    accumulate and lean on LRU eviction under memory pressure (r8
-    advisor note). ``localCheckpoint(eager=True)`` runs the job NOW
-    and pins only the (small) result partitions; the upstream caches
-    are then released deterministically instead of at session end.
-
-    Only call this with a dimension-bounded / scalar result — the
-    checkpoint materializes it on executors.
-    """
-    out = result.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
-    return out
+# Cache-release discipline (r8 advisor note -> r10 resolution):
+# queries that persist() a shared intermediate (pair spaces, vocab
+# grains) enroll it in the engine-wide ledger
+# (operators/dedup._PERSISTED); the sweep hooks (tools/driver_sim.py,
+# bench.py) call dedup.release_persisted() after EVERY query's
+# action, so caches are reclaimed deterministically instead of at
+# session-end LRU. An earlier draft eagerly localCheckpoint'ed the
+# result and unpersisted inline ("materialize_and_release"), but the
+# construction-time checkpoint hid the whole subplan from the plan
+# audits (explain_audit, the registry-wide cartesian sweep) behind a
+# Scan ExistingRDD node and ran the job whenever the plan was merely
+# built — the lazy ledger keeps both properties without either cost.

@@ -880,10 +880,8 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows). The fit and coverage are 1-row aggs crossed
     together. Vocabulary never leaves the distributed agg."""
     from resume_jd_matcher_spark.functions.text import tokens
-    from resume_jd_matcher_spark.plans.optimize import (
-        ensure_parallelism,
-        materialize_and_release,
-    )
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # The vocab agg feeds three consumers (fit, head mass, coverage);
@@ -938,9 +936,13 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("topk_coverage"),
         )
     )
-    # 1-row result: run the job now and release the vocab cache
-    # instead of leaving it to session-end LRU (r8 advisor note).
-    return materialize_and_release(out, c)
+    # The vocab cache is enrolled in the engine-wide ledger
+    # (dedup._PERSISTED): the sweep hooks release it after the
+    # query's action (r8 advisor note), and the LAZY persist keeps
+    # the full subplan visible to the plan audits — an eager
+    # materialize here hid it behind a Scan ExistingRDD node.
+    _PERSISTED.append(c)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1020,10 +1022,8 @@ def q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     source/grand totals are dimension-bounded broadcasts. The window
     partitions by source over the df-filtered grain."""
     from resume_jd_matcher_spark.functions.text import tokens
-    from resume_jd_matcher_spark.plans.optimize import (
-        ensure_parallelism,
-        materialize_and_release,
-    )
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # (source, token) grain feeds four consumers (token df, source
@@ -1105,9 +1105,11 @@ def q_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
-    # |sources| x top-k rows: run the job now and release the
-    # (source, token) grain cache deterministically.
-    return materialize_and_release(out, st)
+    # The (source, token) grain cache is enrolled in the engine-wide
+    # ledger: released by the sweep hooks after the action; the lazy
+    # persist keeps the subplan visible to the plan audits.
+    _PERSISTED.append(st)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1365,17 +1365,16 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard",
         )
     )
-    out = leak.groupBy("src_a", "src_b").agg(
+    # minhash_lsh_candidates persists its signature frame into
+    # dedup._PERSISTED, the engine-wide ledger every sweep hook
+    # (driver_sim / bench) drains after the query's action — so the
+    # cache is released deterministically per query WITHOUT an eager
+    # in-query checkpoint (an earlier r10 draft checkpointed here,
+    # which blinded the plan audits behind a Scan ExistingRDD node
+    # and ran the MinHash job at plan-construction time).
+    return leak.groupBy("src_a", "src_b").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.round(F.avg("est_jaccard") + F.lit(1e-9), 4).alias(
             "avg_est_jaccard"
         ),
     )
-    # minhash_lsh_candidates persists its signature frame into
-    # dedup._PERSISTED; materialize the bounded |sources|^2 matrix NOW
-    # and drop that cache deterministically (the round-9/10
-    # materialize_and_release discipline) instead of letting it
-    # accumulate across a 250-query sweep.
-    out = out.localCheckpoint(eager=True)
-    dedup.release_persisted()
-    return out

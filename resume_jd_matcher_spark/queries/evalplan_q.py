@@ -46,9 +46,9 @@ WITH d AS (
   SELECT unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS lag
 ), m AS (
   SELECT l.lag, count(*)::BIGINT AS n,
-         sum(a.v)::BIGINT AS sx, sum(b.p)::BIGINT AS sy,
-         sum(a.v * a.v)::BIGINT AS sxx, sum(b.p * b.p)::BIGINT AS syy,
-         sum(a.v * b.p)::BIGINT AS sxy
+         sum(a.v::HUGEINT) AS sx, sum(b.p::HUGEINT) AS sy,
+         sum(a.v::HUGEINT * a.v) AS sxx, sum(b.p::HUGEINT * b.p) AS syy,
+         sum(a.v::HUGEINT * b.p) AS sxy
   FROM lags l
   CROSS JOIN d a
   JOIN d b ON b.day = a.day + l.lag::INT
@@ -74,10 +74,11 @@ def q_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table collapses to the DAY grain first (one
     map-side-combined hash agg, calendar-bounded), so the lag sweep
     is a |days| x |lags| broadcast join over ~30 rows — the CCF costs
-    one fact scan regardless of lag count. Moments accumulate as
-    exact BIGINTs (daily counts are integers); the only doubles are
-    the final ratio. A zero-variance side yields NULL ccf through the
-    same guarded CASE on both engines."""
+    one fact scan regardless of lag count. Moments accumulate exactly
+    in decimal(38,0) / HUGEINT (second-order sums pass bigint around
+    ~1e10-count days); the only doubles are the final ratio. A
+    zero-variance side yields NULL ccf through the same guarded CASE
+    on both engines."""
     e = load_table(spark, sf_dir, "events")
     d = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
@@ -92,6 +93,11 @@ def q_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("day").alias("a_day"), "v")
     b = d.select(F.col("day").alias("b_day"), "p")
+    # second-order moments in decimal(38,0) (the r8 exact-variance
+    # discipline): at 100 TB a daily count reaches ~1e9-1e10, so v*v
+    # sums to ~1e22 — past bigint — but sits comfortably in 38
+    # digits; DuckDB's HUGEINT sums mirror it.
+    dec = "decimal(38,0)"
     m = (
         a.crossJoin(F.broadcast(lags))
         .join(
@@ -101,11 +107,11 @@ def q_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("v").cast("bigint").alias("sx"),
-            F.sum("p").cast("bigint").alias("sy"),
-            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sxx"),
-            F.sum(F.col("p") * F.col("p")).cast("bigint").alias("syy"),
-            F.sum(F.col("v") * F.col("p")).cast("bigint").alias("sxy"),
+            F.sum(F.col("v").cast(dec)).alias("sx"),
+            F.sum(F.col("p").cast(dec)).alias("sy"),
+            F.sum(F.col("v").cast(dec) * F.col("v")).alias("sxx"),
+            F.sum(F.col("p").cast(dec) * F.col("p")).alias("syy"),
+            F.sum(F.col("v").cast(dec) * F.col("p")).alias("sxy"),
         )
     )
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -764,9 +770,14 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("ct") - F.col("cf"))).alias("sae"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # nullif: a degenerate slice (constant cosines) has no defined
+    # correlation; DuckDB's x/0 yields NULL, ANSI Spark would abort.
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        F.lit(0.0),
     )
     return m.select(
         F.col("trunc_dim").cast("int").alias("trunc_dim"),
@@ -1128,10 +1139,13 @@ WITH ord AS (
   SELECT sum(n_bad)::BIGINT AS tb, sum(n_good)::BIGINT AS tg FROM g
 ), w AS (
   SELECT g.prio, g.n_orders, g.n_bad, g.n_good,
-         ln((g.n_good::DOUBLE / tot.tg) / (g.n_bad::DOUBLE / tot.tb)) AS woe,
-         (g.n_good::DOUBLE / tot.tg - g.n_bad::DOUBLE / tot.tb)
-           * ln((g.n_good::DOUBLE / tot.tg)
-                / (g.n_bad::DOUBLE / tot.tb)) AS ivp
+         CASE WHEN g.n_good > 0 AND g.n_bad > 0
+              THEN ln((g.n_good::DOUBLE / tot.tg)
+                      / (g.n_bad::DOUBLE / tot.tb)) END AS woe,
+         CASE WHEN g.n_good > 0 AND g.n_bad > 0
+              THEN (g.n_good::DOUBLE / tot.tg - g.n_bad::DOUBLE / tot.tb)
+                   * ln((g.n_good::DOUBLE / tot.tg)
+                        / (g.n_bad::DOUBLE / tot.tb)) END AS ivp
   FROM g CROSS JOIN tot
 )
 SELECT prio, n_orders, n_bad, n_good,
@@ -1154,9 +1168,12 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the order-grain label is one key equi-join + hash
     agg (max over lines); categories are a 5-row grain; the totals
     and the IV are 1-row broadcasts. All shares derive from exact
-    BIGINT counts; ln only at the readout. Every category has both
-    classes at every sf (~60% of orders have a returned line), so the
-    log never sees a zero cell — asserted by the oracle identically."""
+    BIGINT counts; ln only at the readout. A zero cell (a category
+    with no good or no bad orders — absent at this corpus's ~75%
+    order-return rate, but data-dependent) yields NULL WOE through
+    the SAME guarded CASE on both engines (unguarded, Spark's ANSI
+    division would abort on zero bad and DuckDB's ln(0) is a hard
+    error on zero good); the IV sum skips NULL categories."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     ord_ = (
@@ -1179,13 +1196,18 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gs = F.col("n_good").cast("double") / F.col("tg").cast("double")
     bs = F.col("n_bad").cast("double") / F.col("tb").cast("double")
+    # zero-cell guard (both engines spell the same CASE): a category
+    # with no bad orders would divide by zero (ANSI abort) and one
+    # with no good orders would ln(0) (a hard DuckDB error) — WOE is
+    # undefined there; emit NULL and let the IV sum skip it.
+    both = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
     w = g.crossJoin(F.broadcast(tot)).select(
         "prio",
         "n_orders",
         "n_bad",
         "n_good",
-        F.log(gs / bs).alias("woe"),
-        ((gs - bs) * F.log(gs / bs)).alias("ivp"),
+        F.when(both, F.log(gs / bs)).alias("woe"),
+        F.when(both, (gs - bs) * F.log(gs / bs)).alias("ivp"),
     )
     iv = w.agg(F.sum("ivp").alias("iv_sum"))
     return w.crossJoin(F.broadcast(iv)).select(
@@ -1275,14 +1297,21 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ap_num"),
         F.sum("nt_v").cast("bigint").alias("n_total"),
     )
+    # nullif: a slice with zero positives has no defined AP; DuckDB's
+    # x/0 yields NULL, ANSI Spark would abort — match the oracle.
     return s.select(
         "n_pos",
         "n_total",
         F.round(
-            F.col("ap_num") / F.col("n_pos").cast("double") + F.lit(1e-9), 6
+            F.col("ap_num") / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
         ).alias("avg_precision"),
         F.round(
-            F.col("n_pos").cast("double") / F.col("n_total") + F.lit(1e-9), 6
+            F.col("n_pos").cast("double")
+            / F.nullif(F.col("n_total").cast("double"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
         ).alias("prevalence"),
     )
 
@@ -1388,9 +1417,14 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.round(p_o + F.lit(1e-9), 6).alias("p_o"),
         F.round(p_e + F.lit(1e-9), 6).alias("p_e"),
-        F.round((p_o - p_e) / (F.lit(1.0) - p_e) + F.lit(1e-9), 6).alias(
-            "kappa"
-        ),
+        # nullif: degenerate margins make p_e exactly 1 (kappa is
+        # undefined); DuckDB's x/0 yields NULL, ANSI Spark would
+        # abort — match the oracle's NULL.
+        F.round(
+            (p_o - p_e) / F.nullif(F.lit(1.0) - p_e, F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("kappa"),
     )
 
 

@@ -1255,11 +1255,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer (a full global rank of the pair space measured 7-13 s at
     sf0.1; the bracketed selection is ~2 s); the intercept median
     buffers only the day grain."""
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
     from resume_jd_matcher_spark.operators.percentiles import (
         global_median_exact,
-    )
-    from resume_jd_matcher_spark.plans.optimize import (
-        materialize_and_release,
     )
 
     g = (
@@ -1316,9 +1314,12 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ic") + F.lit(1e-9), 2).alias("intercept_cents"),
         )
     )
-    # 1-row result: compute it now, then drop the pair-space and
-    # median caches instead of leaving them to session-end LRU.
-    return materialize_and_release(out, pairs, m)
+    # The pair-space and median caches are enrolled in the engine-
+    # wide ledger (released by the sweep hooks after the action); the
+    # lazy persists keep the subplan visible to the plan audits.
+    _PERSISTED.append(pairs)
+    _PERSISTED.append(m)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -422,13 +422,22 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n") * F.col("sumxy") - F.col("sumx") * F.col("sumy")).cast(
                     "double"
                 )
-                / F.sqrt(
-                    (
-                        F.col("n") * F.col("sumxx") - F.col("sumx") * F.col("sumx")
-                    ).cast("double")
-                    * (
-                        F.col("n") * F.col("sumyy") - F.col("sumy") * F.col("sumy")
-                    ).cast("double")
+                # nullif: a zero-variance side (degenerate graph -
+                # every part or every supplier at one degree) must
+                # yield NULL like the oracle's corr(), not an ANSI
+                # DIVIDE_BY_ZERO abort.
+                / F.nullif(
+                    F.sqrt(
+                        (
+                            F.col("n") * F.col("sumxx")
+                            - F.col("sumx") * F.col("sumx")
+                        ).cast("double")
+                        * (
+                            F.col("n") * F.col("sumyy")
+                            - F.col("sumy") * F.col("sumy")
+                        ).cast("double")
+                    ),
+                    F.lit(0.0),
                 )
             )
             + F.lit(1e-9),

@@ -526,3 +526,70 @@ class TestTCloseness:
         assert out[2]["t_dist"] == pytest.approx(t2, abs=1e-6)
         assert out[2]["breach"]
         assert not out[1]["breach"]
+
+
+class TestDegenerateGuards:
+    """The ANSI-mode division guards: degenerate inputs must yield
+    NULL (matching the DuckDB oracles) instead of DIVIDE_BY_ZERO."""
+
+    def test_kappa_null_when_pe_is_one(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalplan_q
+
+        d0 = dt.datetime(2024, 1, 1)
+        # every order high-value AND returned: a = n -> p_e = 1
+        orders = [(k, 1, "O", 300_000.0, d0, "P") for k in range(1, 7)]
+        lines = [
+            (k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", d0)
+            for k in range(1, 7)
+        ]
+        o = spark.createDataFrame(orders, _ORD_SCHEMA)
+        li = spark.createDataFrame(lines, _LI_SCHEMA)
+        monkeypatch.setattr(
+            evalplan_q,
+            "load_table",
+            lambda s_, d_, name: o if name == "orders" else li,
+        )
+        r = evalplan_q.q_cohens_kappa(spark, SF).collect()[0]
+        assert r["p_e"] == pytest.approx(1.0, abs=1e-9)
+        assert r["kappa"] is None
+
+    def test_woe_null_on_zero_cell_iv_skips_it(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalplan_q
+
+        d0 = dt.datetime(2024, 1, 1)
+        # P1 all bad (zero good -> ln(0) territory); P2 mixed
+        spec = [(1, "P1", True), (2, "P1", True),
+                (3, "P2", True), (4, "P2", False), (5, "P2", False)]
+        orders = [(ok, 1, "O", 100.0, d0, p) for ok, p, _ in spec]
+        lines = [
+            (ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R" if bad else "N", "O", d0)
+            for ok, _, bad in spec
+        ]
+        o = spark.createDataFrame(orders, _ORD_SCHEMA)
+        li = spark.createDataFrame(lines, _LI_SCHEMA)
+        monkeypatch.setattr(
+            evalplan_q,
+            "load_table",
+            lambda s_, d_, name: o if name == "orders" else li,
+        )
+        out = {r["prio"]: r for r in evalplan_q.q_woe_iv(spark, SF).collect()}
+        assert out["P1"]["woe"] is None
+        assert out["P2"]["woe"] is not None
+        # IV sums only the defined categories - and is non-NULL
+        assert out["P2"]["iv"] is not None
+
+    def test_assortativity_null_on_constant_degrees(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import ops_q
+
+        d0 = dt.datetime(2024, 1, 1)
+        # 4 parts x 1 supplier each, every supplier once: d_part = 1
+        # and d_supp = 1 everywhere -> zero variance on both sides
+        lines = [
+            (k, 100 + k, 200 + k, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0)
+            for k in range(1, 5)
+        ]
+        li = spark.createDataFrame(lines, _LI_SCHEMA)
+        monkeypatch.setattr(ops_q, "load_table", lambda *a: li)
+        r = ops_q.q_degree_assortativity(spark, SF).collect()[0]
+        assert r["n_edges"] == 4
+        assert r["assortativity"] is None

@@ -47,7 +47,10 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     # (no events table) regenerates instead of half-missing.
     # v2: adds customer.parquet (round-9 neyman/BH kernels)
     # v3: adds supplier.parquet (round-10 join_cardinality_qerror)
-    marker = os.path.join(d, f".n_orders_v3_{n_orders}")
+    # v4: l_suppkey drawn from the SUPPLIER key space (v3 reused the
+    #     part modulus, so ~97% of lineitems dangled in the
+    #     lineitem-supplier join the qerror kernel times)
+    marker = os.path.join(d, f".n_orders_v4_{n_orders}")
     if os.path.exists(os.path.join(d, "events.parquet")) and os.path.exists(
         marker
     ):
@@ -57,6 +60,7 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
     shutil.rmtree(d, ignore_errors=True)
     n_cust = max(n_orders // 10, 1)
     n_parts = max(n_orders // 5, 1)
+    n_supp = max(n_orders // 150, 1)
 
     def h(col, seed, mod):
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(mod))
@@ -83,7 +87,7 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
         .select(
             (F.floor(lid / 4) + 1).alias("l_orderkey"),
             (h(lid, 4, n_parts) + 1).alias("l_partkey"),
-            (h(lid, 5, n_parts) + 1).alias("l_suppkey"),
+            (h(lid, 5, n_supp) + 1).alias("l_suppkey"),
             (F.pmod(lid, F.lit(4)) + 1).cast("int").alias("l_linenumber"),
             (h(lid, 6, 50) + 1.0).alias("l_quantity"),
             ((h(lid, 7, 9_999_900) + 100) / 100.0).alias("l_extendedprice"),
@@ -163,7 +167,6 @@ def synth_rel(spark, n_orders: int, d: str) -> None:
         .parquet(os.path.join(d, "customer.parquet"))
     )
     sid = F.col("id")
-    n_supp = max(n_orders // 150, 1)
     (
         spark.range(1, n_supp + 1, 1, 32)
         .select(
