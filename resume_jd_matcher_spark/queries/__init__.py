@@ -111,6 +111,15 @@ _DRIVER_PRIORITY = [
     "decontaminate",
     "join_theta_band",
     "cross_source_leakage",
+    # -- reworked in round 10 batch 2 (cache-release converted from
+    #    eager materialize to the persisted ledger; plans unchanged
+    #    but the code path differs — re-confirm) --
+    "zipf_fit",
+    "llr_keyness",
+    "theil_sen_trend",
+    "approx_stats",
+    "exact_percentiles",
+    "qte_deciles",
     # -- round-9 cohort: second confirmations --
     "anomaly_mad_daily",
     "elasticity_by_brand",
@@ -134,7 +143,6 @@ _DRIVER_PRIORITY = [
     # -- r8 names whose second confirmation did NOT fit r9's window
     #    (everything confirmed in CORRECTNESS_r09 rotates below) --
     "mde_power",
-    "qte_deciles",
     "join_plan_advisor",
     "calibration_eval",
     "pareto_frontier",
@@ -164,9 +172,6 @@ _DRIVER_PRIORITY = [
     "cramers_v",
     "chi2_independence",
     "snapshot_diff",
-    "theil_sen_trend",
-    "zipf_fit",
-    "llr_keyness",
     "abc_pareto",
     "gini_concentration",
     "equi_depth_histogram",
@@ -218,8 +223,6 @@ _DRIVER_PRIORITY = [
     "skew_salted_join",
     "tfidf_cosine_pairs",
     # -- multiply-confirmed anchors --
-    "approx_stats",
-    "exact_percentiles",
     "topk_similarity",
     "pricing_summary",
     "pipeline_e2e",

@@ -997,8 +997,14 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_runs"),
         ).select(F.lit(c).alias("column_name"), "*")
         out = runs if out is None else out.unionAll(runs)
-    avg_run = F.col("n_rows").cast("double") / F.col("n_runs").cast("double")
-    ratio = F.col("n_distinct").cast("double") / F.col("n_rows").cast("double")
+    # nullif: an empty table still emits one agg row per column with
+    # 0/0 ratios — NULL on DuckDB, an ANSI abort on Spark unguarded.
+    avg_run = F.col("n_rows").cast("double") / F.nullif(
+        F.col("n_runs").cast("double"), F.lit(0.0)
+    )
+    ratio = F.col("n_distinct").cast("double") / F.nullif(
+        F.col("n_rows").cast("double"), F.lit(0.0)
+    )
     return out.select(
         "column_name",
         "n_rows",

@@ -378,9 +378,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments per supplier, where d_supp = the group count so the
     y-moments are closed forms (Σy = Σ nₑ², Σy² = Σ nₑ³,
     Σxy = Σ nₑ·Σx(supp)); one 1-row finalize. Zero joins, zero
-    checkpoints, two shuffles total — measured 10x corpus:
-    8.6 s (r9 plan) → 4.3 s, vs a 2.6 s floor for the bare edge
-    distinct; ratio 5.9 → 2.6. Moments accumulate in decimal(38,0)
+    checkpoints, two shuffles total — official v4 curve
+    (SCALE.md): 1.5 s → 4.4 s at 10x, ratio 2.9 vs the r9
+    join-plan's 5.9 flag (the rewrite A/B on the v3 corpus measured
+    8.6 s → 4.3 s on identical data). Moments accumulate in
+    decimal(38,0)
     BEFORE summation (the r8 exact-variance discipline): at 100 TB a
     supplier's degree can reach ~1e7, so nₑ³ ≈ 1e21 overflows bigint
     but sits comfortably in 38 digits; the Pearson ratio is formed

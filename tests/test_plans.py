@@ -263,6 +263,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # single-row broadcast (n_pos, n_neg) totals crossed into the
         # global_prefix-ranked score grain for the rank-sum AUC:
         "roc_auc",
+        # same prefix-scan shape as roc_auc on the negated score key
+        # (global_prefix's 1-row bucket-stats broadcast):
+        "pr_auc",
         # single-row broadcast moment agg crossed into the event
         # grain, then the 10-cell bin table:
         "calibration_eval",

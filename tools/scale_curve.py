@@ -148,7 +148,7 @@ def main() -> None:
         print(f"{name}: {t1:.2f}s -> {t10:.2f}s  ratio {ratio:.1f}  {flag}")
 
     lines = [
-        "## Measured scale curve (rounds 7-9)",
+        "## Measured scale curve (rounds 7-10)",
         "",
         f"Synthetic corpus (sources/synthdocs, deterministic): {N_BASE} docs",
         f"vs {N_BASE * MULT} docs ({MULT}x) on local[32]; best-of-2 wall",
