@@ -103,6 +103,9 @@ _DRIVER_PRIORITY = [
     "pr_auc",
     "cohens_kappa",
     "t_closeness",
+    "cramer_von_mises",
+    "lorenz_curve",
+    "mcnemar_test",
     # -- rotate-forward: one driver row only (r8) --
     "effective_sources",
     # -- reworked in round 10 (code changed; must re-confirm) --

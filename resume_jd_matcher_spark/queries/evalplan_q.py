@@ -1555,3 +1555,293 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t + F.lit(1e-9), 6).alias("t_dist"),
         (t > 0.2).alias("breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramer-von Mises drift test (ks_test's L2 companion)
+# ---------------------------------------------------------------------------
+
+_CVM_CRIT_05 = 0.461  # asymptotic 5% critical value (Anderson 1962)
+
+
+@register(
+    "cramer_von_mises",
+    f"""
+WITH g AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+         sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c_a,
+         sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c_b
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b FROM g
+), e AS (
+  SELECT c_a + c_b AS w,
+         sum(c_a) OVER (ORDER BY cents)::HUGEINT AS ca,
+         sum(c_b) OVER (ORDER BY cents)::HUGEINT AS cb
+  FROM g
+), s AS (
+  SELECT sum(w * ((ca * t.n_b - cb * t.n_a)::DOUBLE
+                  * (ca * t.n_b - cb * t.n_a)::DOUBLE)) AS num,
+         t.n_a, t.n_b
+  FROM e CROSS JOIN t GROUP BY t.n_a, t.n_b
+), f AS (
+  SELECT n_a, n_b,
+         num / (n_a::DOUBLE * n_b
+                * (n_a + n_b)::DOUBLE * (n_a + n_b)) AS t_stat
+  FROM s
+)
+SELECT n_a, n_b, round(t_stat + 1e-9, 6) AS t_stat,
+       (round(t_stat + 1e-9, 6) > {_CVM_CRIT_05}) AS reject
+FROM f
+""",
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 [EXT]: exact two-sample Cramer-von Mises test between the
+    even- and odd-orderkey halves of the order-price distribution —
+    ks_test's L2 companion on the SAME dual-ECDF machinery (cited
+    there): KS takes the sup of |F_a - F_b| (sensitive to one big
+    gap), CvM integrates (F_a - F_b)^2 over the pooled sample
+    (sensitive to many small ones — the drift shape PSI-style bin
+    tests blur). T = n_a*n_b/(n_a+n_b)^2 * sum_pooled (F_a - F_b)^2;
+    reject at the asymptotic 5% critical value {_CVM_CRIT_05}
+    (Anderson 1962), compared AFTER rounding on both engines.
+
+    Scale shape: identical to ks_test — counts per DISTINCT cents
+    value in one map-side-combined hash agg, both cumulative counters
+    on ONE global_prefix bucketed scan, 1-row finalize. The ECDF gap
+    is built in EXACT integer cross-multiples (decimal(38,0) /
+    HUGEINT); only the square is folded in double (the gap can reach
+    n_a*n_b ~ 1e24 at 100 TB, whose square no fixed decimal holds —
+    at a 6-decimal readout the 1e-16-relative double error is
+    invisible)."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("o_orderkey") % 2).alias("arm"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )
+    t = g.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    e = global_prefix(g, ["cents"], ["c_a", "c_b"], sum_type="bigint")
+    dec = "decimal(38,0)"
+    gap = (
+        F.col("cum_c_a").cast(dec) * F.col("n_b")
+        - F.col("cum_c_b").cast(dec) * F.col("n_a")
+    ).cast("double")
+    s = (
+        e.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum((F.col("c_a") + F.col("c_b")) * gap * gap).alias("num"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    nsum = (F.col("n_a") + F.col("n_b")).cast("double")
+    t_stat = F.col("num") / (
+        F.col("n_a").cast("double") * F.col("n_b") * nsum * nsum
+    )
+    rounded = F.round(t_stat + F.lit(1e-9), 6)
+    return s.select(
+        "n_a",
+        "n_b",
+        rounded.alias("t_stat"),
+        (rounded > _CVM_CRIT_05).alias("reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve coordinates (decile cumulative spend shares)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lorenz_curve",
+    """
+WITH s AS (
+  SELECT c.c_custkey,
+         coalesce(sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT), 0)
+           AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), t AS (
+  SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS total FROM s
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, c_custkey) AS rk,
+         sum(cents) OVER (ORDER BY cents, c_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+), d AS (
+  SELECT ((rk - 1) * 10) // t.n AS decile,
+         count(*)::BIGINT AS n_cust,
+         max(rk) AS max_rk, max(cum) AS max_cum
+  FROM r CROSS JOIN t GROUP BY 1, t.n
+)
+SELECT decile::INT AS decile, n_cust,
+       round(max_rk::DOUBLE / t.n + 1e-9, 6) AS pop_share,
+       round(max_cum::DOUBLE / t.total + 1e-9, 6) AS spend_share
+FROM d CROSS JOIN t
+""",
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W3 [EXT]: Lorenz curve coordinates of customer spend —
+    customers ranked by total spend ascending, cut into ten
+    equal-population slices, each reporting its cumulative population
+    and spend shares (the (x, y) points whose sag below the diagonal
+    IS the Gini that gini_concentration reports as one number; Lorenz
+    1905). The readout behind "the top decile drives X% of revenue"
+    concentration dashboards, and the whale-risk profile a training-
+    data mixture planner reads before capping a dominant source.
+
+    Scale shape: spend collapses to the CUSTOMER grain (key equi-join
+    + hash agg; zero-order customers kept via the left join), then
+    rank and cumulative spend ride ONE distributed prefix scan
+    (operators/prefix.global_prefix — no single-partition window over
+    the customer grain). bounds="height" deliberately: spend is the
+    canonical power-law key, where equal-width buckets funnel most
+    customers into one bucket (the SCALE.md skewed-key curve row).
+    Exact integer cents throughout; doubles only at the share
+    readout. Deciles derive from exact integer division of the rank."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents"))
+    )
+    t = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    r = global_prefix(
+        s, ["cents", "c_custkey"], sum_col="cents", sum_type="bigint",
+        bounds="height",
+    )
+    d = (
+        r.crossJoin(F.broadcast(t))
+        .groupBy(F.expr("((rank - 1) * 10) div n").alias("decile"), "n", "total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.max("rank").alias("max_rk"),
+            F.max("cum_sum").alias("max_cum"),
+        )
+    )
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_cust",
+        F.round(
+            F.col("max_rk").cast("double") / F.col("n") + F.lit(1e-9), 6
+        ).alias("pop_share"),
+        F.round(
+            F.col("max_cum").cast("double") / F.col("total") + F.lit(1e-9), 6
+        ).alias("spend_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (cohens_kappa's significance companion)
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CRIT_05 = 3.841  # chi-square df=1, 5%
+
+
+@register(
+    "mcnemar_test",
+    f"""
+WITH ord AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_totalprice >= {_KAPPA_PRICE_CUT} THEN 1 ELSE 0 END
+           AS r1,
+         max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice
+), m AS (
+  SELECT sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM ord
+)
+SELECT b, c,
+       round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) + 1e-9, 6)
+         AS chi2,
+       (round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) + 1e-9, 6)
+        > {_MCNEMAR_CRIT_05}) AS reject
+FROM m
+""",
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: McNemar's paired test (McNemar 1947, with Edwards'
+    continuity correction) on the SAME two derived raters as
+    cohens_kappa (cited there — high-value vs had-a-return): kappa
+    measures how much the raters AGREE; McNemar tests whether their
+    DISAGREEMENTS are systematically one-sided (b = high-value-only
+    vs c = return-only discordant cells; chi2 = (|b-c|-1)^2/(b+c),
+    df=1, reject above {_MCNEMAR_CRIT_05}). The marginal-homogeneity
+    check a labeling pipeline runs when swapping one rater for
+    another — agreement can stay flat while one rater silently
+    inflates a class.
+
+    Scale shape: order-grain label join + ONE map-side-combined
+    discordant-cell agg + a 1-row closed form from exact BIGINTs.
+    Zero discordant pairs -> 0/0 -> NULL chi2/reject identically on
+    both engines (DuckDB x/0 is NULL; Spark guards with nullif)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    ord_ = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r2")
+        )
+        .select(
+            F.when(F.col("o_totalprice") >= _KAPPA_PRICE_CUT, 1)
+            .otherwise(0)
+            .alias("r1"),
+            "r2",
+        )
+    )
+    m = ord_.agg(
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    dev = F.abs(F.col("b") - F.col("c")).cast("double") - F.lit(1.0)
+    chi2 = F.round(
+        dev * dev / F.nullif((F.col("b") + F.col("c")).cast("double"), F.lit(0.0))
+        + F.lit(1e-9),
+        6,
+    )
+    return m.select(
+        "b", "c", chi2.alias("chi2"), (chi2 > _MCNEMAR_CRIT_05).alias("reject")
+    )

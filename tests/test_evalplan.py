@@ -593,3 +593,111 @@ class TestDegenerateGuards:
         r = ops_q.q_degree_assortativity(spark, SF).collect()[0]
         assert r["n_edges"] == 4
         assert r["assortativity"] is None
+
+
+class TestCramerVonMises:
+    def test_identical_vs_shifted(self, spark, monkeypatch):
+        """Identical even/odd halves -> T ~ 0, no reject; a shifted
+        odd half -> large T, reject."""
+        from resume_jd_matcher_spark.queries import evalplan_q
+
+        d0 = dt.datetime(2024, 1, 1)
+
+        def orders(shift):
+            rows = []
+            for k in range(1, 401):
+                base = 100.0 + (k // 2) % 50
+                price = base + (shift if k % 2 == 1 else 0.0)
+                rows.append((k, 1, "O", price, d0, "P"))
+            return spark.createDataFrame(rows, _ORD_SCHEMA)
+
+        monkeypatch.setattr(evalplan_q, "load_table", lambda *a: orders(0.0))
+        r = evalplan_q.q_cramer_von_mises(spark, SF).collect()[0]
+        assert r["n_a"] == 200 and r["n_b"] == 200
+        assert r["t_stat"] < 0.05 and not r["reject"]
+
+        monkeypatch.setattr(evalplan_q, "load_table", lambda *a: orders(500.0))
+        r2 = evalplan_q.q_cramer_von_mises(spark, SF).collect()[0]
+        assert r2["t_stat"] > 0.461 and r2["reject"]
+
+
+class TestLorenzCurve:
+    def test_equal_and_whale_distributions(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalplan_q
+
+        d0 = dt.datetime(2024, 1, 1)
+        cust = spark.createDataFrame(
+            [(k, f"c{k}", 0, 0.0, "SEG") for k in range(1, 101)],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+
+        def run(order_rows):
+            o = spark.createDataFrame(order_rows, _ORD_SCHEMA)
+            from resume_jd_matcher_spark.queries import evalplan_q as m
+
+            def fake(s_, d_, name):
+                return cust if name == "customer" else o
+
+            return fake
+
+        # equal spends: every decile's spend share == pop share
+        monkeypatch.setattr(
+            evalplan_q,
+            "load_table",
+            run([(k, k, "O", 100.0, d0, "P") for k in range(1, 101)]),
+        )
+        out = {
+            r["decile"]: r for r in evalplan_q.q_lorenz_curve(spark, SF).collect()
+        }
+        assert len(out) == 10
+        for dcl, r in out.items():
+            assert r["n_cust"] == 10
+            assert r["spend_share"] == pytest.approx(r["pop_share"], abs=1e-9)
+
+        # one whale: bottom 9 deciles hold ~0 of the spend
+        rows = [(k, k, "O", 1.0, d0, "P") for k in range(1, 100)]
+        rows.append((100, 100, "O", 1_000_000.0, d0, "P"))
+        monkeypatch.setattr(evalplan_q, "load_table", run(rows))
+        out2 = {
+            r["decile"]: r for r in evalplan_q.q_lorenz_curve(spark, SF).collect()
+        }
+        assert out2[9]["spend_share"] == pytest.approx(1.0, abs=1e-9)
+        assert out2[8]["spend_share"] < 0.001
+
+
+class TestMcnemarTest:
+    def test_one_sided_and_degenerate(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import evalplan_q
+
+        d0 = dt.datetime(2024, 1, 1)
+
+        def build(spec):
+            orders, lines = [], []
+            for ok, (high, ret) in enumerate(spec, start=1):
+                price = 300_000.0 if high else 100_000.0
+                orders.append((ok, 1, "O", price, d0, "P"))
+                lines.append(
+                    (ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0,
+                     "R" if ret else "N", "O", d0)
+                )
+            o = spark.createDataFrame(orders, _ORD_SCHEMA)
+            li = spark.createDataFrame(lines, _LI_SCHEMA)
+            return lambda s_, d_, name: o if name == "orders" else li
+
+        # 20 discordant all one way: chi2 = (20-1)^2/20 = 18.05 -> reject
+        monkeypatch.setattr(
+            evalplan_q, "load_table", build([(1, 0)] * 20 + [(1, 1)] * 5)
+        )
+        r = evalplan_q.q_mcnemar_test(spark, SF).collect()[0]
+        assert r["b"] == 20 and r["c"] == 0
+        assert r["chi2"] == pytest.approx(18.05, abs=1e-6)
+        assert r["reject"]
+
+        # no discordant pairs: chi2/reject NULL, no crash
+        monkeypatch.setattr(
+            evalplan_q, "load_table", build([(1, 1)] * 5 + [(0, 0)] * 5)
+        )
+        r2 = evalplan_q.q_mcnemar_test(spark, SF).collect()[0]
+        assert r2["b"] == 0 and r2["c"] == 0
+        assert r2["chi2"] is None and r2["reject"] is None

@@ -369,6 +369,12 @@ def test_registry_wide_no_cartesian_products(spark):
         # buckets broadcast) + 1-row global-total/bucket-count
         # broadcasts:
         "t_closeness",
+        # ks_test's dual-ECDF prefix-scan shape: 1-row (n_a, n_b)
+        # totals broadcast + global_prefix's 1-row stats broadcast:
+        "cramer_von_mises",
+        # 1-row (n, total) broadcast over the prefix-ranked customer
+        # grain + global_prefix's height-mode stats broadcast:
+        "lorenz_curve",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

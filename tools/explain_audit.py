@@ -429,6 +429,14 @@ HEADLINERS = {
     "t_closeness": "|classes| x |buckets| bounded spine (broadcast); "
     "cumulative windows partitioned BY CLASS; absent buckets filled "
     "by left join, never enumerated row-wise",
+    "cramer_von_mises": "ks_test's dual-ECDF shape: value-grain agg, "
+    "both cumulative counters on ONE global_prefix scan, exact "
+    "integer ECDF gaps, 1-row finalize",
+    "lorenz_curve": "customer-grain spend agg; rank + cumulative "
+    "spend on ONE height-mode prefix scan (power-law key); decile "
+    "rollup - no single-partition window",
+    "mcnemar_test": "order-grain label join + ONE discordant-cell "
+    "agg; 1-row closed form",
 }
 
 
