@@ -466,3 +466,69 @@ def connected_components_star(
             F.coalesce("rep", F.col("node")).alias("cluster_rep"),
         )
     )
+
+
+def local_clustering(
+    pairs: DataFrame, left: str = "left_id", right: str = "right_id"
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    of an undirected graph given as (left < right) edge pairs:
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2. The
+    node-level refinement of ``triangle_stats``' one-row global
+    transitivity — on the near-dup graph it separates nodes inside
+    dense template blobs (lcc → 1) from chain/bridge nodes
+    (lcc → 0), the per-document signal a curator uses to decide
+    which cluster members are safe to drop.
+
+    Distributed shape: the same compact-forward triangle enumeration
+    as ``triangle_stats`` (edges oriented a < b; each triangle found
+    exactly once by two hash equi-joins), then each triangle row
+    credits its THREE corners via one explode and a hash agg on the
+    node id — never a neighborhood crossJoin. Degrees come from one
+    explode+agg over the edge list; integer aggregates throughout so
+    a SQL oracle replays exactly.
+
+    Output: (node, deg, n_tri, lcc) for every node with deg ≥ 2,
+    lcc rounded to 6 dp.
+    """
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+
+    e = (
+        pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .persist()
+    )
+    _PERSISTED.append(e)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    out = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double")
+                + F.lit(1e-9),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    return out

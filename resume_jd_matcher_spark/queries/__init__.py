@@ -68,6 +68,7 @@ from resume_jd_matcher_spark.queries import evalops_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import curation_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import evalplan_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import inference_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -88,6 +89,29 @@ from resume_jd_matcher_spark.queries import evalplan_q  # noqa: E402,F401
 # confirmation, then the r8 tail that didn't fit in the r9 window.
 # Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
+    # -- round-10 batch-5 additions (never driver-checked) --
+    "mann_whitney_u",
+    "friedman_test",
+    "breusch_pagan",
+    "gumbel_maxima",
+    "good_turing",
+    "jsd_drift",
+    "textrank_keywords",
+    # -- round-10 batch-4 additions (never driver-checked) --
+    "jarque_bera",
+    "anova_oneway",
+    "kruskal_wallis",
+    "levene_test",
+    "ljung_box",
+    "durbin_watson",
+    "holt_linear_forecast",
+    "brier_logloss",
+    "matthews_mcc",
+    "theil_index",
+    "hhi_concentration",
+    "grubbs_test",
+    "rolling_beta",
+    "local_clustering",
     # -- round-10 additions (never driver-checked) --
     "lead_lag_ccf",
     "multitouch_attribution",

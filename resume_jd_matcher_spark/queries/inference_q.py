@@ -1,0 +1,1778 @@
+"""Round-10 family: statistical inference & model diagnostics.
+
+The classical-test battery an analytics platform runs beside the
+experiment/eval families: distributional tests (Jarque-Bera 1980
+normality, Grubbs 1950 outlier), k-group location/dispersion tests
+(one-way ANOVA, Kruskal-Wallis 1952 rank test, Brown-Forsythe 1974
+robust Levene), time-series diagnostics and forecasts (Ljung-Box
+1978 portmanteau, Durbin-Watson 1950 residual autocorrelation, Holt
+1957 double exponential smoothing, rolling OLS beta), probabilistic-
+classifier scoring (Brier 1950 / log-loss, Matthews 1975 correlation
+coefficient), market/inequality structure (Theil 1967 decomposable
+entropy index, Herfindahl-Hirschman concentration), and per-node
+graph structure (Watts-Strogatz 1998 local clustering coefficient).
+
+All [EXT] per the north star (the reference's 610-LoC Flask pipeline
+has no analytics surface — these extend SURVEY §2's A4/W4 families).
+Same engineering contract as the r8-r10 families: identical aliases
+in Spark and DuckDB, in-query rounding with the +1e-9 nudge, exact
+integer accumulation at decision points (cents day grains,
+decimal(38,0) confusion products), nullif-guarded divisions on both
+engines, no data-sized unpartitioned windows (day grains and
+dimension grains only; the one global rank need is served by
+operators/prefix.global_prefix's bucket-offset pattern), every
+crossJoin a bounded broadcast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from resume_jd_matcher_spark.queries import register
+from resume_jd_matcher_spark.sources.io import load_table
+
+# Shared DuckDB fragment: the integer-cents daily-revenue grain (the
+# acf_daily discipline — exact bigint day totals, deterministic on
+# both engines regardless of parallel double-summation order).
+_SQL_DAY_REV = """
+  SELECT o_orderdate::DATE AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1
+"""
+
+
+def _day_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_DAY_REV: exact integer-cents daily revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test per customer segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "jarque_bera",
+    """
+WITH s AS (
+  SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+         sum(c_acctbal) AS s1,
+         sum(c_acctbal * c_acctbal) AS s2,
+         sum(c_acctbal * c_acctbal * c_acctbal) AS s3,
+         sum(c_acctbal * c_acctbal * c_acctbal * c_acctbal) AS s4
+  FROM customer GROUP BY 1
+), m AS (
+  SELECT segment, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n)
+           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+), j AS (
+  SELECT segment, n,
+         m3 / nullif(sqrt(m2 * m2 * m2), 0.0) AS skew,
+         m4 / nullif(m2 * m2, 0.0) - 3.0 AS kurt_x
+  FROM m
+)
+SELECT segment, n,
+       round(skew + 1e-9, 4) AS skewness,
+       round(kurt_x + 1e-9, 4) AS kurtosis_excess,
+       round(n / 6.0 * (skew * skew + kurt_x * kurt_x / 4.0) + 1e-9, 4)
+         AS jb_stat,
+       coalesce(round(n / 6.0 * (skew * skew + kurt_x * kurt_x / 4.0)
+                      + 1e-9, 4) > 5.991, false) AS reject_normal
+FROM j
+""",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Jarque-Bera normality test of account balance per
+    market segment — skewness and excess kurtosis from raw power
+    sums, JB = n/6·(S² + K²/4), rejected against the χ²(2) 5% cut
+    (5.991) on the ROUNDED statistic (the welch_ttest discipline).
+    The residual-normality gate run before trusting z/t intervals.
+
+    Scale shape: ONE map-side-combined hash agg over the fact
+    computes (n, Σx, Σx², Σx³, Σx⁴) per segment; everything after is
+    scalar arithmetic on |segments| rows. The power-sum cancellation
+    (m4 from S4 terms ~1e16 down to ~1e14) costs ~2 of 15.9 double
+    digits — well inside the exposed 4-dp rounding; both engines run
+    the identical formula so the error is shared, not compared."""
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    s = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3) * mu * (F.col("s2") / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4) * mu * (F.col("s3") / n)
+        + F.lit(6) * mu * mu * (F.col("s2") / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    j = s.select(
+        "segment",
+        "n",
+        (m3 / F.nullif(F.sqrt(m2 * m2 * m2), F.lit(0.0))).alias("skew"),
+        (m4 / F.nullif(m2 * m2, F.lit(0.0)) - F.lit(3.0)).alias("kurt_x"),
+    )
+    jb = F.round(
+        F.col("n") / F.lit(6.0)
+        * (
+            F.col("skew") * F.col("skew")
+            + F.col("kurt_x") * F.col("kurt_x") / F.lit(4.0)
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    return j.select(
+        "segment",
+        "n",
+        F.round(F.col("skew") + F.lit(1e-9), 4).alias("skewness"),
+        F.round(F.col("kurt_x") + F.lit(1e-9), 4).alias("kurtosis_excess"),
+        jb.alias("jb_stat"),
+        F.coalesce(jb > F.lit(5.991), F.lit(False)).alias("reject_normal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across customer segments
+# ---------------------------------------------------------------------------
+
+@register(
+    "anova_oneway",
+    """
+WITH g AS (
+  SELECT c_mktsegment AS seg, count(*)::BIGINT AS n_g,
+         sum(c_acctbal) AS s_g, sum(c_acctbal * c_acctbal) AS ss_g
+  FROM customer GROUP BY 1
+), t AS (
+  SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(s_g) AS s, sum(ss_g) AS ss,
+         sum(s_g * s_g / n_g) AS sgr
+  FROM g
+)
+SELECT n, k AS k_groups,
+       round(sgr - s * s / n + 1e-9, 2) AS ss_between,
+       round(ss - sgr + 1e-9, 2) AS ss_within,
+       round(((sgr - s * s / n) / (k - 1.0))
+             / nullif((ss - sgr) / (n - k * 1.0), 0.0) + 1e-9, 4) AS f_stat
+FROM t
+""",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: one-way fixed-effects ANOVA of account balance
+    across the five market segments — between/within sums of squares
+    from per-group sufficient statistics (n, Σx, Σx²), F = MSB/MSW.
+    The k-group generalization of welch_ttest's two arms (classical
+    equal-variance form; kruskal_wallis is its rank-based companion,
+    levene_test its variance-homogeneity precondition check).
+
+    Scale shape: one map-side-combined hash agg to |segments| rows,
+    one 1-row reduction over those — no join, no window, the fact is
+    scanned exactly once. Double power sums both sides, identical
+    formula, exposed values rounded."""
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(x).alias("s_g"),
+        F.sum(x * x).alias("ss_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sgr"),
+    )
+    ssb = F.col("sgr") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sgr")
+    return t.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(ssb + F.lit(1e-9), 2).alias("ss_between"),
+        F.round(ssw + F.lit(1e-9), 2).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - F.lit(1.0)))
+            / F.nullif(ssw / (F.col("n") - F.col("k") * F.lit(1.0)), F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test across customer segments
+# ---------------------------------------------------------------------------
+
+@register(
+    "kruskal_wallis",
+    """
+WITH r AS (
+  SELECT c_mktsegment AS seg,
+         rank() OVER (ORDER BY c_acctbal)
+           + (count(*) OVER (PARTITION BY c_acctbal) - 1) / 2.0 AS ar
+  FROM customer
+), g AS (
+  SELECT seg, count(*)::BIGINT AS n_g, sum(ar) AS r_g FROM r GROUP BY seg
+), t AS (SELECT count(*)::BIGINT AS n, count(DISTINCT seg)::BIGINT AS k FROM r),
+ties AS (
+  SELECT sum(c * c * c - c) AS tie_mass
+  FROM (SELECT count(*)::HUGEINT AS c FROM customer GROUP BY c_acctbal)
+), h AS (
+  SELECT t.n, t.k,
+         12.0 / (t.n * (t.n + 1.0)) * sum(g.r_g * g.r_g / g.n_g)
+           - 3.0 * (t.n + 1) AS h_raw,
+         1.0 - (SELECT tie_mass FROM ties)::DOUBLE
+               / (t.n::DOUBLE * t.n * t.n - t.n) AS c_ties
+  FROM g, t GROUP BY t.n, t.k
+)
+SELECT n, k AS k_groups,
+       round(h_raw + 1e-9, 4) AS h_stat,
+       round(c_ties + 1e-9, 6) AS tie_correction,
+       round(h_raw / nullif(c_ties, 0.0) + 1e-9, 4) AS h_corrected
+FROM h
+""",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A4 [EXT]: Kruskal-Wallis rank test of account balance
+    across market segments — H from tie-averaged global ranks, with
+    the standard tie-mass correction 1 − Σ(t³−t)/(n³−n). The
+    distribution-free companion of anova_oneway (same groups, rank
+    location instead of mean location).
+
+    Scale shape: the global rank NEVER touches a fact-sized
+    unpartitioned window. Ranks collapse to the DISTINCT-VALUE grain
+    (one hash agg), operators/prefix.global_prefix supplies the exact
+    cumulative count via its bucket-offset pattern, and the tie-
+    averaged rank of a value is prefix_before + (t+1)/2 — a pure
+    projection. Per-(segment, value) counts then join that grain
+    (equi-join on the value) and reduce to |segments| rows. Rank
+    halves are exact in doubles (≤2⁵²), so R_g sums are
+    deterministic on both engines; the oracle's window spelling is
+    the same mathematical rank."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("x")
+    )
+    vals = c.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
+    pref = global_prefix(vals, ["x"], sum_col="cnt", sum_type="bigint")
+    ar = pref.select(
+        "x",
+        "cnt",
+        (
+            (F.col("cum_sum") - F.col("cnt")).cast("double")
+            + (F.col("cnt") + F.lit(1)) / F.lit(2.0)
+        ).alias("ar"),
+    )
+    gv = c.groupBy("seg", "x").agg(F.count("*").cast("bigint").alias("m"))
+    g = (
+        gv.join(ar.select("x", "ar"), "x")
+        .groupBy("seg")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_g"),
+            F.sum(F.col("m") * F.col("ar")).alias("r_g"),
+        )
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_mass")
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("sr2"),
+    )
+    h = t.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "k",
+        (
+            F.lit(12.0) / (F.col("n") * (F.col("n") + F.lit(1.0))) * F.col("sr2")
+            - F.lit(3.0) * (F.col("n") + F.lit(1))
+        ).alias("h_raw"),
+        (
+            F.lit(1.0)
+            - F.col("tie_mass").cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("n")
+                - F.col("n")
+            )
+        ).alias("c_ties"),
+    )
+    return h.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(F.col("h_raw") + F.lit(1e-9), 4).alias("h_stat"),
+        F.round(F.col("c_ties") + F.lit(1e-9), 6).alias("tie_correction"),
+        F.round(
+            F.col("h_raw") / F.nullif(F.col("c_ties"), F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("h_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+@register(
+    "levene_test",
+    """
+WITH med AS (
+  SELECT c_mktsegment AS seg, median(c_acctbal) AS med
+  FROM customer GROUP BY 1
+), z AS (
+  SELECT c.c_mktsegment AS seg, abs(c.c_acctbal - m.med) AS z
+  FROM customer c JOIN med m ON m.seg = c.c_mktsegment
+), g AS (
+  SELECT seg, count(*)::BIGINT AS n_g, sum(z) AS s_g, sum(z * z) AS ss_g
+  FROM z GROUP BY seg
+), t AS (
+  SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(s_g) AS s, sum(ss_g) AS ss, sum(s_g * s_g / n_g) AS sgr
+  FROM g
+)
+SELECT n, k AS k_groups,
+       round(((sgr - s * s / n) / (k - 1.0))
+             / nullif((ss - sgr) / (n - k * 1.0), 0.0) + 1e-9, 4) AS w_stat
+FROM t
+""",
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Brown-Forsythe variance-homogeneity test — the
+    median-centered Levene statistic: one-way ANOVA F over
+    z = |x − median_g| across market segments. The precondition
+    check for anova_oneway's equal-variance assumption, in its
+    outlier-robust (median, not mean) form.
+
+    Scale shape: per-group exact medians are one hash agg to
+    |segments| rows (Spark percentile == DuckDB median: both the
+    interpolated type-7 quantile), joined back as a broadcast
+    equi-join; then the same two-level sufficient-statistic
+    reduction as anova_oneway. Two fact scans total (median pass +
+    deviation pass), no window."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("x")
+    )
+    med = c.groupBy("seg").agg(F.percentile("x", F.lit(0.5)).alias("med"))
+    z = c.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("ss_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sgr"),
+    )
+    ssb = F.col("sgr") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sgr")
+    return t.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(
+            (ssb / (F.col("k") - F.lit(1.0)))
+            / F.nullif(ssw / (F.col("n") - F.col("k") * F.lit(1.0)), F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("w_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on daily revenue
+# ---------------------------------------------------------------------------
+
+_LB_MAX_LAG = 10
+
+
+@register(
+    "ljung_box",
+    f"""
+WITH g AS ({_SQL_DAY_REV}
+), t AS (
+  SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n FROM g
+), d AS (
+  SELECT day, cents - s / n::DOUBLE AS dev FROM g CROSS JOIN t
+), ss AS (
+  SELECT sum(dev * dev) AS ss FROM d
+), p AS (
+  SELECT k.k, sum(a.dev * b.dev) AS sp
+  FROM d a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_LB_MAX_LAG}))::INTEGER AS k) k
+  JOIN d b ON b.day = a.day + k.k
+  GROUP BY k.k
+), q AS (
+  SELECT t.n,
+         t.n * (t.n + 2.0)
+           * sum((p.sp / ss.ss) * (p.sp / ss.ss) / (t.n - p.k)) AS q_raw
+  FROM p, ss, t GROUP BY t.n
+)
+SELECT n AS n_days, {_LB_MAX_LAG} AS df,
+       round(q_raw + 1e-9, 4) AS q_stat,
+       coalesce(round(q_raw + 1e-9, 4) > 18.307, false) AS reject_white_noise
+FROM q
+""",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: Ljung-Box portmanteau test on the daily-revenue
+    series — Q = n(n+2)·Σ r_k²/(n−k) over lags 1..{_LB_MAX_LAG},
+    rejected against the χ²({_LB_MAX_LAG}) 5% cut (18.307) on the
+    ROUNDED statistic. The is-there-any-autocorrelation-at-all gate
+    run after acf_daily's per-lag readout (same calendar-shift r_k
+    convention, same integer-cents day grain).
+
+    Scale shape: identical to acf_daily — integer-cents day-grain
+    hash agg, 1-row mean broadcast, each lag a calendar-key
+    equi-join of the day grain fanned by a {_LB_MAX_LAG}-literal
+    explode, then a 1-row reduction. Never fact-sized after the
+    first agg, no window."""
+    g = _day_rev(spark, sf_dir)
+    t = g.agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = g.crossJoin(F.broadcast(t)).select(
+        "day",
+        "n",
+        (F.col("cents") - F.col("s") / F.col("n").cast("double")).alias("dev"),
+    )
+    ss = d.agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    lags = d.select(
+        "day",
+        "n",
+        F.col("dev").alias("dev_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _LB_MAX_LAG + 1)])
+        ).alias("k"),
+    ).withColumn("day_b", F.date_add("day", F.col("k")))
+    b = d.select(F.col("day").alias("day_b"), F.col("dev").alias("dev_b"))
+    p = (
+        lags.join(b, "day_b")
+        .groupBy("k", "n")
+        .agg(F.sum(F.col("dev_a") * F.col("dev_b")).alias("sp"))
+    )
+    q = (
+        p.crossJoin(F.broadcast(ss))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                (F.col("sp") / F.col("ss"))
+                * (F.col("sp") / F.col("ss"))
+                / (F.col("n") - F.col("k"))
+            ).alias("sq")
+        )
+        .select(
+            "n",
+            (F.col("n") * (F.col("n") + F.lit(2.0)) * F.col("sq")).alias(
+                "q_raw"
+            ),
+        )
+    )
+    qr = F.round(F.col("q_raw") + F.lit(1e-9), 4)
+    return q.select(
+        F.col("n").alias("n_days"),
+        F.lit(_LB_MAX_LAG).cast("int").alias("df"),
+        qr.alias("q_stat"),
+        F.coalesce(qr > F.lit(18.307), F.lit(False)).alias(
+            "reject_white_noise"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson on daily-revenue OLS-vs-time residuals
+# ---------------------------------------------------------------------------
+
+@register(
+    "durbin_watson",
+    f"""
+WITH g AS ({_SQL_DAY_REV}
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, cents::DOUBLE AS x FROM g
+), ols AS (
+  SELECT count(*)::BIGINT AS n, sum(t::DOUBLE) AS st, sum(x) AS sx,
+         sum(t::DOUBLE * t) AS stt, sum(t::DOUBLE * x) AS stx
+  FROM idx
+), fit AS (
+  SELECT n,
+         (n * stx - st * sx) / nullif(n * stt - st * st, 0.0) AS slope,
+         (sx - (n * stx - st * sx) / nullif(n * stt - st * st, 0.0) * st)
+           / n AS intercept
+  FROM ols
+), e AS (
+  SELECT t, x - (fit.intercept + fit.slope * t) AS e FROM idx, fit
+), dw AS (
+  SELECT sum(CASE WHEN lag_e IS NOT NULL
+                  THEN (e - lag_e) * (e - lag_e) ELSE 0.0 END) AS num,
+         sum(e * e) AS den
+  FROM (SELECT e, lag(e) OVER (ORDER BY t) AS lag_e FROM e)
+)
+SELECT fit.n AS n_days,
+       round(fit.slope + 1e-9, 4) AS slope,
+       round(fit.intercept + 1e-9, 2) AS intercept,
+       round(dw.num / nullif(dw.den, 0.0) + 1e-9, 4) AS dw_stat
+FROM fit, dw
+""",
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: Durbin-Watson test on the residuals of the daily
+    revenue OLS trend — DW = Σ(e_t − e_{{t−1}})² / Σe_t², the
+    residual-autocorrelation diagnostic run after regression_stats'
+    fit (DW≈2 white residuals, →0 positive, →4 negative
+    autocorrelation).
+
+    Scale shape: integer-cents day grain, then every window
+    (row_number index, lag) is over that CALENDAR-BOUNDED grain —
+    never the fact; the OLS fit is a 1-row sufficient-statistic agg
+    broadcast back. Residuals are doubles from exact integer inputs
+    through one shared closed form."""
+    g = _day_rev(spark, sf_dir)
+    idx = g.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.col("cents").cast("double").alias("x"),
+    )
+    ols = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("t").cast("double")).alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("stt"),
+        F.sum(F.col("t").cast("double") * F.col("x")).alias("stx"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / F.nullif(
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0)
+    )
+    fit = ols.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sx") - slope * F.col("st")) / F.col("n")).alias("intercept"),
+    )
+    e = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "slope",
+        "intercept",
+        (F.col("x") - (F.col("intercept") + F.col("slope") * F.col("t"))).alias(
+            "e"
+        ),
+    )
+    lagged = e.withColumn("lag_e", F.lag("e").over(Window.orderBy("t")))
+    dw = lagged.groupBy("n", "slope", "intercept").agg(
+        F.sum(
+            F.when(
+                F.col("lag_e").isNotNull(),
+                (F.col("e") - F.col("lag_e")) * (F.col("e") - F.col("lag_e")),
+            ).otherwise(0.0)
+        ).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+    )
+    return dw.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("slope") + F.lit(1e-9), 4).alias("slope"),
+        F.round(F.col("intercept") + F.lit(1e-9), 2).alias("intercept"),
+        F.round(
+            F.col("num") / F.nullif(F.col("den"), F.lit(0.0)) + F.lit(1e-9), 4
+        ).alias("dw_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend (double exponential smoothing) forecast
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+_HOLT_H = 7
+
+
+@register(
+    "holt_linear_forecast",
+    f"""
+WITH RECURSIVE g AS ({_SQL_DAY_REV}
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, cents::DOUBLE AS x FROM g
+), n AS (SELECT count(*)::BIGINT AS n FROM idx),
+holt AS (
+  SELECT 1::BIGINT AS i, a.x AS l, b.x - a.x AS b
+  FROM idx a, idx b WHERE a.i = 1 AND b.i = 2
+  UNION ALL
+  SELECT h.i + 1,
+         {_HOLT_ALPHA} * nx.x + {1 - _HOLT_ALPHA} * (h.l + h.b),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * nx.x
+                          + {1 - _HOLT_ALPHA} * (h.l + h.b)) - h.l)
+           + {1 - _HOLT_BETA} * h.b
+  FROM holt h JOIN idx nx ON nx.i = h.i + 1
+), fin AS (
+  SELECT l, b FROM holt, n WHERE holt.i = n.n
+)
+SELECT h::INT AS horizon_days,
+       round((l + h * b) / 100.0 + 1e-9, 2) AS forecast_revenue
+FROM fin, (SELECT unnest(generate_series(1, {_HOLT_H})) AS h)
+""",
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: Holt double-exponential-smoothing forecast of daily
+    revenue — level/trend recursion (α={_HOLT_ALPHA}, β={_HOLT_BETA},
+    seeded l₁=x₁, b₁=x₂−x₁) folded over the ordered day grain, then
+    ŷ(h) = l_n + h·b_n for h = 1..{_HOLT_H}. The trend-aware
+    counterpart of ewma_smoothing (level only) and forecast_backtest
+    (seasonal-naive); an inherently SEQUENTIAL recurrence, so the
+    right distributed shape is reduce-then-fold, not a window.
+
+    Scale shape: the fact collapses to the integer-cents day grain
+    (one hash agg); the grain — bounded by the CALENDAR, not the
+    data — is collected into ONE array row via collect_list +
+    array_sort and the recursion runs as a single F.aggregate fold,
+    JVM-side codegen. Both engines execute the identical
+    left-to-right double recursion (DuckDB: recursive CTE), so the
+    fold is bit-reproducible; only the forecast is exposed, rounded.
+    At any sf the folded array is ~years×365 structs — a driver-safe
+    constant."""
+    g = _day_rev(spark, sf_dir)
+    arr = g.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("cents")))
+        ).alias("s")
+    ).select(F.expr("transform(s, p -> cast(p.cents as double))").alias("xs"))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    fin = arr.filter(F.size("xs") >= 2).select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(xs, 2, size(xs) - 1),
+              named_struct('l', xs[0], 'b', xs[1] - xs[0]),
+              (acc, x) -> named_struct(
+                'l', {a}d * x + {1 - a}d * (acc.l + acc.b),
+                'b', {b}d * (({a}d * x + {1 - a}d * (acc.l + acc.b)) - acc.l)
+                     + {1 - b}d * acc.b)
+            )
+            """
+        ).alias("hb")
+    )
+    hs = fin.select(
+        F.col("hb.l").alias("l"),
+        F.col("hb.b").alias("b"),
+        F.explode(
+            F.array(*[F.lit(h) for h in range(1, _HOLT_H + 1)])
+        ).alias("h"),
+    )
+    return hs.select(
+        F.col("h").cast("int").alias("horizon_days"),
+        F.round(
+            (F.col("l") + F.col("h") * F.col("b")) / F.lit(100.0)
+            + F.lit(1e-9),
+            2,
+        ).alias("forecast_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + log-loss of the deterministic logistic scorer
+# ---------------------------------------------------------------------------
+
+@register(
+    "brier_logloss",
+    """
+WITH e AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), g AS (
+  SELECT avg(value) AS mu,
+         sqrt(greatest(sum(value * value) / count(*)
+                       - avg(value) * avg(value), 1e-12)) AS sd
+  FROM e
+), p AS (
+  SELECT label,
+         least(greatest(
+           round(1.0 / (1.0 + exp(-(value - g.mu) / g.sd)), 9),
+           1e-6), 1.0 - 1e-6) AS p_hat
+  FROM e, g
+)
+SELECT count(*)::BIGINT AS n,
+       round(avg(label::DOUBLE) + 1e-9, 6) AS prevalence,
+       round(avg((p_hat - label) * (p_hat - label)) + 1e-9, 6) AS brier,
+       round(-avg(label * ln(p_hat) + (1 - label) * ln(1.0 - p_hat))
+             + 1e-9, 6) AS log_loss
+FROM p
+""",
+)
+def q_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Brier score and log-loss of the same deterministic
+    logistic scorer calibration_eval bins (sigmoid of the
+    standardized event value vs the purchase label) — the two proper
+    scoring rules reported beside a reliability diagram; p̂ clamped
+    to [1e-6, 1−1e-6] so log-loss stays finite at the saturated
+    ends, and rounded to 9 dp BEFORE the clamp on both engines (the
+    calibration_eval float-edge discipline).
+
+    Scale shape: 1-row moments agg broadcast back, then ONE
+    map-side-combined global agg over the fact — no join beyond the
+    broadcast, no window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    g = e.agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("value") * F.col("value")) / F.count("*")
+                - F.avg("value") * F.avg("value"),
+                F.lit(1e-12),
+            )
+        ).alias("sd"),
+    )
+    p = e.crossJoin(F.broadcast(g)).select(
+        "label",
+        F.least(
+            F.greatest(
+                F.round(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.col("value") - F.col("mu")) / F.col("sd"))
+                    ),
+                    9,
+                ),
+                F.lit(1e-6),
+            ),
+            F.lit(1.0 - 1e-6),
+        ).alias("p_hat"),
+    )
+    return p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg(F.col("label").cast("double")) + F.lit(1e-9), 6).alias(
+            "prevalence"
+        ),
+        F.round(
+            F.avg(
+                (F.col("p_hat") - F.col("label"))
+                * (F.col("p_hat") - F.col("label"))
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("brier"),
+        F.round(
+            -F.avg(
+                F.col("label") * F.log(F.col("p_hat"))
+                + (F.lit(1) - F.col("label")) * F.log(F.lit(1.0) - F.col("p_hat"))
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("log_loss"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient at the 0.5 threshold
+# ---------------------------------------------------------------------------
+
+@register(
+    "matthews_mcc",
+    """
+WITH e AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), g AS (
+  SELECT avg(value) AS mu,
+         sqrt(greatest(sum(value * value) / count(*)
+                       - avg(value) * avg(value), 1e-12)) AS sd
+  FROM e
+), p AS (
+  SELECT label,
+         CASE WHEN round(1.0 / (1.0 + exp(-(value - g.mu) / g.sd)), 9)
+                   > 0.5 THEN 1 ELSE 0 END AS pred
+  FROM e, g
+), c AS (
+  SELECT sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)::HUGEINT AS tp,
+         sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)::HUGEINT AS fp,
+         sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END)::HUGEINT AS tn,
+         sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END)::HUGEINT AS fn
+  FROM p
+)
+SELECT tp::BIGINT AS tp, fp::BIGINT AS fp, tn::BIGINT AS tn, fn::BIGINT AS fn,
+       round((tp + tn)::DOUBLE / (tp + fp + tn + fn) + 1e-9, 6) AS accuracy,
+       round(2.0 * tp / nullif((2 * tp + fp + fn)::DOUBLE, 0.0) + 1e-9, 6)
+         AS f1,
+       round((tp * tn - fp * fn)::DOUBLE
+             / nullif(sqrt(((tp + fp) * (tp + fn))::DOUBLE)
+                      * sqrt(((tn + fp) * (tn + fn))::DOUBLE), 0.0)
+             + 1e-9, 6) AS mcc
+FROM c
+""",
+)
+def q_matthews_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: confusion matrix and Matthews correlation
+    coefficient of the deterministic logistic scorer thresholded at
+    0.5 — MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)), the
+    single-number classifier summary that stays honest under class
+    imbalance (Matthews 1975), beside accuracy and F1. Completes the
+    threshold-metric family around roc_auc/pr_auc (rank-based) and
+    calibration_eval (probability-based); threshold compares the
+    9-dp-rounded p̂ exactly as calibration bins do.
+
+    Scale shape: 1-row moments broadcast, ONE conditional hash agg
+    to the four exact integer cells; the decision products run in
+    decimal(38,0)/HUGEINT (n² terms pass bigint near ~3e9 rows) and
+    only the final ratios are doubles."""
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    g = e.agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("value") * F.col("value")) / F.count("*")
+                - F.avg("value") * F.avg("value"),
+                F.lit(1e-12),
+            )
+        ).alias("sd"),
+    )
+    p = e.crossJoin(F.broadcast(g)).select(
+        "label",
+        F.when(
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.col("value") - F.col("mu")) / F.col("sd"))
+                ),
+                9,
+            )
+            > F.lit(0.5),
+            1,
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    dec = "decimal(38,0)"
+    c = p.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 1), 1).otherwise(0))
+        .cast(dec)
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 0), 1).otherwise(0))
+        .cast(dec)
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 0), 1).otherwise(0))
+        .cast(dec)
+        .alias("tn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 1), 1).otherwise(0))
+        .cast(dec)
+        .alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c_) for c_ in ("tp", "fp", "tn", "fn"))
+    return c.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        tn.cast("bigint").alias("tn"),
+        fn.cast("bigint").alias("fn"),
+        F.round(
+            (tp + tn).cast("double") / (tp + fp + tn + fn) + F.lit(1e-9), 6
+        ).alias("accuracy"),
+        F.round(
+            F.lit(2.0) * tp
+            / F.nullif((F.lit(2) * tp + fp + fn).cast("double"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("f1"),
+        F.round(
+            (tp * tn - fp * fn).cast("double")
+            / F.nullif(
+                F.sqrt(((tp + fp) * (tp + fn)).cast("double"))
+                * F.sqrt(((tn + fp) * (tn + fn)).cast("double")),
+                F.lit(0.0),
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with within/between-nation decomposition
+# ---------------------------------------------------------------------------
+
+@register(
+    "theil_index",
+    """
+WITH x AS (
+  SELECT c_nationkey AS nat, c_acctbal AS x
+  FROM customer WHERE c_acctbal > 0
+), g AS (
+  SELECT nat, count(*)::BIGINT AS n_g, sum(x) AS s_g,
+         sum(x * ln(x)) AS xlx_g
+  FROM x GROUP BY nat
+), t AS (
+  SELECT sum(n_g)::BIGINT AS n, sum(s_g) AS s, sum(xlx_g) AS xlx FROM g
+), d AS (
+  SELECT t.n, t.s, t.xlx,
+         sum((g.s_g / t.s) * ln((g.s_g / g.n_g) / (t.s / t.n)))
+           AS t_between,
+         sum((g.s_g / t.s) * ln(g.s_g / g.n_g)) AS share_lnmu
+  FROM g, t GROUP BY t.n, t.s, t.xlx
+)
+SELECT n,
+       round(xlx / s - ln(s / n) + 1e-9, 6) AS theil_total,
+       round(xlx / s - share_lnmu + 1e-9, 6) AS theil_within,
+       round(t_between + 1e-9, 6) AS theil_between
+FROM d
+""",
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Theil-T inequality index of positive account
+    balances with its exact within/between-nation decomposition
+    (Theil 1967 — the entropy-based inequality measure whose group
+    decomposition is additive: T = T_within + T_between). The
+    group-attribution companion of gini_concentration/lorenz_curve:
+    it answers WHERE the inequality lives.
+
+    Scale shape: one hash agg to the |nations| grain carrying
+    (n_g, Σx, Σx·lnx) sufficient statistics, a 1-row total, and a
+    |nations|-row reduction — every T term is a closed form over
+    those sums (T_g share-weighted sum telescopes to Σx·lnx/S −
+    Σ s_g·ln μ_g), so the fact is scanned once and nothing
+    data-sized moves."""
+    x = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_nationkey").alias("nat"), F.col("c_acctbal").alias("x"))
+    )
+    g = x.groupBy("nat").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.log(F.col("x"))).alias("xlx_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("xlx_g").alias("xlx"),
+    )
+    d = g.crossJoin(F.broadcast(t)).groupBy("n", "s", "xlx").agg(
+        F.sum(
+            (F.col("s_g") / F.col("s"))
+            * F.log((F.col("s_g") / F.col("n_g")) / (F.col("s") / F.col("n")))
+        ).alias("t_between"),
+        F.sum(
+            (F.col("s_g") / F.col("s")) * F.log(F.col("s_g") / F.col("n_g"))
+        ).alias("share_lnmu"),
+    )
+    return d.select(
+        "n",
+        F.round(
+            F.col("xlx") / F.col("s") - F.log(F.col("s") / F.col("n"))
+            + F.lit(1e-9),
+            6,
+        ).alias("theil_total"),
+        F.round(
+            F.col("xlx") / F.col("s") - F.col("share_lnmu") + F.lit(1e-9), 6
+        ).alias("theil_within"),
+        F.round(F.col("t_between") + F.lit(1e-9), 6).alias("theil_between"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman brand concentration of lineitem revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "hhi_concentration",
+    """
+WITH r AS (
+  SELECT p.p_brand AS brand,
+         sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+             ::BIGINT)::HUGEINT AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+), t AS (SELECT sum(cents) AS tot, count(*)::BIGINT AS n_brands FROM r),
+s AS (
+  SELECT brand, cents::DOUBLE / tot::DOUBLE AS share,
+         row_number() OVER (ORDER BY cents DESC, brand) AS rk
+  FROM r, t
+)
+SELECT (SELECT n_brands FROM t) AS n_brands,
+       round(sum(share * share) * 10000 + 1e-9, 2) AS hhi,
+       round(sum(CASE WHEN rk = 1 THEN share ELSE 0 END) + 1e-9, 6) AS cr1,
+       round(sum(CASE WHEN rk <= 4 THEN share ELSE 0 END) + 1e-9, 6) AS cr4
+FROM s
+""",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Herfindahl-Hirschman index of brand revenue
+    concentration — HHI = 10000·Σ share² over brand revenue shares,
+    plus CR1/CR4 concentration ratios (the antitrust-screen
+    readouts). Completes the concentration family: gini/lorenz
+    measure distributional inequality, HHI measures MARKET
+    structure.
+
+    Scale shape: fact⋈dim equi-join (part broadcasts at any
+    realistic dim size), integer-cents hash agg to the |brands|
+    grain, 1-row total broadcast, one |brands|-row ranking window —
+    bounded by the brand vocabulary, never the fact. Shares derive
+    from exact integer cents so both engines rank identically."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("brand")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("cents"))
+    )
+    t = r.agg(
+        F.sum("cents").alias("tot"),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+    s = r.crossJoin(F.broadcast(t)).select(
+        "n_brands",
+        (F.col("cents").cast("double") / F.col("tot").cast("double")).alias(
+            "share"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), F.col("brand")))
+        .alias("rk"),
+    )
+    return s.groupBy("n_brands").agg(
+        F.round(
+            F.sum(F.col("share") * F.col("share")) * F.lit(10000)
+            + F.lit(1e-9),
+            2,
+        ).alias("hhi"),
+        F.round(
+            F.sum(F.when(F.col("rk") == 1, F.col("share")).otherwise(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("cr1"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 4, F.col("share")).otherwise(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("cr4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier test per customer segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "grubbs_test",
+    """
+WITH s AS (
+  SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+         avg(c_acctbal) AS m,
+         sqrt((sum(c_acctbal * c_acctbal)
+               - sum(c_acctbal) * sum(c_acctbal) / count(*))
+              / (count(*) - 1)) AS sd
+  FROM customer GROUP BY 1
+), d AS (
+  SELECT c.c_mktsegment AS segment, c.c_acctbal AS x,
+         abs(c.c_acctbal - s.m) AS dev
+  FROM customer c JOIN s ON s.segment = c.c_mktsegment
+), mx AS (
+  SELECT segment, max(dev) AS max_dev FROM d GROUP BY segment
+), pick AS (
+  SELECT d.segment, min(d.x) AS outlier_bal
+  FROM d JOIN mx ON mx.segment = d.segment AND d.dev = mx.max_dev
+  GROUP BY d.segment
+)
+SELECT s.segment, s.n,
+       round(mx.max_dev / nullif(s.sd, 0.0) + 1e-9, 4) AS g_stat,
+       round(pick.outlier_bal, 2) AS outlier_bal
+FROM s JOIN mx ON mx.segment = s.segment
+JOIN pick ON pick.segment = s.segment
+""",
+)
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Grubbs extreme-studentized-deviate test per market
+    segment — G = max|x − x̄|/s with the offending balance (ties
+    broken to the smallest value on both engines). The single-
+    outlier screen run before anomaly_mad_daily's robust variant:
+    Grubbs assumes normality (pair with jarque_bera), MAD does not.
+
+    Scale shape: three map-side-combined hash aggs (group stats, max
+    deviation, deterministic tie pick), stitched with |segments|-row
+    broadcast equi-joins — the fact is scanned twice (stats pass +
+    deviation pass shared by mx/pick through one projection), no
+    window. Deviation equality at the pick join compares the exact
+    double both engines computed from identical inputs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), F.col("c_acctbal").alias("x")
+    )
+    s = c.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("x").alias("m"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count("*")
+            )
+            / (F.count("*") - F.lit(1))
+        ).alias("sd"),
+    )
+    d = c.join(F.broadcast(s.select("segment", "m")), "segment").select(
+        "segment", "x", F.abs(F.col("x") - F.col("m")).alias("dev")
+    )
+    mx = d.groupBy("segment").agg(F.max("dev").alias("max_dev"))
+    pick = (
+        d.join(F.broadcast(mx), "segment")
+        .filter(F.col("dev") == F.col("max_dev"))
+        .groupBy("segment")
+        .agg(F.min("x").alias("outlier_bal"))
+    )
+    return (
+        s.join(mx, "segment")
+        .join(pick, "segment")
+        .select(
+            "segment",
+            "n",
+            F.round(
+                F.col("max_dev") / F.nullif(F.col("sd"), F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            ).alias("g_stat"),
+            F.round(F.col("outlier_bal"), 2).alias("outlier_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 14-day OLS beta: BUILDING-segment daily revenue vs market
+# ---------------------------------------------------------------------------
+
+_BETA_WIN = 14
+
+
+@register(
+    "rolling_beta",
+    f"""
+WITH d AS (
+  SELECT o.o_orderdate::DATE AS day,
+         sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS mkt,
+         sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                  THEN floor(o.o_totalprice * 100 + 0.5)::BIGINT
+                  ELSE 0 END)::BIGINT AS seg
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), w AS (
+  SELECT day,
+         count(*) OVER win AS n_w,
+         sum(mkt::DOUBLE) OVER win AS sx,
+         sum(seg::DOUBLE) OVER win AS sy,
+         sum(mkt::DOUBLE * mkt) OVER win AS sxx,
+         sum(mkt::DOUBLE * seg) OVER win AS sxy
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN {_BETA_WIN - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round((n_w * sxy - sx * sy)
+             / nullif(n_w * sxx - sx * sx, 0.0) + 1e-9, 4) AS beta
+FROM w WHERE n_w = {_BETA_WIN}
+""",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: rolling {_BETA_WIN}-day OLS beta of the BUILDING
+    segment's daily revenue against the whole market — β =
+    cov(mkt, seg)/var(mkt) over a trailing row window, emitted only
+    for complete windows. The exposure/sensitivity readout behind
+    elasticity_by_brand's cross-sectional version; a segment whose β
+    drifts from its long-run share flags a mix shift.
+
+    Scale shape: fact⋈dim equi-join then ONE integer-cents hash agg
+    to the day grain; the rolling frame is a window over that
+    CALENDAR-BOUNDED grain (days, not facts — the cusum/IMR
+    pattern). Moments enter the frame as exact integers widened to
+    double; both engines sum the same {_BETA_WIN} values per frame
+    and the exposed β is rounded."""
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    d = (
+        o.join(F.broadcast(cst), o.o_custkey == cst.c_custkey)
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            cents.alias("c"),
+            F.when(F.col("c_mktsegment") == "BUILDING", cents)
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("cs"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("c").cast("bigint").alias("mkt"),
+            F.sum("cs").cast("bigint").alias("seg"),
+        )
+    )
+    win = (
+        Window.orderBy("day").rowsBetween(-(_BETA_WIN - 1), Window.currentRow)
+    )
+    x = F.col("mkt").cast("double")
+    y = F.col("seg").cast("double")
+    w = d.select(
+        "day",
+        F.count("*").over(win).alias("n_w"),
+        F.sum(x).over(win).alias("sx"),
+        F.sum(y).over(win).alias("sy"),
+        F.sum(x * x).over(win).alias("sxx"),
+        F.sum(x * y).over(win).alias("sxy"),
+    )
+    return w.filter(F.col("n_w") == _BETA_WIN).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            (F.col("n_w") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.col("n_w") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient on the near-dup graph
+# ---------------------------------------------------------------------------
+
+def _lcc_sql(thresh: float = 0.5) -> str:
+    """Same MinHash-LSH edge chain as graph_triangles' oracle
+    (queries/text_q.py:_triangles_sql), extended from the one-row
+    census to the per-node Watts-Strogatz readout."""
+    from resume_jd_matcher_spark.queries.text_q import SQL_HASH32, SQL_TOKS
+
+    return f"""WITH docs AS (
+  SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({SQL_HASH32.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.left_id, c.right_id,
+         round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4) AS ej
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.left_id
+  JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+  GROUP BY c.left_id, c.right_id
+), e AS (
+  SELECT left_id AS a, right_id AS b FROM est WHERE ej >= {thresh}
+), deg AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node
+), tri AS (
+  SELECT node, count(*)::BIGINT AS n_tri
+  FROM (
+    SELECT unnest([e1.a, e1.b, e2.b]) AS node
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) GROUP BY node
+)
+SELECT deg.node, deg.deg,
+       coalesce(tri.n_tri, 0)::BIGINT AS n_tri,
+       round(2.0 * coalesce(tri.n_tri, 0)
+             / (deg.deg * (deg.deg - 1))::DOUBLE + 1e-9, 6) AS lcc
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+WHERE deg.deg >= 2
+"""
+
+
+@register("local_clustering", _lcc_sql())
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-node local clustering coefficient of the MinHash
+    near-dup graph (same doc_id < 200 slice and ej >= 0.5 edges as
+    graph_triangles) — lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) for
+    deg ≥ 2 (Watts & Strogatz 1998). Node-level companion of
+    graph_triangles' global transitivity: blob members read lcc → 1,
+    chain/bridge nodes lcc → 0 — the per-document keep/drop signal
+    inside a dedup cluster (operators/cluster.py:local_clustering).
+
+    Scale shape: compact-forward triangle enumeration — two hash
+    equi-joins over the (a < b) edge list, one explode crediting
+    each triangle's three corners, integer hash aggs; candidates are
+    LSH-banded equi-joins, never corpus². The edge frame persists on
+    dedup's release ledger like every graph query."""
+    from resume_jd_matcher_spark.operators import cluster as clusterop
+    from resume_jd_matcher_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.minhash_lsh_candidates(
+        d, n_hashes=16, rows_per_band=4
+    ).filter(F.col("est_jaccard") >= 0.5)
+    return clusterop.local_clustering(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (two-sample rank test, AUTOMOBILE vs BUILDING)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mann_whitney_u",
+    """
+WITH x AS (
+  SELECT c_mktsegment AS seg, c_acctbal AS v
+  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+), r AS (
+  SELECT seg,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar
+  FROM x
+), g AS (
+  SELECT
+    sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+    sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+    sum(CASE WHEN seg = 'AUTOMOBILE' THEN ar ELSE 0 END) AS r_a
+  FROM r
+), ties AS (
+  SELECT sum(c * c * c - c) AS tie_mass
+  FROM (SELECT count(*)::HUGEINT AS c FROM x GROUP BY v)
+), u AS (
+  SELECT n_a, n_b, r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+         n_a * n_b / 2.0 AS mu_u,
+         n_a::DOUBLE * n_b / 12.0
+           * ((n_a + n_b + 1)
+              - (SELECT tie_mass FROM ties)::DOUBLE
+                / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1))) AS var_u
+  FROM g
+)
+SELECT n_a, n_b,
+       round(u_a + 1e-9, 1) AS u_stat,
+       round(u_a / (n_a::DOUBLE * n_b) + 1e-9, 6) AS auc_equiv,
+       round((u_a - mu_u) / nullif(sqrt(var_u), 0.0) + 1e-9, 4) AS z_stat
+FROM u
+""",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A4 [EXT]: Mann-Whitney U test of account balance between
+    the AUTOMOBILE and BUILDING segments — U from tie-averaged pooled
+    ranks, the tie-corrected normal approximation z, and the
+    U/(n_a·n_b) AUC equivalence (the two-sample special case of
+    kruskal_wallis, and the rank dual of welch_ttest's mean test;
+    U/(n_a n_b) IS the probability a random A outranks a random B —
+    roc_auc's statistic).
+
+    Scale shape: identical to kruskal_wallis — pooled ranks collapse
+    to the DISTINCT-VALUE grain, global_prefix's bucket-offset scan
+    supplies prefix counts (no fact-sized window), per-(seg, value)
+    counts equi-join the rank grain, and U/z are scalar arithmetic
+    on a 1-row frame with exact-integer tie mass."""
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    x = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("v"))
+    )
+    vals = x.groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    pref = global_prefix(vals, ["v"], sum_col="cnt", sum_type="bigint")
+    ar = pref.select(
+        "v",
+        (
+            (F.col("cum_sum") - F.col("cnt")).cast("double")
+            + (F.col("cnt") + F.lit(1)) / F.lit(2.0)
+        ).alias("ar"),
+    )
+    gv = x.groupBy("seg", "v").agg(F.count("*").cast("bigint").alias("m"))
+    g = (
+        gv.join(ar, "v")
+        .agg(
+            F.sum(F.when(F.col("seg") == "AUTOMOBILE", F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("seg") == "BUILDING", F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(
+                F.when(
+                    F.col("seg") == "AUTOMOBILE", F.col("m") * F.col("ar")
+                ).otherwise(0.0)
+            ).alias("r_a"),
+        )
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_mass")
+    )
+    u = g.crossJoin(F.broadcast(ties)).select(
+        "n_a",
+        "n_b",
+        (F.col("r_a") - F.col("n_a") * (F.col("n_a") + F.lit(1)) / F.lit(2.0)).alias(
+            "u_a"
+        ),
+        (F.col("n_a") * F.col("n_b") / F.lit(2.0)).alias("mu_u"),
+        (
+            F.col("n_a").cast("double") * F.col("n_b") / F.lit(12.0)
+            * (
+                (F.col("n_a") + F.col("n_b") + F.lit(1))
+                - F.col("tie_mass").cast("double")
+                / (
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    * (F.col("n_a") + F.col("n_b") - F.lit(1))
+                )
+            )
+        ).alias("var_u"),
+    )
+    return u.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("u_a") + F.lit(1e-9), 1).alias("u_stat"),
+        F.round(
+            F.col("u_a") / (F.col("n_a").cast("double") * F.col("n_b"))
+            + F.lit(1e-9),
+            6,
+        ).alias("auc_equiv"),
+        F.round(
+            (F.col("u_a") - F.col("mu_u"))
+            / F.nullif(F.sqrt(F.col("var_u")), F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: segments ranked within nation blocks
+# ---------------------------------------------------------------------------
+
+@register(
+    "friedman_test",
+    """
+WITH cell AS (
+  SELECT c_nationkey AS blk, c_mktsegment AS trt, avg(c_acctbal) AS m
+  FROM customer GROUP BY 1, 2
+), full_blk AS (
+  SELECT blk FROM cell GROUP BY blk
+  HAVING count(*) = (SELECT count(DISTINCT c_mktsegment) FROM customer)
+), r AS (
+  SELECT c.blk, c.trt,
+         rank() OVER (PARTITION BY c.blk ORDER BY c.m)
+           + (count(*) OVER (PARTITION BY c.blk, c.m) - 1) / 2.0 AS rk
+  FROM cell c JOIN full_blk USING (blk)
+), g AS (
+  SELECT trt, count(*)::BIGINT AS n_blocks, sum(rk) AS r_j FROM r GROUP BY trt
+), t AS (
+  SELECT max(n_blocks)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(r_j * r_j) AS sr2
+  FROM g
+)
+SELECT n AS n_blocks, k AS k_treatments,
+       round(12.0 / (n * k * (k + 1.0)) * sr2 - 3.0 * n * (k + 1)
+             + 1e-9, 4) AS chi2_f
+FROM t
+""",
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A4 [EXT]: Friedman test — market segments (treatments)
+    ranked by mean balance WITHIN each nation (block), χ²_F =
+    12/(nk(k+1))·ΣR_j² − 3n(k+1) over complete blocks (Friedman
+    1937). The repeated-measures companion of kruskal_wallis: it
+    asks whether segment ordering is consistent ACROSS nations
+    rather than pooling all customers into one ranking.
+
+    Scale shape: the fact collapses to the |nations|×|segments| cell
+    grain in one hash agg; complete-block filtering, within-block
+    ranking, and the χ² reduction all run on that dimension-bounded
+    grain (the ranking window partitions by block over ≤|segments|
+    rows). Block means are doubles both engines aggregate from the
+    same values; tie-averaged ranks keep degenerate fixtures exact."""
+    c = load_table(spark, sf_dir, "customer")
+    k_total = c.agg(
+        F.countDistinct("c_mktsegment").cast("bigint").alias("k_all")
+    )
+    cell = c.groupBy(
+        F.col("c_nationkey").alias("blk"), F.col("c_mktsegment").alias("trt")
+    ).agg(F.avg("c_acctbal").alias("m"))
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count("*").cast("bigint").alias("n_trt"))
+        .crossJoin(F.broadcast(k_total))
+        .filter(F.col("n_trt") == F.col("k_all"))
+        .select("blk")
+    )
+    w_rank = Window.partitionBy("blk").orderBy("m")
+    w_tie = Window.partitionBy("blk", "m")
+    r = cell.join(F.broadcast(full_blk), "blk").select(
+        "blk",
+        "trt",
+        (
+            F.rank().over(w_rank)
+            + (F.count("*").over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("rk"),
+    )
+    g = r.groupBy("trt").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("rk").alias("r_j"),
+    )
+    t = g.agg(
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("r_j") * F.col("r_j")).alias("sr2"),
+    )
+    return t.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(
+            F.lit(12.0)
+            / (F.col("n") * F.col("k") * (F.col("k") + F.lit(1.0)))
+            * F.col("sr2")
+            - F.lit(3.0) * F.col("n") * (F.col("k") + F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("chi2_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test on the daily-revenue trend
+# ---------------------------------------------------------------------------
+
+@register(
+    "breusch_pagan",
+    f"""
+WITH g AS ({_SQL_DAY_REV}
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, cents::DOUBLE AS x FROM g
+), ols AS (
+  SELECT count(*)::BIGINT AS n, sum(t::DOUBLE) AS st, sum(x) AS sx,
+         sum(t::DOUBLE * t) AS stt, sum(t::DOUBLE * x) AS stx
+  FROM idx
+), fit AS (
+  SELECT n,
+         (n * stx - st * sx) / nullif(n * stt - st * st, 0.0) AS slope,
+         (sx - (n * stx - st * sx) / nullif(n * stt - st * st, 0.0) * st)
+           / n AS intercept
+  FROM ols
+), e AS (
+  SELECT t::DOUBLE AS t,
+         (x - (fit.intercept + fit.slope * t))
+           * (x - (fit.intercept + fit.slope * t)) AS e2
+  FROM idx, fit
+), aux AS (
+  SELECT count(*)::BIGINT AS n, sum(t) AS st, sum(e2) AS se,
+         sum(t * t) AS stt, sum(e2 * e2) AS see, sum(t * e2) AS ste
+  FROM e
+)
+SELECT n AS n_days,
+       round(CASE WHEN (n * stt - st * st) > 0 AND (n * see - se * se) > 0
+                  THEN n * ((n * ste - st * se) * (n * ste - st * se))
+                       / ((n * stt - st * st) * (n * see - se * se))
+                  ELSE 0.0 END + 1e-9, 4) AS lm_stat,
+       coalesce(round(CASE WHEN (n * stt - st * st) > 0
+                            AND (n * see - se * se) > 0
+                  THEN n * ((n * ste - st * se) * (n * ste - st * se))
+                       / ((n * stt - st * st) * (n * see - se * se))
+                  ELSE 0.0 END + 1e-9, 4) > 3.841, false)
+         AS reject_homoscedastic
+FROM aux
+""",
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: Breusch-Pagan heteroscedasticity test on the daily
+    revenue OLS-vs-time residuals — the auxiliary regression of e²
+    on t summarized as LM = n·R² (= n·corr²), rejected against
+    χ²(1) = 3.841 on the ROUNDED statistic. Completes the
+    regression-diagnostics pair with durbin_watson: DW checks
+    residual CORRELATION, BP checks residual VARIANCE drift
+    (Breusch & Pagan 1979, Koenker's studentized n·R² form).
+
+    Scale shape: same as durbin_watson — integer-cents day grain,
+    1-row OLS broadcast, and the auxiliary regression is one more
+    1-row sufficient-statistic agg over the calendar-bounded grain;
+    zero-variance guards mirror as CASE on both engines."""
+    g = _day_rev(spark, sf_dir)
+    idx = g.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.col("cents").cast("double").alias("x"),
+    )
+    ols = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("t").cast("double")).alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("stt"),
+        F.sum(F.col("t").cast("double") * F.col("x")).alias("stx"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / F.nullif(
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0)
+    )
+    fit = ols.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sx") - slope * F.col("st")) / F.col("n")).alias("intercept"),
+    )
+    resid = F.col("x") - (F.col("intercept") + F.col("slope") * F.col("t"))
+    e = idx.crossJoin(F.broadcast(fit)).select(
+        F.col("t").cast("double").alias("td"), (resid * resid).alias("e2")
+    )
+    aux = e.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("td").alias("st"),
+        F.sum("e2").alias("se"),
+        F.sum(F.col("td") * F.col("td")).alias("stt"),
+        F.sum(F.col("e2") * F.col("e2")).alias("see"),
+        F.sum(F.col("td") * F.col("e2")).alias("ste"),
+    )
+    var_t = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    var_e = F.col("n") * F.col("see") - F.col("se") * F.col("se")
+    cov = F.col("n") * F.col("ste") - F.col("st") * F.col("se")
+    lm = F.round(
+        F.when(
+            (var_t > 0) & (var_e > 0),
+            F.col("n") * (cov * cov) / (var_t * var_e),
+        ).otherwise(0.0)
+        + F.lit(1e-9),
+        4,
+    )
+    return aux.select(
+        F.col("n").alias("n_days"),
+        lm.alias("lm_stat"),
+        F.coalesce(lm > F.lit(3.841), F.lit(False)).alias(
+            "reject_homoscedastic"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel (EV-I) fit of monthly-maximum daily revenue, return levels
+# ---------------------------------------------------------------------------
+
+_GUMBEL_EULER = 0.5772156649015329
+
+
+@register(
+    "gumbel_maxima",
+    f"""
+WITH g AS ({_SQL_DAY_REV}
+), mx AS (
+  SELECT date_trunc('month', day) AS mon, max(cents)::BIGINT AS m
+  FROM g GROUP BY 1
+), s AS (
+  SELECT count(*)::BIGINT AS n, avg(m::DOUBLE) AS mean,
+         sqrt((sum(m::DOUBLE * m) - sum(m::DOUBLE) * sum(m::DOUBLE)
+               / count(*)) / (count(*) - 1)) AS sd
+  FROM mx
+), fit AS (
+  SELECT n, sd * sqrt(6.0) / pi() AS beta,
+         mean - {_GUMBEL_EULER} * (sd * sqrt(6.0) / pi()) AS mu
+  FROM s
+)
+SELECT n AS n_months,
+       round(mu / 100.0 + 1e-9, 2) AS mu_revenue,
+       round(beta / 100.0 + 1e-9, 2) AS beta_revenue,
+       round((mu - beta * ln(-ln(1.0 - 1.0 / 12))) / 100.0 + 1e-9, 2)
+         AS return_level_12m,
+       round((mu - beta * ln(-ln(1.0 - 1.0 / 60))) / 100.0 + 1e-9, 2)
+         AS return_level_60m
+FROM fit
+""",
+)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: extreme-value analysis of peak load — Gumbel
+    (EV-I) fit of the MONTHLY-maximum daily revenue by the method of
+    moments (β = s√6/π, μ = x̄ − γβ), with 12- and 60-month return
+    levels μ − β·ln(−ln(1−1/T)). The capacity-planning readout
+    (what daily peak should we provision for?) that block-maxima EVT
+    answers and mean-based forecasts (holt/ewma) cannot.
+
+    Scale shape: integer-cents day grain → month-grain max (two
+    nested calendar-bounded hash aggs) → 1-row moment fit; return
+    levels are closed-form scalars. Nothing beyond the first agg
+    ever exceeds the calendar size."""
+    g = _day_rev(spark, sf_dir)
+    mx = g.groupBy(F.date_trunc("month", F.col("day")).alias("mon")).agg(
+        F.max("cents").cast("bigint").alias("m")
+    )
+    m = F.col("m").cast("double")
+    s = mx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg(m).alias("mean"),
+        F.sqrt(
+            (F.sum(m * F.col("m")) - F.sum(m) * F.sum(m) / F.count("*"))
+            / (F.count("*") - F.lit(1))
+        ).alias("sd"),
+    )
+    beta = F.col("sd") * F.sqrt(F.lit(6.0)) / F.lit(math.pi)
+    fit = s.select(
+        "n",
+        beta.alias("beta"),
+        (F.col("mean") - F.lit(_GUMBEL_EULER) * beta).alias("mu"),
+    )
+    def rl(t: int):
+        return F.round(
+            (
+                F.col("mu")
+                - F.col("beta") * F.log(-F.log(F.lit(1.0) - F.lit(1.0 / t)))
+            )
+            / F.lit(100.0)
+            + F.lit(1e-9),
+            2,
+        )
+    return fit.select(
+        F.col("n").alias("n_months"),
+        F.round(F.col("mu") / F.lit(100.0) + F.lit(1e-9), 2).alias(
+            "mu_revenue"
+        ),
+        F.round(F.col("beta") / F.lit(100.0) + F.lit(1e-9), 2).alias(
+            "beta_revenue"
+        ),
+        rl(12).alias("return_level_12m"),
+        rl(60).alias("return_level_60m"),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from resume_jd_matcher_spark.operators import cluster as clusterop
+from resume_jd_matcher_spark.functions.text import tokens
 from resume_jd_matcher_spark.operators import dedup, textstats
 from resume_jd_matcher_spark.queries import register
 from resume_jd_matcher_spark.sources.io import load_table
@@ -1944,3 +1945,331 @@ def q_skill_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return skill_coverage(d, _TAG_DICT + ["verilog"])
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies smoothing (round 10)
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 10
+
+
+@register(
+    "good_turing",
+    f"""
+WITH w AS (
+  SELECT {SQL_TOKS.format(c='text')} AS w FROM documents
+), tok AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS t
+  FROM w WHERE len(w) >= 3
+), cnt AS (
+  SELECT t, count(*)::BIGINT AS r FROM tok GROUP BY t
+), ff AS (
+  SELECT r, count(*)::BIGINT AS n_r FROM cnt GROUP BY r
+), tot AS (
+  SELECT sum(r * n_r)::BIGINT AS n_tok,
+         sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1
+  FROM ff
+)
+SELECT f.r::INT AS r, f.n_r,
+       coalesce(f2.n_r, 0)::BIGINT AS n_r_next,
+       round((f.r + 1) * coalesce(f2.n_r, 0)::DOUBLE / f.n_r + 1e-9, 6)
+         AS r_star,
+       round(tot.n1::DOUBLE / tot.n_tok + 1e-9, 9) AS p_unseen
+FROM ff f LEFT JOIN ff f2 ON f2.r = f.r + 1, tot
+WHERE f.r <= {_GT_MAX_R}
+""",
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: Good-Turing frequency-of-frequencies smoothing over
+    the corpus 3-gram shingle counts — the adjusted count r* =
+    (r+1)·N(r+1)/N_r for r ≤ {_GT_MAX_R} and the unseen-mass
+    estimate p₀ = N₁/N (Good 1953). The smoothing step between raw
+    counts and a usable LM: unigram_logprob_quality scores documents
+    with raw MLE counts; r* is what replaces them when the model
+    must generalize. The 3-gram grain (ngram_jaccard's shingle
+    vocabulary) is where the rare-event tail actually lives — this
+    corpus' unigram vocabulary is saturated (min count ≫ 10, so a
+    unigram N_r table is empty below r=26), the classic reason GT is
+    run on higher-order grams (Gale & Sampson 1995).
+
+    Scale shape: shingles built JVM-side per document (one transform
+    over the token array), per-shingle count map-side combined →
+    frequency-of-frequencies agg — the N_r grain is at most the max
+    shingle count, so the r+1 self-join and 1-row totals broadcast
+    are dimension-sized. Integers end-to-end until the final two
+    exposed ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(tokens("text").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 2),"
+                    " (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"
+                )
+            ).alias("t")
+        )
+    )
+    cnt = sh.groupBy("t").agg(F.count("*").cast("bigint").alias("r"))
+    ff = cnt.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tok"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    nxt = ff.select(
+        (F.col("r") - F.lit(1)).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    out = (
+        ff.filter(F.col("r") <= _GT_MAX_R)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        F.col("r").cast("int").alias("r"),
+        "n_r",
+        F.coalesce(F.col("n_r_next"), F.lit(0)).cast("bigint").alias(
+            "n_r_next"
+        ),
+        F.round(
+            (F.col("r") + F.lit(1))
+            * F.coalesce(F.col("n_r_next"), F.lit(0)).cast("double")
+            / F.col("n_r")
+            + F.lit(1e-9),
+            6,
+        ).alias("r_star"),
+        F.round(
+            F.col("n1").cast("double") / F.col("n_tok") + F.lit(1e-9), 9
+        ).alias("p_unseen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon + Hellinger token-distribution drift (round 10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "jsd_drift",
+    f"""
+WITH tk AS (
+  SELECT (lang = 'en') AS is_a, unnest({SQL_TOKS.format(c='text')}) AS t
+  FROM documents
+), c AS (
+  SELECT t, sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+  FROM tk GROUP BY t
+), tot AS (
+  SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb,
+         count(*)::BIGINT AS v
+  FROM c
+), pq AS (
+  SELECT (ca + 0.5) / (ta + 0.5 * v) AS p,
+         (cb + 0.5) / (tb + 0.5 * v) AS q
+  FROM c, tot
+)
+SELECT (SELECT v FROM tot) AS n_vocab,
+       round((0.5 * sum(p * ln(2.0 * p / (p + q)))
+              + 0.5 * sum(q * ln(2.0 * q / (p + q)))) / ln(2.0)
+             + 1e-9, 6) AS jsd_bits,
+       round(sqrt(greatest(1.0 - sum(sqrt(p * q)), 0.0)) + 1e-9, 6)
+         AS hellinger
+FROM pq
+""",
+)
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: Jensen-Shannon divergence (bits) and Hellinger
+    distance between the English slice's unigram distribution and
+    the rest of the corpus, Laplace-0.5 smoothed over the shared
+    vocabulary (Lin 1991). The BOUNDED drift metrics beside
+    psi_drift's per-token terms: JSD ∈ [0,1] bits and Hellinger ∈
+    [0,1] stay finite when a token is absent on one side (where PSI
+    and KL blow up), so they are the safe thresholding pair for
+    automated drift gates.
+
+    Scale shape: one token explode → (token, side) conditional hash
+    agg (map-side combined) → 1-row totals broadcast → ONE
+    vocab-grain reduction. Smoothed masses each sum to exactly 1 by
+    construction, so the two engines integrate the same
+    distribution; the only cross-row float sums are the three
+    exposed aggregates, rounded in-query."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            (F.col("lang") == "en").alias("is_a"),
+            F.explode(tokens("text")).alias("t"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    tot = c.agg(
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cb").cast("bigint").alias("tb"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    pq = c.crossJoin(F.broadcast(tot)).select(
+        "v",
+        ((F.col("ca") + F.lit(0.5)) / (F.col("ta") + F.lit(0.5) * F.col("v"))).alias(
+            "p"
+        ),
+        ((F.col("cb") + F.lit(0.5)) / (F.col("tb") + F.lit(0.5) * F.col("v"))).alias(
+            "q"
+        ),
+    )
+    return pq.groupBy("v").agg(
+        F.round(
+            (
+                F.lit(0.5)
+                * F.sum(
+                    F.col("p")
+                    * F.log(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q")))
+                )
+                + F.lit(0.5)
+                * F.sum(
+                    F.col("q")
+                    * F.log(F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q")))
+                )
+            )
+            / F.log(F.lit(2.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("jsd_bits"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(1.0) - F.sum(F.sqrt(F.col("p") * F.col("q"))),
+                    F.lit(0.0),
+                )
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("hellinger"),
+    ).select(F.col("v").alias("n_vocab"), "jsd_bits", "hellinger")
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (round 10)
+# ---------------------------------------------------------------------------
+
+_TR_MIN_COUNT = 5
+_TR_TOP_K = 30
+
+
+def _textrank_sql(n_iter: int = 3, dp: int = 8) -> str:
+    """Token co-occurrence edge CTEs + the same unrolled
+    deterministic PageRank as _pagerank_sql (per-iteration rounding,
+    no dangling redistribution) — mirrors operators/cluster.pagerank
+    over the word graph exactly."""
+    head = f"""WITH w AS (
+  SELECT doc_id, {SQL_TOKS.format(c='text')} AS w FROM documents
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> {{'a': w[i], 'b': w[i + 1]}})) AS s
+  FROM w WHERE len(w) >= 2
+), pair AS (
+  SELECT least(s.a, s.b) AS a, greatest(s.a, s.b) AS b
+  FROM bg WHERE s.a <> s.b
+), e0 AS (
+  SELECT a, b FROM pair GROUP BY a, b HAVING count(*) >= {_TR_MIN_COUNT}
+), edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM nodes
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, round(1.0 / nn.n, {dp}) AS pr FROM nodes CROSS JOIN nn
+)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(
+            f""", r{i} AS (
+  SELECT nd.node,
+         round((1 - 0.85::DOUBLE) / nn.n
+               + 0.85::DOUBLE * coalesce(s.c, 0), {dp}) AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum(r.pr / deg.deg) AS c
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = nd.node
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT node AS token, round(pr + 1e-9, 6) AS pr
+FROM r{n_iter} ORDER BY pr DESC, token LIMIT {_TR_TOP_K}
+"""
+    )
+
+
+@register("textrank_keywords", _textrank_sql())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 [EXT]: TextRank keyword extraction — deterministic
+    fixed-iteration PageRank over the token CO-OCCURRENCE graph
+    (adjacent-token pairs with corpus count ≥ {_TR_MIN_COUNT},
+    symmetrized), top-{_TR_TOP_K} tokens by centrality (Mihalcea &
+    Tarau 2004). The unsupervised keyword lens beside tfidf_topterms
+    (frequency-contrast) and pmi_collocations (pair association):
+    TextRank rewards tokens that bridge many distinct contexts.
+
+    Scale shape: bigrams are built JVM-side per document (one
+    transform over the token array — no positional self-join), then
+    ONE map-side-combined pair count with the min-count filter
+    bounding the graph to the frequent-pair vocabulary; the
+    3-iteration PageRank reuses operators/cluster.pagerank (O(edges)
+    equi-join + hash agg per round, per-iteration rounding so the
+    unrolled-CTE oracle replays the trajectory bit-for-bit); top-k
+    is orderBy+limit = TakeOrderedAndProject."""
+    from resume_jd_matcher_spark.operators import cluster as clusterop
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x as a, w[i + 1] as b))"
+            )
+        ).alias("s")
+    ).filter(F.col("s.a") != F.col("s.b"))
+    e0 = (
+        bg.select(
+            F.least("s.a", "s.b").alias("a"),
+            F.greatest("s.a", "s.b").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= _TR_MIN_COUNT)
+    )
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    nodes = edges.select(F.col("src").alias("token")).distinct()
+    pr = clusterop.pagerank(edges, nodes, n_iter=3, id_col="token")
+    return pr.select(
+        "token", F.round(F.col("pr") + F.lit(1e-9), 6).alias("pr")
+    ).orderBy(F.col("pr").desc(), F.col("token")).limit(_TR_TOP_K)

@@ -375,6 +375,44 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row (n, total) broadcast over the prefix-ranked customer
         # grain + global_prefix's height-mode stats broadcast:
         "lorenz_curve",
+        # -- round 10, inference family --
+        # 1-row (mu, sd) scorer-moment broadcast crossed into the fact
+        # before the single global agg (the calibration_eval shape):
+        "brier_logloss",
+        # same 1-row (mu, sd) broadcast before the 4-cell confusion agg:
+        "matthews_mcc",
+        # 1-row (sum, n) mean broadcast into the calendar-bounded day
+        # grain + the 1-row Σdev² broadcast into the lag frame
+        # (acf_daily's exact shape):
+        "ljung_box",
+        # 1-row OLS-fit broadcast back over the calendar-bounded day
+        # grain to form residuals:
+        "durbin_watson",
+        # 1-row tie-mass census crossed with the 1-row H sufficient
+        # stats + global_prefix's 1-row bucket-stats broadcast:
+        "kruskal_wallis",
+        # 1-row (n, Σx, Σx·lnx) grand total crossed into the
+        # |nations|-bounded group grain:
+        "theil_index",
+        # 1-row (total cents, n_brands) broadcast crossed into the
+        # |brands|-bounded share grain:
+        "hhi_concentration",
+        # kruskal_wallis's exact shape on two segments: 1-row tie
+        # census + 1-row U sufficient stats + global_prefix's 1-row
+        # bucket-stats broadcast:
+        "mann_whitney_u",
+        # 1-row |segments| count broadcast crossed into the
+        # |nations|-bounded block census:
+        "friedman_test",
+        # 1-row OLS-fit broadcast back over the calendar-bounded day
+        # grain (durbin_watson's residual shape):
+        "breusch_pagan",
+        # 1-row (N, n1) token totals broadcast crossed into the
+        # <=max-count-bounded frequency-of-frequencies grain:
+        "good_turing",
+        # 1-row (ta, tb, |V|) totals broadcast crossed into the
+        # vocab grain before the single reduction:
+        "jsd_drift",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -96,6 +96,12 @@ HEADLINERS = {
     "session_window_agg": "engine-managed MergingSessions node (the "
     "streaming-safe sessionizer; UpdatingSessions in stream mode) — "
     "one per-user sort, no lag/running-sum windows",
+    "kruskal_wallis": "global tie-averaged ranks WITHOUT a fact-sized "
+    "window: distinct-value grain + global_prefix bucket-offset scan; "
+    "per-(seg,value) counts equi-join the rank grain",
+    "holt_linear_forecast": "reduce-then-fold: one day-grain cents "
+    "hash agg, the sequential recursion a single-row JVM aggregate() "
+    "fold — no iterative joins, no window, no driver loop",
     "graph_triangles": "compact-forward: triangles from TWO hash "
     "equi-joins over the a<b edge list — never a neighborhood "
     "crossJoin; only two single-row summaries broadcast",

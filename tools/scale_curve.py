@@ -113,6 +113,14 @@ REGISTERED = [
     # generator is a consecutive-id equi self-join, LINEAR by
     # construction, measured via bench + the three-sf sims instead)
     "term_dispersion",
+    # round-10 inference-batch documents members: shingle-grain
+    # frequency-of-frequencies, the smoothed-distribution drift pair,
+    # and the co-occurrence-graph PageRank (local_clustering shares
+    # graph_triangles' minhash-edge kernel, already on this curve via
+    # the minhash candidate kernels).
+    "good_turing",
+    "jsd_drift",
+    "textrank_keywords",
 ]
 
 

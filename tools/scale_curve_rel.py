@@ -295,6 +295,29 @@ REGISTERED = [
     "encoding_advisor",
     "nelson_aalen",
     "woe_iv",
+    # round-10 inference family (all relational inputs; the one
+    # documents member, local_clustering, shares graph_triangles'
+    # minhash-edge kernel already covered by the text curve):
+    "jarque_bera",
+    "anova_oneway",
+    "kruskal_wallis",
+    "levene_test",
+    "ljung_box",
+    "durbin_watson",
+    "holt_linear_forecast",
+    "brier_logloss",
+    "matthews_mcc",
+    "theil_index",
+    "hhi_concentration",
+    "grubbs_test",
+    "rolling_beta",
+    # round-10 inference batch 5 (relational members; good_turing /
+    # jsd_drift / textrank_keywords are documents kernels on the
+    # text-curve side of the boundary):
+    "mann_whitney_u",
+    "friedman_test",
+    "breusch_pagan",
+    "gumbel_maxima",
 ]
 
 
