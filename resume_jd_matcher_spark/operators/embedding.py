@@ -383,3 +383,71 @@ def jl_project(
         )
         outs.append(acc * F.lit(inv))
     return emb.select(F.col(id_col), F.array(*outs).alias("proj"))
+
+
+def covariance_matrix(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed d×d covariance of the embedding column as an
+    (i, j, c) DataFrame — the same Arrow-batch partial-Gram kernel as
+    ``pca_power_top1`` (each batch contributes its vectorized Cᵀ·C, so
+    the shuffle carries ≤ d² rows per batch and corpus size never
+    concentrates on one node), but kept DISTRIBUTED instead of
+    collected: consumers that only need matrix FUNCTIONALS (trace,
+    Frobenius mass, participation ratio) reduce the d² grain with one
+    more hash agg and never materialize M on the driver.
+
+    Entries are rounded to 6 dp exactly like the PCA path so a SQL
+    oracle recomputing the covariance replays the same numbers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as _T
+
+    ex = emb.select(
+        F.posexplode(vec_col).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    mean_rows = (
+        ex.groupBy("dim")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .orderBy("dim")
+        .collect()
+    )  # bounded: d rows
+    mus_np = np.array([r["mu"] for r in mean_rows])
+    d = len(mean_rows)
+    n = emb.count()
+
+    gram_schema = _T.StructType(
+        [
+            _T.StructField("i", _T.IntegerType()),
+            _T.StructField("j", _T.IntegerType()),
+            _T.StructField("partial", _T.DoubleType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["_v"].tolist(), dtype=np.float64) - mus_np
+            g = mat.T @ mat
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "partial": g.ravel(),
+                }
+            )
+
+    return (
+        emb.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            )
+        )
+        .mapInPandas(partial_gram, schema=gram_schema)
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("partial") / n, 6).alias("c"))
+    )

@@ -89,6 +89,12 @@ from resume_jd_matcher_spark.queries import inference_q  # noqa: E402,F401
 # confirmation, then the r8 tail that didn't fit in the r9 window.
 # Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
+    # -- round-10 batch-6 additions (never driver-checked) --
+    "log_rank_test",
+    "price_index_fisher",
+    "tukey_hsd",
+    "cooks_distance",
+    "embedding_effective_rank",
     # -- round-10 batch-5 additions (never driver-checked) --
     "mann_whitney_u",
     "friedman_test",

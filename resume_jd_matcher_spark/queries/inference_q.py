@@ -1776,3 +1776,534 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         rl(12).alias("return_level_12m"),
         rl(60).alias("return_level_60m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between two hash-arm survival curves
+# ---------------------------------------------------------------------------
+
+_SQL_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+@register(
+    "log_rank_test",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         {_SQL_H32.format(x="user_id::VARCHAR || '#lr'")} % 2 AS arm,
+         min(ts::DATE) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) AS dd
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT max(coalesce(dd, fd)) AS mx FROM u
+), l AS (
+  SELECT arm,
+         CASE WHEN dd IS NOT NULL THEN date_diff('day', fd, dd)
+              ELSE date_diff('day', fd, m.mx) END AS t,
+         CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS death
+  FROM u CROSS JOIN m
+), na AS (
+  SELECT arm, count(*)::BIGINT AS n_arm FROM l GROUP BY arm
+), g AS (
+  SELECT t, arm, sum(death)::BIGINT AS d, sum(1 - death)::BIGINT AS c
+  FROM l GROUP BY t, arm
+), grid AS (
+  SELECT ts.t, na.arm, na.n_arm,
+         coalesce(g.d, 0)::BIGINT AS d, coalesce(g.c, 0)::BIGINT AS c
+  FROM (SELECT DISTINCT t FROM g) ts
+  CROSS JOIN na
+  LEFT JOIN g ON g.t = ts.t AND g.arm = na.arm
+), r AS (
+  SELECT t, arm, d,
+         n_arm - coalesce(sum(d + c) OVER (PARTITION BY arm
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS n_at
+  FROM grid
+), p AS (
+  SELECT t,
+         sum(d)::BIGINT AS d_t, sum(n_at)::BIGINT AS n_t,
+         sum(CASE WHEN arm = 0 THEN d ELSE 0 END)::BIGINT AS d0,
+         sum(CASE WHEN arm = 0 THEN n_at ELSE 0 END)::BIGINT AS n0
+  FROM r GROUP BY t HAVING sum(d) > 0
+), s AS (
+  SELECT sum(d0)::BIGINT AS o_a,
+         sum(d_t * n0::DOUBLE / n_t) AS e_a,
+         sum(d_t * (n0::DOUBLE / n_t) * (1.0 - n0::DOUBLE / n_t)
+             * (n_t - d_t) / greatest(n_t - 1, 1)) AS v
+  FROM p
+)
+SELECT (SELECT n_arm FROM na WHERE arm = 0) AS n_a,
+       (SELECT n_arm FROM na WHERE arm = 1) AS n_b,
+       o_a AS observed_a,
+       round(e_a + 1e-9, 4) AS expected_a,
+       round((o_a - e_a) * (o_a - e_a) / nullif(v, 0.0) + 1e-9, 4)
+         AS chi2,
+       coalesce(round((o_a - e_a) * (o_a - e_a) / nullif(v, 0.0)
+                      + 1e-9, 4) > 3.841, false) AS reject_equal_curves
+FROM s
+""",
+)
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 [EXT]: log-rank (Mantel-Cox) test between the survival
+    curves of the two portable-hash experiment arms — per pooled
+    event time, observed vs hypergeometric-expected conversions in
+    arm 0, χ² = (O−E)²/V against the χ²(1) 5% cut (Mantel 1966).
+    Completes the survival family: kaplan_meier/nelson_aalen DRAW
+    one curve; this tests whether two curves DIFFER — the A/B
+    readout for time-to-convert (ab_test_ztest compares final rates,
+    this compares the whole timing profile).
+
+    Scale shape: the fact collapses to the per-user lifetable in one
+    hash agg (the kaplan_meier shape); everything after lives on the
+    (event-time × 2 arms) grain — bounded by the CALENDAR span. The
+    risk-set prefix is a window over that grain partitioned by arm;
+    exact integer (d, n) cells feed the closed-form E/V terms."""
+    from resume_jd_matcher_spark.functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("dd"),
+    ).select(
+        (
+            hash32(F.concat(F.col("user_id").cast("string"), F.lit("#lr")))
+            % 2
+        ).alias("arm"),
+        "fd",
+        "dd",
+    )
+    m = u.agg(F.max(F.coalesce("dd", "fd")).alias("mx"))
+    l = u.crossJoin(F.broadcast(m)).select(
+        "arm",
+        F.when(
+            F.col("dd").isNotNull(), F.datediff("dd", "fd")
+        )
+        .otherwise(F.datediff("mx", "fd"))
+        .alias("t"),
+        F.when(F.col("dd").isNotNull(), 1).otherwise(0).alias("death"),
+    )
+    na = l.groupBy("arm").agg(F.count("*").cast("bigint").alias("n_arm"))
+    g = l.groupBy("t", "arm").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("death")).cast("bigint").alias("c"),
+    )
+    # Full (pooled event time × arm) grid: an arm with NO event at t
+    # is still fully at risk there — without the grid its n_at would
+    # silently drop out of the pooled n_t at that time.
+    grid = (
+        g.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(na))
+        .join(g, ["t", "arm"], "left")
+        .select(
+            "t",
+            "arm",
+            "n_arm",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = grid.select(
+        "t",
+        "arm",
+        "d",
+        (
+            F.col("n_arm")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).alias("n_at"),
+    )
+    p = (
+        r.groupBy("t")
+        .agg(
+            F.sum("d").cast("bigint").alias("d_t"),
+            F.sum("n_at").cast("bigint").alias("n_t"),
+            F.sum(F.when(F.col("arm") == 0, F.col("d")).otherwise(0))
+            .cast("bigint")
+            .alias("d0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("n_at")).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+        )
+        .filter(F.col("d_t") > 0)
+    )
+    frac = F.col("n0").cast("double") / F.col("n_t")
+    s = p.agg(
+        F.sum("d0").cast("bigint").alias("o_a"),
+        F.sum(F.col("d_t") * frac).alias("e_a"),
+        F.sum(
+            F.col("d_t")
+            * frac
+            * (F.lit(1.0) - frac)
+            * (F.col("n_t") - F.col("d_t"))
+            / F.greatest(F.col("n_t") - F.lit(1), F.lit(1))
+        ).alias("v"),
+    )
+    arms = na.groupBy().pivot("arm", [0, 1]).agg(F.first("n_arm"))
+    chi2 = F.round(
+        (F.col("o_a") - F.col("e_a"))
+        * (F.col("o_a") - F.col("e_a"))
+        / F.nullif(F.col("v"), F.lit(0.0))
+        + F.lit(1e-9),
+        4,
+    )
+    return s.crossJoin(F.broadcast(arms)).select(
+        F.col("0").cast("bigint").alias("n_a"),
+        F.col("1").cast("bigint").alias("n_b"),
+        F.col("o_a").alias("observed_a"),
+        F.round(F.col("e_a") + F.lit(1e-9), 4).alias("expected_a"),
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > F.lit(3.841), F.lit(False)).alias(
+            "reject_equal_curves"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price index (first vs last shipment year)
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_index_fisher",
+    """
+WITH span AS (
+  SELECT year(min(l_shipdate))::INT AS y0, year(max(l_shipdate))::INT AS y1
+  FROM lineitem
+), per AS (
+  SELECT l_partkey AS part, year(l_shipdate)::INT AS y,
+         sum(l_quantity) AS q, sum(l_extendedprice) AS v
+  FROM lineitem, span
+  WHERE year(l_shipdate) IN (span.y0, span.y1)
+  GROUP BY 1, 2
+), b AS (
+  SELECT p0.part,
+         p0.v / p0.q AS p_0, p0.q AS q_0,
+         p1.v / p1.q AS p_1, p1.q AS q_1
+  FROM per p0
+  JOIN per p1 ON p1.part = p0.part
+  CROSS JOIN span
+  WHERE p0.y = span.y0 AND p1.y = span.y1 AND p0.q > 0 AND p1.q > 0
+), s AS (
+  SELECT count(*)::BIGINT AS n_common,
+         sum(p_1 * q_0) / nullif(sum(p_0 * q_0), 0.0) AS laspeyres,
+         sum(p_1 * q_1) / nullif(sum(p_0 * q_1), 0.0) AS paasche
+  FROM b
+)
+SELECT (SELECT y0 FROM span) AS year_base,
+       (SELECT y1 FROM span) AS year_curr,
+       n_common AS n_common_parts,
+       round(laspeyres + 1e-9, 6) AS laspeyres,
+       round(paasche + 1e-9, 6) AS paasche,
+       round(sqrt(laspeyres * paasche) + 1e-9, 6) AS fisher
+FROM s
+""",
+)
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J2 [EXT]: Laspeyres, Paasche, and Fisher ideal price
+    indices between the corpus' first and last shipment years —
+    quantity-weighted unit prices per part, base-weighted vs
+    current-weighted baskets over the parts traded in BOTH periods,
+    and their geometric mean (Fisher 1922). The price-level
+    companion of elasticity_by_brand: elasticity explains quantity
+    response, the index measures pure price drift. Span-derived
+    periods keep the comparison non-vacuous at every scale factor
+    (the decontaminate fixture lesson).
+
+    Scale shape: one 1-row span agg broadcast into the scan filter,
+    one (part, year) hash agg, a part-grain self-join on the part
+    key (dimension-bounded), one 1-row basket reduction."""
+    l = load_table(spark, sf_dir, "lineitem")
+    span = l.agg(
+        F.year(F.min("l_shipdate")).cast("int").alias("y0"),
+        F.year(F.max("l_shipdate")).cast("int").alias("y1"),
+    )
+    per = (
+        l.crossJoin(F.broadcast(span))
+        .filter(
+            (F.year("l_shipdate") == F.col("y0"))
+            | (F.year("l_shipdate") == F.col("y1"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year("l_shipdate").cast("int").alias("y"),
+            "y0",
+            "y1",
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum("l_extendedprice").alias("v"),
+        )
+    )
+    p0 = per.filter((F.col("y") == F.col("y0")) & (F.col("q") > 0)).select(
+        "part",
+        "y0",
+        "y1",
+        (F.col("v") / F.col("q")).alias("p_0"),
+        F.col("q").alias("q_0"),
+    )
+    p1 = per.filter((F.col("y") == F.col("y1")) & (F.col("q") > 0)).select(
+        F.col("part").alias("part_r"),
+        (F.col("v") / F.col("q")).alias("p_1"),
+        F.col("q").alias("q_1"),
+    )
+    b = p0.join(p1, p0.part == p1.part_r)
+    s = b.groupBy("y0", "y1").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        (
+            F.sum(F.col("p_1") * F.col("q_0"))
+            / F.nullif(F.sum(F.col("p_0") * F.col("q_0")), F.lit(0.0))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("p_1") * F.col("q_1"))
+            / F.nullif(F.sum(F.col("p_0") * F.col("q_1")), F.lit(0.0))
+        ).alias("paasche"),
+    )
+    return s.select(
+        F.col("y0").alias("year_base"),
+        F.col("y1").alias("year_curr"),
+        F.col("n_common").alias("n_common_parts"),
+        F.round(F.col("laspeyres") + F.lit(1e-9), 6).alias("laspeyres"),
+        F.round(F.col("paasche") + F.lit(1e-9), 6).alias("paasche"),
+        F.round(
+            F.sqrt(F.col("laspeyres") * F.col("paasche")) + F.lit(1e-9), 6
+        ).alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD pairwise post-hoc after the one-way ANOVA
+# ---------------------------------------------------------------------------
+
+@register(
+    "tukey_hsd",
+    """
+WITH g AS (
+  SELECT c_mktsegment AS seg, count(*)::BIGINT AS n_g,
+         sum(c_acctbal) AS s_g, sum(c_acctbal * c_acctbal) AS ss_g
+  FROM customer GROUP BY 1
+), t AS (
+  SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k,
+         (sum(ss_g) - sum(s_g * s_g / n_g))
+           / (sum(n_g) - count(*)) AS msw
+  FROM g
+), pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         a.s_g / a.n_g - b.s_g / b.n_g AS diff,
+         a.n_g AS na, b.n_g AS nb
+  FROM g a JOIN g b ON a.seg < b.seg
+)
+SELECT seg_a, seg_b,
+       round(diff + 1e-9, 4) AS mean_diff,
+       round(abs(diff) / nullif(sqrt(t.msw / 2.0 * (1.0 / na + 1.0 / nb)),
+                                0.0) + 1e-9, 4) AS q_stat,
+       coalesce(round(abs(diff)
+                      / nullif(sqrt(t.msw / 2.0 * (1.0 / na + 1.0 / nb)),
+                               0.0) + 1e-9, 4) > 3.858, false)
+         AS significant
+FROM pairs, t
+""",
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Tukey honestly-significant-difference post-hoc —
+    every segment pair's studentized range statistic q =
+    |x̄_i − x̄_j| / √(MSW/2·(1/n_i + 1/n_j)) against the q(k=5, ∞)
+    5% critical value 3.858 (Tukey 1949). The WHERE after
+    anova_oneway's WHETHER: the omnibus F says some segment differs;
+    HSD names the pairs while controlling the family-wise error the
+    10 naive t-tests would inflate.
+
+    Scale shape: the same one-pass per-group sufficient statistics
+    as anova_oneway, a 1-row MSW reduction, and a |segments|²
+    self-join — dimension-bounded everywhere after the single fact
+    scan."""
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(x).alias("s_g"),
+        F.sum(x * x).alias("ss_g"),
+    )
+    t = g.agg(
+        (
+            (F.sum("ss_g") - F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")))
+            / (F.sum("n_g") - F.count("*"))
+        ).alias("msw")
+    )
+    a = g.select(
+        F.col("seg").alias("seg_a"),
+        (F.col("s_g") / F.col("n_g")).alias("m_a"),
+        F.col("n_g").alias("na"),
+    )
+    b = g.select(
+        F.col("seg").alias("seg_b"),
+        (F.col("s_g") / F.col("n_g")).alias("m_b"),
+        F.col("n_g").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    q = F.round(
+        F.abs(F.col("m_a") - F.col("m_b"))
+        / F.nullif(
+            F.sqrt(
+                F.col("msw")
+                / F.lit(2.0)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            ),
+            F.lit(0.0),
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    return pairs.crossJoin(F.broadcast(t)).select(
+        "seg_a",
+        "seg_b",
+        F.round(F.col("m_a") - F.col("m_b") + F.lit(1e-9), 4).alias(
+            "mean_diff"
+        ),
+        q.alias("q_stat"),
+        F.coalesce(q > F.lit(3.858), F.lit(False)).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance: influential days of the daily-revenue trend fit
+# ---------------------------------------------------------------------------
+
+_COOKS_TOP_K = 10
+
+
+@register(
+    "cooks_distance",
+    f"""
+WITH g AS ({_SQL_DAY_REV}
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, day, cents::DOUBLE AS x
+  FROM g
+), ols AS (
+  SELECT count(*)::BIGINT AS n, sum(t::DOUBLE) AS st, sum(x) AS sx,
+         sum(t::DOUBLE * t) AS stt, sum(t::DOUBLE * x) AS stx
+  FROM idx
+), fit AS (
+  SELECT n, st / n AS tbar, stt - st * st / n AS sxx,
+         (n * stx - st * sx) / nullif(n * stt - st * st, 0.0) AS slope,
+         (sx - (n * stx - st * sx) / nullif(n * stt - st * st, 0.0) * st)
+           / n AS intercept
+  FROM ols
+), e AS (
+  SELECT day, t, x - (fit.intercept + fit.slope * t) AS e,
+         1.0 / fit.n + (t - fit.tbar) * (t - fit.tbar)
+           / nullif(fit.sxx, 0.0) AS h,
+         fit.n AS n
+  FROM idx, fit
+), mse AS (
+  SELECT sum(e * e) / (any_value(n) - 2) AS mse FROM e
+), d AS (
+  SELECT day, e, h, n,
+         e * e * h / nullif(2.0 * mse.mse * (1.0 - h) * (1.0 - h), 0.0)
+           AS cd
+  FROM e, mse
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(e / 100.0 + 1e-9, 2) AS residual_revenue,
+       round(h + 1e-9, 6) AS leverage,
+       round(cd + 1e-9, 6) AS cooks_d,
+       coalesce(round(cd + 1e-9, 6) > 4.0 / n, false) AS influential
+FROM d
+ORDER BY cd DESC, day LIMIT {_COOKS_TOP_K}
+""",
+)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: Cook's distance of each day in the daily-revenue
+    OLS trend — D_t = e_t²·h_t / (p·MSE·(1−h_t)²) with the simple-
+    regression leverage h_t = 1/n + (t−t̄)²/Sxx, top-{_COOKS_TOP_K}
+    most influential days flagged against the 4/n rule (Cook 1977).
+    The WHICH-day companion of durbin_watson/breusch_pagan's
+    whole-series verdicts — the days a revenue-trend model is
+    actually standing on (promo spikes, outages).
+
+    Scale shape: the durbin_watson day-grain chain (integer-cents
+    hash agg, 1-row OLS broadcast, closed-form leverage per day),
+    one more 1-row MSE reduction, and the top-k is orderBy+limit =
+    TakeOrderedAndProject over the calendar-bounded grain."""
+    g = _day_rev(spark, sf_dir)
+    idx = g.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        "day",
+        F.col("cents").cast("double").alias("x"),
+    )
+    ols = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("t").cast("double")).alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t").cast("double") * F.col("t")).alias("stt"),
+        F.sum(F.col("t").cast("double") * F.col("x")).alias("stx"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / F.nullif(
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st"), F.lit(0.0)
+    )
+    fit = ols.select(
+        "n",
+        (F.col("st") / F.col("n")).alias("tbar"),
+        (F.col("stt") - F.col("st") * F.col("st") / F.col("n")).alias("sxx"),
+        slope.alias("slope"),
+        ((F.col("sx") - slope * F.col("st")) / F.col("n")).alias("intercept"),
+    )
+    e = idx.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        (F.col("x") - (F.col("intercept") + F.col("slope") * F.col("t"))).alias(
+            "e"
+        ),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("t") - F.col("tbar"))
+            * (F.col("t") - F.col("tbar"))
+            / F.nullif(F.col("sxx"), F.lit(0.0))
+        ).alias("h"),
+    )
+    mse = e.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.first("n") - F.lit(2))).alias(
+            "mse"
+        )
+    )
+    d = e.crossJoin(F.broadcast(mse)).select(
+        "day",
+        "e",
+        "h",
+        "n",
+        (
+            F.col("e")
+            * F.col("e")
+            * F.col("h")
+            / F.nullif(
+                F.lit(2.0)
+                * F.col("mse")
+                * (F.lit(1.0) - F.col("h"))
+                * (F.lit(1.0) - F.col("h")),
+                F.lit(0.0),
+            )
+        ).alias("cd"),
+    )
+    cd_r = F.round(F.col("cd") + F.lit(1e-9), 6)
+    return (
+        d.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("e") / F.lit(100.0) + F.lit(1e-9), 2).alias(
+                "residual_revenue"
+            ),
+            F.round(F.col("h") + F.lit(1e-9), 6).alias("leverage"),
+            cd_r.alias("cooks_d"),
+            F.coalesce(cd_r > F.lit(4.0) / F.col("n"), F.lit(False)).alias(
+                "influential"
+            ),
+            F.col("cd").alias("_cd"),
+        )
+        .orderBy(F.col("_cd").desc(), F.col("day"))
+        .limit(_COOKS_TOP_K)
+        .drop("_cd")
+    )

@@ -1218,3 +1218,83 @@ def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("b") > F.col("a"), 1.0).otherwise(0.0)) + eps, 4
         ).alias("frac_well_separated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance spectrum functionals (round 10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_effective_rank",
+    """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), mu AS MATERIALIZED (
+  SELECT dim, round(avg(x), 6) AS mu FROM ex GROUP BY dim
+), cx AS MATERIALIZED (
+  SELECT e.vec_id, e.dim, e.x - m.mu AS c
+  FROM ex e JOIN mu m ON e.dim = m.dim
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM embeddings
+), cov AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         round(sum(a.c * b.c) / any_value(nn.n), 6) AS c
+  FROM cx a JOIN cx b ON a.vec_id = b.vec_id, nn
+  GROUP BY a.dim, b.dim
+), f AS (
+  SELECT count(DISTINCT i)::INT AS d,
+         sum(CASE WHEN i = j THEN c ELSE 0 END) AS trace,
+         sum(c * c) AS fro2
+  FROM cov
+)
+SELECT d, (SELECT n FROM nn) AS n_vecs,
+       round(trace + 1e-9, 4) AS trace,
+       round(trace * trace / nullif(fro2, 0.0) + 1e-9, 4)
+         AS participation_ratio
+FROM f
+""",
+)
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] covariance-spectrum health of the embedding column
+    WITHOUT an eigendecomposition: total variance tr(C) and the
+    participation ratio tr(C)²/tr(C²) = (Σλ)²/Σλ² — the effective
+    number of dimensions the embedding actually uses (d if isotropic,
+    →1 if one direction dominates; Gao et al. 2019's dimensionality
+    diagnostic). The collapse early-warning beside embedding_drift
+    (mean shift) and pca_top_component (the dominant direction
+    itself): a falling participation ratio means representations are
+    collapsing long before ANN recall visibly degrades.
+
+    Scale shape: the covariance is the SAME Arrow-batch partial-Gram
+    kernel as PCA (operators/embedding.covariance_matrix — per batch
+    a vectorized Cᵀ·C, shuffle ≤ d² rows per batch) but stays
+    DISTRIBUTED: both functionals reduce the d² grain in one hash
+    agg, so nothing is collected and the driver never holds M.
+    Entries round to 6 dp before the reduction exactly like the PCA
+    path, so the oracle's recomputed covariance replays the same
+    numbers; tr identities make the spectrum readable with zero
+    iteration."""
+    from resume_jd_matcher_spark.operators.embedding import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded scalar, same contract as the PCA kernel
+    cov = covariance_matrix(emb.select("vec_id", "embedding"))
+    f = cov.agg(
+        F.countDistinct("i").cast("int").alias("d"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0.0)).alias(
+            "trace"
+        ),
+        F.sum(F.col("c") * F.col("c")).alias("fro2"),
+    )
+    return f.select(
+        "d",
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        F.round(F.col("trace") + F.lit(1e-9), 4).alias("trace"),
+        F.round(
+            F.col("trace") * F.col("trace")
+            / F.nullif(F.col("fro2"), F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("participation_ratio"),
+    )

@@ -796,3 +796,158 @@ class TestTextrankKeywords:
         assert out[0]["token"] == "hub"
         assert len(out) == 7  # hub + 6 spokes
         assert out[0]["pr"] > out[1]["pr"]
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: log_rank_test / price_index_fisher / tukey_hsd /
+# cooks_distance (inference_q) + embedding_effective_rank (vector_q)
+# ---------------------------------------------------------------------------
+
+def _lr_arm(uid):
+    import hashlib
+
+    return int(hashlib.md5(f"{uid}#lr".encode()).hexdigest()[:8], 16) % 2
+
+
+class TestLogRankTest:
+    def _events(self, spark, conv_day_by_arm):
+        rows, eid = [], 0
+        for uid in range(1, 61):
+            arm = _lr_arm(uid)
+            fd = dt.datetime(2024, 1, 1)
+            rows.append((eid, fd, uid, "view", 1.0, "{}"))
+            eid += 1
+            dd = conv_day_by_arm(arm, uid)
+            if dd is not None:
+                rows.append(
+                    (eid, fd + dt.timedelta(days=dd), uid, "purchase", 1.0, "{}")
+                )
+                eid += 1
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    def test_identical_arms_chi2_zero(self, spark, monkeypatch):
+        """Both arms convert on the same day schedule → O = E →
+        χ² = 0."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        e = self._events(spark, lambda arm, uid: 1 + (uid % 4))
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        [r] = inference_q.q_log_rank_test(spark, SF).collect()
+        assert r["n_a"] + r["n_b"] == 60
+        # the hash split is not stratified by conversion day, so O−E
+        # carries sampling noise — but far below the χ²(1) cut
+        assert r["chi2"] is not None and r["chi2"] < 3.841
+        assert r["reject_equal_curves"] is False
+
+    def test_shifted_arm_rejects(self, spark, monkeypatch):
+        """Arm 0 converts on day 1, arm 1 on day 9 → curves differ →
+        χ² over the 3.841 cut."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        e = self._events(spark, lambda arm, uid: 1 if arm == 0 else 9)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        [r] = inference_q.q_log_rank_test(spark, SF).collect()
+        assert r["chi2"] > 3.841
+        assert r["reject_equal_curves"] is True
+
+
+class TestPriceIndexFisher:
+    def test_doubled_price_index_two(self, spark, monkeypatch):
+        """One part, unit price doubles between the first and last
+        year at equal quantities → L = P = F = 2."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        li_schema = (
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp"
+        )
+        rows = [
+            # year 2020: qty 4 at unit price 10 → extended 40
+            (1, 1, 1, 1, 4.0, 40.0, 0.0, 0.0, "N", "O", dt.datetime(2020, 6, 1)),
+            # year 2023: qty 4 at unit price 20 → extended 80
+            (2, 1, 1, 1, 4.0, 80.0, 0.0, 0.0, "N", "O", dt.datetime(2023, 6, 1)),
+        ]
+        l = spark.createDataFrame(rows, li_schema)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: l)
+        [r] = inference_q.q_price_index_fisher(spark, SF).collect()
+        assert (r["year_base"], r["year_curr"]) == (2020, 2023)
+        assert r["n_common_parts"] == 1
+        assert r["laspeyres"] == pytest.approx(2.0, abs=1e-6)
+        assert r["paasche"] == pytest.approx(2.0, abs=1e-6)
+        assert r["fisher"] == pytest.approx(2.0, abs=1e-6)
+
+
+class TestTukeyHsd:
+    def test_hand_q_two_groups(self, spark, monkeypatch):
+        """A=[0,0,2,2], B=[10,10,12,12]: MSW = 8/6, q = 10/√(⅓) =
+        17.3205, significant."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        rows = [(0, v, "A") for v in [0, 0, 2, 2]] + [
+            (0, v, "B") for v in [10, 10, 12, 12]
+        ]
+        c = spark.createDataFrame(_cust(rows), _CUST_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: c)
+        [r] = inference_q.q_tukey_hsd(spark, SF).collect()
+        assert (r["seg_a"], r["seg_b"]) == ("A", "B")
+        assert r["mean_diff"] == pytest.approx(-10.0, abs=1e-6)
+        assert r["q_stat"] == pytest.approx(17.3205, abs=1e-3)
+        assert r["significant"] is True
+
+    def test_identical_groups_not_significant(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import inference_q
+
+        rows = [(0, v, "A") for v in [1, 2, 3]] + [
+            (0, v, "B") for v in [1, 2, 3]
+        ]
+        c = spark.createDataFrame(_cust(rows), _CUST_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: c)
+        [r] = inference_q.q_tukey_hsd(spark, SF).collect()
+        assert r["q_stat"] == pytest.approx(0.0, abs=1e-6)
+        assert r["significant"] is False
+
+
+class TestCooksDistance:
+    def test_injected_spike_is_top_influential(self, spark, monkeypatch):
+        """A clean linear trend with one massive spike day: that day
+        has the top Cook's D and is flagged."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        prices = [100 + 10 * d for d in range(30)]
+        prices[7] = 5000  # the spike (day 2024-01-08)
+        o = spark.createDataFrame(_ord(list(enumerate(prices))), _ORD_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: o)
+        rows = inference_q.q_cooks_distance(spark, SF).collect()
+        assert len(rows) == 10
+        assert rows[0]["day"] == "2024-01-08"
+        assert rows[0]["influential"] is True
+        assert rows[0]["cooks_d"] > rows[1]["cooks_d"]
+
+
+class TestEmbeddingEffectiveRank:
+    _EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+    def test_isotropic_pr_equals_dims(self, spark, monkeypatch):
+        """±e₁/±e₂ vectors: C = diag(0.5, 0.5) → trace 1, PR = 2."""
+        from resume_jd_matcher_spark.queries import vector_q
+
+        vecs = [(0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0),
+                (2, [0.0, 1.0], 0), (3, [0.0, -1.0], 0)]
+        emb = spark.createDataFrame(vecs, self._EMB_SCHEMA)
+        monkeypatch.setattr(vector_q, "load_table", lambda *a: emb)
+        [r] = vector_q.q_embedding_effective_rank(spark, SF).collect()
+        assert (r["d"], r["n_vecs"]) == (2, 4)
+        assert r["trace"] == pytest.approx(1.0, abs=1e-6)
+        assert r["participation_ratio"] == pytest.approx(2.0, abs=1e-4)
+
+    def test_collapsed_pr_one(self, spark, monkeypatch):
+        """All variance in dim 0: C = diag(1, 0) → PR = 1."""
+        from resume_jd_matcher_spark.queries import vector_q
+
+        vecs = [(0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0)]
+        emb = spark.createDataFrame(vecs, self._EMB_SCHEMA)
+        monkeypatch.setattr(vector_q, "load_table", lambda *a: emb)
+        [r] = vector_q.q_embedding_effective_rank(spark, SF).collect()
+        assert r["participation_ratio"] == pytest.approx(1.0, abs=1e-4)

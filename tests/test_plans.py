@@ -413,6 +413,20 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row (ta, tb, |V|) totals broadcast crossed into the
         # vocab grain before the single reduction:
         "jsd_drift",
+        # 1-row censor-horizon broadcast into the user lifetable, the
+        # calendar-bounded (event-times x 2-row arm census) risk grid,
+        # and the 1-row O/E/V reduction crossed with the arm census
+        # (kaplan_meier's shape + a scalar join):
+        "log_rank_test",
+        # 1-row (y0, y1) span broadcast into the scan filter + the
+        # 1-row basket reduction over the part-grain period join:
+        "price_index_fisher",
+        # |segments|² inequality self-join (both sides 5 rows,
+        # broadcast) + the 1-row MSW broadcast:
+        "tukey_hsd",
+        # 1-row OLS-fit + 1-row MSE broadcasts over the
+        # calendar-bounded day grain (the durbin_watson family):
+        "cooks_distance",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

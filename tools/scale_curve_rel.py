@@ -318,6 +318,14 @@ REGISTERED = [
     "friedman_test",
     "breusch_pagan",
     "gumbel_maxima",
+    # round-10 inference batch 6 (relational members;
+    # embedding_effective_rank needs an embeddings table this corpus
+    # doesn't synthesize — its Gram kernel is the PCA kernel already
+    # measured via bench + the three-sf sims):
+    "log_rank_test",
+    "price_index_fisher",
+    "tukey_hsd",
+    "cooks_distance",
 ]
 
 
