@@ -532,3 +532,55 @@ def local_clustering(
         )
     )
     return out
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 3,
+    n_rounds: int = 6,
+    left: str = "left_id",
+    right: str = "right_id",
+) -> DataFrame:
+    """Fixed-round k-core peel of an undirected (left < right) edge
+    graph: repeatedly drop nodes with degree < k and the edges
+    touching them (Seidman 1983; Batagelj-Zaversnik's peel, run a
+    FIXED ``n_rounds`` so a SQL oracle can replay the trajectory as
+    unrolled CTEs — the pagerank/Lloyd determinism discipline). On
+    near-dup graphs the k-core isolates the dense template blobs
+    from chains and pendants in 2-3 rounds; ``n_rounds`` defaults
+    past observed convergence, and the last round's survivors carry
+    their final in-core degree.
+
+    Each round is one explode→hash-agg degree count plus two
+    semi-joins of the edge list against surviving nodes — O(edges)
+    per round, no neighborhood crossJoin; the edge frame is
+    localCheckpointed per round to keep lineage flat (the CC-loop
+    discipline).
+
+    Output: (node, core_deg) for nodes surviving ``n_rounds`` peels.
+    """
+    e = (
+        pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

@@ -89,6 +89,12 @@ from resume_jd_matcher_spark.queries import inference_q  # noqa: E402,F401
 # confirmation, then the r8 tail that didn't fit in the r9 window.
 # Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
+    # -- round-10 batch-7 additions (never driver-checked) --
+    "rmst",
+    "hosmer_lemeshow",
+    "isotonic_calibration",
+    "k_core_graph",
+    "markov_attribution",
     # -- round-10 batch-6 additions (never driver-checked) --
     "log_rank_test",
     "price_index_fisher",

@@ -2307,3 +2307,723 @@ def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_COOKS_TOP_K)
         .drop("_cd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (area under the KM curve to tau)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rmst",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         min(ts::DATE) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) AS dd
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT max(coalesce(dd, fd)) AS mx, count(*)::BIGINT AS n_users FROM u
+), l AS (
+  SELECT CASE WHEN dd IS NOT NULL THEN date_diff('day', fd, dd)
+              ELSE date_diff('day', fd, m.mx) END AS t,
+         CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS death
+  FROM u CROSS JOIN m
+), tau AS (
+  SELECT (max(t) / 2)::BIGINT AS tau FROM l
+), g AS (
+  SELECT t, sum(death)::BIGINT AS d, sum(1 - death)::BIGINT AS c
+  FROM l GROUP BY t
+), r AS (
+  SELECT t, d,
+         (SELECT n_users FROM m)
+         - coalesce(sum(d + c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM g
+), s AS (
+  SELECT t,
+         exp(sum(ln(greatest(1.0 - d / n_risk::DOUBLE, 1e-300)))
+             OVER (ORDER BY t)) AS surv,
+         lead(t) OVER (ORDER BY t) AS t_next
+  FROM r
+), seg AS (
+  SELECT least(t, tau.tau) AS a,
+         least(coalesce(t_next, tau.tau), tau.tau) AS b, surv
+  FROM s, tau
+), first_seg AS (
+  SELECT least(min(t), (SELECT tau FROM tau)) AS first_t FROM s
+)
+SELECT (SELECT tau FROM tau) AS tau_days,
+       (SELECT n_users FROM m) AS n_users,
+       round((SELECT first_t FROM first_seg)
+             + sum(surv * (b - a)) + 1e-9, 4) AS rmst_days
+FROM seg
+""",
+)
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 [EXT]: restricted mean survival time — the area under
+    the Kaplan-Meier curve up to τ = half the observed span
+    (span-derived, so every scale factor integrates a real curve).
+    The ONE-NUMBER survival summary regulators now prefer over
+    hazard ratios (Royston & Parmar 2013): "average conversion-free
+    days in the first τ days". Completes the survival family's
+    readout trio: kaplan_meier draws S(t), nelson_aalen its hazard,
+    RMST integrates it; log_rank_test compares two of them.
+
+    Scale shape: the kaplan_meier lifetable chain — one user-grain
+    hash agg, 1-row censor horizon broadcast, then every window
+    (risk-set prefix, survival log-sum, lead) runs on the
+    CALENDAR-BOUNDED event-time grain; the integral is one 1-row
+    reduction over the step segments clipped at τ."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("dd"),
+    )
+    m = u.agg(
+        F.max(F.coalesce("dd", "fd")).alias("mx"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    l = u.crossJoin(F.broadcast(m)).select(
+        "n_users",
+        F.when(F.col("dd").isNotNull(), F.datediff("dd", "fd"))
+        .otherwise(F.datediff("mx", "fd"))
+        .alias("t"),
+        F.when(F.col("dd").isNotNull(), 1).otherwise(0).alias("death"),
+    )
+    tau = l.agg((F.max("t") / F.lit(2)).cast("bigint").alias("tau"))
+    g = l.groupBy("t", "n_users").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("death")).cast("bigint").alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t")
+    r = g.select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    s = r.select(
+        "t",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"),
+                        F.lit(1e-300),
+                    )
+                )
+            ).over(w_cum)
+        ).alias("surv"),
+        F.lead("t").over(w_cum).alias("t_next"),
+    )
+    seg = s.crossJoin(F.broadcast(tau)).select(
+        "tau",
+        F.least("t", "tau").alias("a"),
+        F.least(F.coalesce("t_next", "tau"), F.col("tau")).alias("b"),
+        "surv",
+        "t",
+    )
+    first_seg = s.crossJoin(F.broadcast(tau)).agg(
+        F.least(F.min("t"), F.first("tau")).alias("first_t")
+    )
+    out = seg.groupBy("tau").agg(
+        F.sum(F.col("surv") * (F.col("b") - F.col("a"))).alias("area")
+    )
+    return (
+        out.crossJoin(F.broadcast(first_seg))
+        .crossJoin(F.broadcast(m.select("n_users")))
+        .select(
+            F.col("tau").alias("tau_days"),
+            "n_users",
+            F.round(
+                F.col("first_t") + F.col("area") + F.lit(1e-9), 4
+            ).alias("rmst_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hosmer-Lemeshow calibration test over the reliability deciles
+# ---------------------------------------------------------------------------
+
+@register(
+    "hosmer_lemeshow",
+    """
+WITH e AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), g AS (
+  SELECT avg(value) AS mu,
+         sqrt(greatest(sum(value * value) / count(*)
+                       - avg(value) * avg(value), 1e-12)) AS sd
+  FROM e
+), p AS (
+  SELECT label,
+         round(1.0 / (1.0 + exp(-(value - g.mu) / g.sd)), 9) AS p_hat
+  FROM e, g
+), b AS (
+  SELECT least(floor(p_hat * 10), 9)::INT AS bin, label, p_hat FROM p
+), cell AS (
+  SELECT bin, count(*)::BIGINT AS n_b, sum(label)::BIGINT AS o_b,
+         avg(p_hat) AS pbar
+  FROM b GROUP BY bin
+), hl AS (
+  SELECT count(*)::BIGINT AS n_bins,
+         sum((o_b - n_b * pbar) * (o_b - n_b * pbar)
+             / nullif(n_b * pbar * (1.0 - pbar), 0.0)) AS hl_raw
+  FROM cell
+)
+SELECT n_bins, (n_bins - 2)::BIGINT AS df,
+       round(hl_raw + 1e-9, 4) AS hl_stat,
+       coalesce(n_bins = 10 AND round(hl_raw + 1e-9, 4) > 15.507,
+                false) AS reject_calibrated
+FROM hl
+""",
+)
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: Hosmer-Lemeshow goodness-of-calibration test over
+    the same prediction deciles calibration_eval draws — HL =
+    Σ(O_b − n_b·p̄_b)²/(n_b·p̄_b(1−p̄_b)) against χ²(bins−2)
+    (Hosmer & Lemeshow 1980). The significance companion of
+    calibration_eval's per-bin gaps and brier_logloss' scalar
+    scores: it answers IS the miscalibration more than noise.
+    The reject flag is emitted only for the canonical 10-bin case
+    (where 15.507 is the df=8 cut), NULL otherwise — same guarded
+    CASE both engines.
+
+    Scale shape: the calibration_eval chain exactly — 1-row moment
+    broadcast, one 10-cell conditional hash agg, a 1-row χ²
+    reduction."""
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    g = e.agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("value") * F.col("value")) / F.count("*")
+                - F.avg("value") * F.avg("value"),
+                F.lit(1e-12),
+            )
+        ).alias("sd"),
+    )
+    p = e.crossJoin(F.broadcast(g)).select(
+        "label",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("value") - F.col("mu")) / F.col("sd"))
+            ),
+            9,
+        ).alias("p_hat"),
+    )
+    cell = (
+        p.select(
+            F.least(F.floor(F.col("p_hat") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "label",
+            "p_hat",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_b"),
+            F.sum("label").cast("bigint").alias("o_b"),
+            F.avg("p_hat").alias("pbar"),
+        )
+    )
+    hl = cell.agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum(
+            (F.col("o_b") - F.col("n_b") * F.col("pbar"))
+            * (F.col("o_b") - F.col("n_b") * F.col("pbar"))
+            / F.nullif(
+                F.col("n_b") * F.col("pbar") * (F.lit(1.0) - F.col("pbar")),
+                F.lit(0.0),
+            )
+        ).alias("hl_raw"),
+    )
+    hlr = F.round(F.col("hl_raw") + F.lit(1e-9), 4)
+    return hl.select(
+        "n_bins",
+        (F.col("n_bins") - F.lit(2)).cast("bigint").alias("df"),
+        hlr.alias("hl_stat"),
+        F.coalesce(
+            (F.col("n_bins") == 10) & (hlr > F.lit(15.507)), F.lit(False)
+        ).alias("reject_calibrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the closed-form minimax PAV on the bins
+# ---------------------------------------------------------------------------
+
+@register(
+    "isotonic_calibration",
+    """
+WITH e AS (
+  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), g AS (
+  SELECT avg(value) AS mu,
+         sqrt(greatest(sum(value * value) / count(*)
+                       - avg(value) * avg(value), 1e-12)) AS sd
+  FROM e
+), p AS (
+  SELECT label,
+         round(1.0 / (1.0 + exp(-(value - g.mu) / g.sd)), 9) AS p_hat
+  FROM e, g
+), cell AS (
+  SELECT least(floor(p_hat * 10), 9)::INT AS bin,
+         count(*)::BIGINT AS n_b, sum(label)::BIGINT AS pos_b,
+         avg(p_hat) AS mean_pred
+  FROM p GROUP BY 1
+), pre AS (
+  SELECT bin, n_b, pos_b, mean_pred,
+         sum(n_b) OVER w AS cn, sum(pos_b) OVER w AS cp
+  FROM cell WINDOW w AS (ORDER BY bin)
+), spans AS (
+  SELECT j.bin AS j, k.bin AS k,
+         (k.cp - j.cp + j.pos_b)::DOUBLE
+           / nullif(k.cn - j.cn + j.n_b, 0) AS avg_jk
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+), inner_min AS (
+  SELECT b.bin, s.j, min(s.avg_jk) AS min_k
+  FROM cell b JOIN spans s ON s.j <= b.bin AND s.k >= b.bin
+  GROUP BY b.bin, s.j
+), iso AS (
+  SELECT bin, max(min_k) AS iso_rate FROM inner_min GROUP BY bin
+)
+SELECT c.bin, c.n_b AS n,
+       round(c.mean_pred + 1e-9, 4) AS mean_pred,
+       round(c.pos_b::DOUBLE / c.n_b + 1e-9, 4) AS obs_rate,
+       round(i.iso_rate + 1e-9, 4) AS iso_rate
+FROM cell c JOIN iso i USING (bin)
+""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: isotonic calibration of the reliability deciles —
+    the weighted pool-adjacent-violators fit computed by its CLOSED
+    minimax form iso(b) = max_{{j≤b}} min_{{k≥b}} wavg(pos, j..k)
+    (Ayer et al. 1955; Zadrozny & Elkan 2002 for calibration). The
+    FIX to what calibration_eval and hosmer_lemeshow only measure:
+    the isotonic column is the monotone probability map a serving
+    layer would actually deploy.
+
+    Scale shape: everything after the fact's one 10-cell hash agg
+    runs on the BIN grain — prefix sums over ≤10 rows, a bins²
+    span table, a bins³ minimax join — constants by construction,
+    so the 'cubic' formula is free and exactly reproducible (no
+    iterative pooling to replay); exact integer (pos, n) prefix
+    sums make every span average identical on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    g = e.agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("value") * F.col("value")) / F.count("*")
+                - F.avg("value") * F.avg("value"),
+                F.lit(1e-12),
+            )
+        ).alias("sd"),
+    )
+    p = e.crossJoin(F.broadcast(g)).select(
+        "label",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("value") - F.col("mu")) / F.col("sd"))
+            ),
+            9,
+        ).alias("p_hat"),
+    )
+    cell = (
+        p.select(
+            F.least(F.floor(F.col("p_hat") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "label",
+            "p_hat",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_b"),
+            F.sum("label").cast("bigint").alias("pos_b"),
+            F.avg("p_hat").alias("mean_pred"),
+        )
+    )
+    w = Window.orderBy("bin")
+    pre = cell.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(w).alias("cn"),
+        F.sum("pos_b").over(w).alias("cp"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"),
+        F.col("n_b").alias("jn"),
+        F.col("pos_b").alias("jp"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    spans = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp")).cast("double")
+            / F.nullif(
+                F.col("kcn") - F.col("jcn") + F.col("jn"), F.lit(0)
+            )
+        ).alias("avg_jk"),
+    )
+    bins = cell.select(F.col("bin"))
+    inner_min = (
+        bins.join(
+            F.broadcast(spans),
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "j")
+        .agg(F.min("avg_jk").alias("min_k"))
+    )
+    iso = inner_min.groupBy("bin").agg(F.max("min_k").alias("iso_rate"))
+    return cell.join(iso, "bin").select(
+        "bin",
+        F.col("n_b").alias("n"),
+        F.round(F.col("mean_pred") + F.lit(1e-9), 4).alias("mean_pred"),
+        F.round(
+            F.col("pos_b").cast("double") / F.col("n_b") + F.lit(1e-9), 4
+        ).alias("obs_rate"),
+        F.round(F.col("iso_rate") + F.lit(1e-9), 4).alias("iso_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph (fixed-round peel)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_sql(k: int = _KCORE_K, n_rounds: int = _KCORE_ROUNDS,
+               thresh: float = 0.5) -> str:
+    """Same MinHash-LSH edge chain as graph_triangles/local_clustering
+    oracles + ``n_rounds`` unrolled degree-peel CTEs mirroring
+    operators/cluster.k_core exactly."""
+    from resume_jd_matcher_spark.queries.text_q import SQL_HASH32, SQL_TOKS
+
+    head = f"""WITH docs AS (
+  SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS words
+  FROM documents WHERE doc_id < 200
+), tok AS (
+  SELECT doc_id, unnest(words) AS w FROM docs
+), h AS (
+  SELECT doc_id, seed,
+         min({SQL_HASH32.format(c="w || '#' || seed")}) AS mh
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band_id,
+         string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_sig
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.left_id, c.right_id,
+         round(avg(CASE WHEN ha.mh = hb.mh THEN 1.0 ELSE 0.0 END), 4) AS ej
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.left_id
+  JOIN h hb ON hb.doc_id = c.right_id AND hb.seed = ha.seed
+  GROUP BY c.left_id, c.right_id
+), e0 AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM est WHERE ej >= {thresh}
+)"""
+    its = []
+    for r in range(1, n_rounds + 1):
+        its.append(
+            f""", deg{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})
+  GROUP BY node
+), keep{r} AS MATERIALIZED (
+  SELECT node FROM deg{r} WHERE deg >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN keep{r} ka ON ka.node = e.a
+  JOIN keep{r} kb ON kb.node = e.b
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT node, count(*)::BIGINT AS core_deg
+FROM (SELECT a AS node FROM e{n_rounds} UNION ALL SELECT b FROM e{n_rounds})
+GROUP BY node HAVING count(*) >= {k}
+"""
+    )
+
+
+@register("k_core_graph", _kcore_sql())
+def q_k_core_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] {_KCORE_K}-core of the MinHash near-dup graph — the
+    maximal subgraph where every node keeps ≥ {_KCORE_K} neighbours,
+    via a FIXED {_KCORE_ROUNDS}-round degree peel (Seidman 1983;
+    fixed rounds past observed convergence so the oracle replays the
+    trajectory as unrolled CTEs, the pagerank/Lloyd discipline).
+    Completes the graph-structure trio: local_clustering scores each
+    node's neighbourhood density, graph_triangles the global
+    transitivity — the k-core EXTRACTS the dense template blobs a
+    dedup curator should review as units, shedding chains and
+    pendants that survive LSH by transitivity.
+
+    Scale shape: each peel round is one explode→hash-agg degree
+    count and two semi-joins of the edge list against survivors —
+    O(edges) per round, localCheckpointed lineage, never a
+    neighbourhood crossJoin (operators/cluster.py:k_core)."""
+    from resume_jd_matcher_spark.operators import cluster as clusterop
+    from resume_jd_matcher_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.minhash_lsh_candidates(
+        d, n_hashes=16, rows_per_band=4
+    ).filter(F.col("est_jaccard") >= 0.5)
+    return clusterop.k_core(pairs, k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov (removal-effect) attribution
+# ---------------------------------------------------------------------------
+
+_MKV_ITER = 12
+_MKV_DP = 9
+
+
+def _markov_sql(n_iter: int = _MKV_ITER, dp: int = _MKV_DP) -> str:
+    """Journey transition CTEs + UNROLLED value-iteration CTEs over
+    the (variant, state) grain — variants are the base chain plus one
+    chain per removed channel (incoming edges of the removed channel
+    redirect to NULL; its outgoing edges drop), mirroring the Spark
+    loop exactly (per-iteration rounding, the pagerank unrolled-CTE
+    discipline; every iteration CTE MATERIALIZED so the chain is
+    evaluated once, not exponentially inlined)."""
+    head = f"""WITH fp AS (
+  SELECT user_id, min(ts) AS pts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), journey AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+              ELSE e.event_type END AS st
+  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE fp.pts IS NULL OR e.ts <= fp.pts
+), seq AS (
+  SELECT user_id, st,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM journey
+), trans AS (
+  SELECT 'START' AS s, st AS nxt FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT a.st, b.st FROM seq a
+  JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT st, 'NULL' FROM seq WHERE rn = m AND st <> 'CONV'
+), channels AS (
+  SELECT DISTINCT st AS ch FROM seq WHERE st <> 'CONV'
+), variants AS (
+  SELECT 'base' AS var, NULL::VARCHAR AS dropped
+  UNION ALL SELECT ch, ch FROM channels
+), vtrans AS (
+  SELECT v.var, t.s,
+         CASE WHEN t.nxt = v.dropped THEN 'NULL' ELSE t.nxt END AS nxt,
+         count(*)::BIGINT AS c
+  FROM trans t CROSS JOIN variants v
+  WHERE v.dropped IS NULL OR t.s <> v.dropped
+  GROUP BY 1, 2, 3
+), prob AS MATERIALIZED (
+  SELECT var, s, nxt, c::DOUBLE / sum(c) OVER (PARTITION BY var, s) AS p
+  FROM vtrans
+), states AS MATERIALIZED (
+  SELECT DISTINCT var, s AS state FROM prob
+  UNION SELECT DISTINCT var, nxt FROM prob
+), vi0 AS MATERIALIZED (
+  SELECT var, state,
+         CASE WHEN state = 'CONV' THEN 1.0 ELSE 0.0 END AS v
+  FROM states
+)"""
+    its = []
+    for t in range(1, n_iter + 1):
+        its.append(
+            f""", vi{t} AS MATERIALIZED (
+  SELECT st.var, st.state,
+         CASE WHEN st.state = 'CONV' THEN 1.0
+              WHEN st.state = 'NULL' THEN 0.0
+              ELSE round(coalesce(agg.c, 0.0), {dp}) END AS v
+  FROM states st
+  LEFT JOIN (
+    SELECT pr.var, pr.s, sum(pr.p * v2.v) AS c
+    FROM prob pr
+    JOIN vi{t - 1} v2 ON v2.var = pr.var AND v2.state = pr.nxt
+    GROUP BY pr.var, pr.s
+  ) agg ON agg.var = st.var AND agg.s = st.state
+)"""
+        )
+    tail = f""", conv AS (
+  SELECT var, v AS p_conv FROM vi{n_iter} WHERE state = 'START'
+), base AS (SELECT p_conv AS p0 FROM conv WHERE var = 'base'),
+rem AS (
+  SELECT c.var AS channel,
+         greatest(1.0 - c.p_conv / nullif(base.p0, 0.0), 0.0) AS removal
+  FROM conv c, base WHERE c.var <> 'base'
+), tot AS (SELECT sum(removal) AS tr FROM rem)
+SELECT channel,
+       round((SELECT p0 FROM base) + 1e-9, 6) AS p_conv_base,
+       round(removal + 1e-9, 6) AS removal_effect,
+       round(removal / nullif(tot.tr, 0.0) + 1e-9, 6) AS attribution_share
+FROM rem, tot
+"""
+    return head + "".join(its) + tail
+
+
+@register("markov_attribution", _markov_sql())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 [EXT]: first-order Markov removal-effect attribution
+    (Anderl et al. 2014) — journeys as START → touches → CONV/NULL
+    chains, conversion probability from START by {_MKV_ITER}-step
+    value iteration on the transition matrix, and each channel's
+    removal effect 1 − p(conv | channel's edges redirected to NULL)
+    normalized into attribution shares. The COUNTERFACTUAL member of
+    the attribution family: multitouch_attribution divides credit by
+    position; this one asks what conversions would be LOST without
+    the channel.
+
+    Scale shape: the fact collapses to per-user ordered journeys
+    (one window per user partition), transitions to a
+    (|states|+2)²-bounded count grain; the value iteration — and
+    every removal variant — runs on the (variants × states) grain
+    (≤ ~6×7 rows) as a driver loop over broadcast-joined bounded
+    frames with per-iteration rounding, so the oracle's recursive
+    CTE replays it bit-for-bit. Fixed iterations, not convergence —
+    the determinism discipline of pagerank/kmeans."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    tagged = e.join(fp, "user_id", "left").filter(
+        F.col("pts").isNull() | (F.col("ts") <= F.col("pts"))
+    )
+    journey = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = journey.select(
+        "user_id",
+        "st",
+        F.row_number().over(wseq).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("m"),
+    )
+    first = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("s"), F.col("st").alias("nxt")
+    )
+    nxt = seq.select("user_id", F.col("st").alias("s"), F.col("rn"))
+    succ = seq.select(
+        "user_id", F.col("st").alias("nxt"), (F.col("rn") - 1).alias("rn")
+    )
+    mids = nxt.join(succ, ["user_id", "rn"]).select("s", "nxt")
+    last = seq.filter((F.col("rn") == F.col("m")) & (F.col("st") != "CONV")).select(
+        F.col("st").alias("s"), F.lit("NULL").alias("nxt")
+    )
+    trans = first.unionByName(mids).unionByName(last)
+    tcounts = trans.groupBy("s", "nxt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # bounded: |event types| + START/CONV/NULL states
+    tc = tcounts.collect()
+    channels = sorted(
+        {r["s"] for r in tc if r["s"] not in ("START", "CONV")}
+        | {r["nxt"] for r in tc if r["nxt"] not in ("START", "CONV", "NULL")}
+    )
+    variants = [("base", None)] + [(ch, ch) for ch in channels]
+    rows = []
+    for var, dropped in variants:
+        agg: dict = {}
+        for r in tc:
+            s, nx, c = r["s"], r["nxt"], r["c"]
+            if dropped is not None and s == dropped:
+                continue
+            if dropped is not None and nx == dropped:
+                nx = "NULL"
+            agg[(s, nx)] = agg.get((s, nx), 0) + c
+        states = {s for s, _ in agg} | {nx for _, nx in agg}
+        out_tot = {}
+        for (s, _nx), c in agg.items():
+            out_tot[s] = out_tot.get(s, 0) + c
+        v = {s: (1.0 if s == "CONV" else 0.0) for s in states}
+        for _ in range(_MKV_ITER):
+            nv = {}
+            for s in states:
+                if s == "CONV":
+                    nv[s] = 1.0
+                elif s == "NULL":
+                    nv[s] = 0.0
+                else:
+                    acc = 0.0
+                    for (a, b), c in sorted(agg.items()):
+                        if a == s:
+                            acc += (c / out_tot[s]) * v.get(b, 0.0)
+                    nv[s] = round(acc, _MKV_DP)
+            v = nv
+        rows.append((var, v.get("START", 0.0)))
+    p0 = next(p for var, p in rows if var == "base")
+    rem = [
+        (var, max(1.0 - (p / p0 if p0 else 0.0), 0.0))
+        for var, p in rows
+        if var != "base"
+    ]
+    tr = sum(r for _, r in rem)
+    out_rows = [
+        (
+            ch,
+            round(p0 + 1e-9, 6),
+            round(r + 1e-9, 6),
+            round((r / tr if tr else None) + 1e-9, 6) if tr else None,
+        )
+        for ch, r in rem
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, p_conv_base double, removal_effect double, "
+        "attribution_share double",
+    )

@@ -951,3 +951,211 @@ class TestEmbeddingEffectiveRank:
         monkeypatch.setattr(vector_q, "load_table", lambda *a: emb)
         [r] = vector_q.q_embedding_effective_rank(spark, SF).collect()
         assert r["participation_ratio"] == pytest.approx(1.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: rmst / hosmer_lemeshow / isotonic_calibration /
+# k_core (operator) / markov_attribution
+# ---------------------------------------------------------------------------
+
+class TestRmst:
+    def test_hand_km_area(self, spark, monkeypatch):
+        """4 users from day 0: two convert at t=2, one at t=6, one
+        censored at the horizon (6). τ = 3. S = 1 on [0,2), 0.5 on
+        [2,6) → RMST(3) = 2 + 0.5·1 = 2.5."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        rows, eid = [], 0
+        fd = dt.datetime(2024, 1, 1)
+        for uid, conv_day in [(1, 2), (2, 2), (3, 6), (4, None)]:
+            rows.append((eid, fd, uid, "view", 1.0, "{}"))
+            eid += 1
+            if conv_day is not None:
+                rows.append(
+                    (
+                        eid,
+                        fd + dt.timedelta(days=conv_day),
+                        uid,
+                        "purchase",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        e = spark.createDataFrame(rows, _EV_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        [r] = inference_q.q_rmst(spark, SF).collect()
+        assert r["tau_days"] == 3
+        assert r["n_users"] == 4
+        assert r["rmst_days"] == pytest.approx(2.5, abs=1e-6)
+
+
+class TestHosmerLemeshow:
+    def test_separated_labels_reject(self, spark, monkeypatch):
+        """Values 0..99, label = value ≥ 50: bins predict mid-range
+        probabilities but observe 0/1 → HL huge, rejected."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        rows = [
+            (
+                i,
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                1,
+                "purchase" if v >= 50 else "view",
+                float(v),
+                "{}",
+            )
+            for i, v in enumerate(range(100))
+        ]
+        e = spark.createDataFrame(rows, _EV_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        [r] = inference_q.q_hosmer_lemeshow(spark, SF).collect()
+        assert r["df"] == r["n_bins"] - 2
+        assert r["hl_stat"] > 15.507
+        if r["n_bins"] == 10:
+            assert r["reject_calibrated"] is True
+
+
+class TestIsotonicCalibration:
+    def test_violator_bins_pool(self, spark, monkeypatch):
+        """Two populated bins with obs rates (0.8, 0.2) at equal n:
+        the isotonic fit pools both to 0.5 and is monotone."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        rows, eid = [], 0
+        # low values (bin low) with 8/10 positives, high values
+        # (bin high) with 2/10 positives — a calibration inversion
+        for i in range(10):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=eid),
+                    1,
+                    "purchase" if i < 8 else "view",
+                    0.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        for i in range(10):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=eid),
+                    1,
+                    "purchase" if i < 2 else "view",
+                    10.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        e = spark.createDataFrame(rows, _EV_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        out = sorted(
+            inference_q.q_isotonic_calibration(spark, SF).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert len(out) == 2
+        assert out[0]["obs_rate"] == pytest.approx(0.8, abs=1e-6)
+        assert out[1]["obs_rate"] == pytest.approx(0.2, abs=1e-6)
+        assert out[0]["iso_rate"] == pytest.approx(0.5, abs=1e-6)
+        assert out[1]["iso_rate"] == pytest.approx(0.5, abs=1e-6)
+        # monotone by construction
+        assert out[0]["iso_rate"] <= out[1]["iso_rate"] + 1e-9
+
+    def test_already_monotone_unchanged(self, spark, monkeypatch):
+        """Monotone obs rates pass through the PAV untouched."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        rows, eid = [], 0
+        for i in range(10):  # low bin: 2/10
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=eid),
+                    1,
+                    "purchase" if i < 2 else "view",
+                    0.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        for i in range(10):  # high bin: 8/10
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=eid),
+                    1,
+                    "purchase" if i < 8 else "view",
+                    10.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        e = spark.createDataFrame(rows, _EV_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        out = sorted(
+            inference_q.q_isotonic_calibration(spark, SF).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert out[0]["iso_rate"] == pytest.approx(0.2, abs=1e-6)
+        assert out[1]["iso_rate"] == pytest.approx(0.8, abs=1e-6)
+
+
+class TestKCore:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(
+            [(a, b) for a, b in edges], "left_id long, right_id long"
+        )
+
+    def test_star_dissolves_clique_survives(self, spark):
+        """A 5-leaf star has no 3-core; K4 survives with core_deg 3."""
+        from resume_jd_matcher_spark.operators.cluster import k_core
+
+        star = [(0, i) for i in range(1, 6)]
+        assert k_core(self._pairs(spark, star), k=3).count() == 0
+
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        out = {r["node"]: r["core_deg"] for r in k_core(
+            self._pairs(spark, k4), k=3
+        ).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_pendant_chain_peels_into_core(self, spark):
+        """K4 plus a pendant path: the path peels away over rounds,
+        the K4 core remains."""
+        from resume_jd_matcher_spark.operators.cluster import k_core
+
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6), (6, 7)]
+        out = {r["node"] for r in k_core(
+            self._pairs(spark, edges), k=3
+        ).collect()}
+        assert out == {1, 2, 3, 4}
+
+
+class TestMarkovAttribution:
+    def test_two_channel_hand_chain(self, spark, monkeypatch):
+        """u1: a→CONV, u2: b→NULL. Removing a kills all conversion
+        (removal 1); removing b changes nothing (removal 0)."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        fd = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, fd, 1, "click", 1.0, "{}"),
+            (1, fd + dt.timedelta(seconds=10), 1, "purchase", 1.0, "{}"),
+            (2, fd, 2, "view", 1.0, "{}"),
+        ]
+        e = spark.createDataFrame(rows, _EV_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: e)
+        out = {
+            r["channel"]: r
+            for r in inference_q.q_markov_attribution(spark, SF).collect()
+        }
+        assert set(out) == {"click", "view"}
+        assert out["click"]["p_conv_base"] == pytest.approx(0.5, abs=1e-6)
+        assert out["click"]["removal_effect"] == pytest.approx(1.0, abs=1e-6)
+        assert out["view"]["removal_effect"] == pytest.approx(0.0, abs=1e-6)
+        assert out["click"]["attribution_share"] == pytest.approx(
+            1.0, abs=1e-6
+        )

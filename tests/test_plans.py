@@ -427,6 +427,16 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row OLS-fit + 1-row MSE broadcasts over the
         # calendar-bounded day grain (the durbin_watson family):
         "cooks_distance",
+        # kaplan_meier's lifetable shape: 1-row censor horizon +
+        # 1-row tau + 1-row first-segment/area scalars crossed over
+        # the calendar-bounded event-time grain:
+        "rmst",
+        # calibration_eval's 1-row (mu, sd) scorer-moment broadcast
+        # before the 10-cell hash agg:
+        "hosmer_lemeshow",
+        # same 1-row moment broadcast + the <=10-row bins²/bins³
+        # minimax joins (inequality joins on broadcast bin frames):
+        "isotonic_calibration",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -326,6 +326,15 @@ REGISTERED = [
     "price_index_fisher",
     "tukey_hsd",
     "cooks_distance",
+    # round-10 inference batch 7 (events inputs; k_core_graph is a
+    # documents kernel sharing the text curve's minhash-edge chain;
+    # markov_attribution's value iteration runs on the bounded
+    # (variants x states) grain — its fact cost is the journey
+    # window, measured here):
+    "rmst",
+    "hosmer_lemeshow",
+    "isotonic_calibration",
+    "markov_attribution",
 ]
 
 
