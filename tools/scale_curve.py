@@ -121,6 +121,9 @@ REGISTERED = [
     "good_turing",
     "jsd_drift",
     "textrank_keywords",
+    # round-10 batch 7 documents member: fixed-round peel over the
+    # minhash near-dup edge chain.
+    "k_core_graph",
 ]
 
 
