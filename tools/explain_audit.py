@@ -102,6 +102,12 @@ HEADLINERS = {
     "holt_linear_forecast": "reduce-then-fold: one day-grain cents "
     "hash agg, the sequential recursion a single-row JVM aggregate() "
     "fold — no iterative joins, no window, no driver loop",
+    "isotonic_calibration": "ONE fact scan to the 10-cell bin agg; "
+    "the bins²/bins³ minimax joins run on broadcast constant-sized "
+    "frames — the 'cubic' PAV formula costs nothing",
+    "rmst": "kaplan_meier's lifetable chain: user-grain agg, 1-row "
+    "horizon broadcast, every window on the calendar-bounded "
+    "event-time grain, 1-row integral reduction",
     "graph_triangles": "compact-forward: triangles from TWO hash "
     "equi-joins over the a<b edge list — never a neighborhood "
     "crossJoin; only two single-row summaries broadcast",
