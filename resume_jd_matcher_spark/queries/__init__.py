@@ -89,6 +89,9 @@ from resume_jd_matcher_spark.queries import inference_q  # noqa: E402,F401
 # confirmation, then the r8 tail that didn't fit in the r9 window.
 # Everything below the first 50 keeps registry order.
 _DRIVER_PRIORITY = [
+    # -- round-10 batch-8 additions (never driver-checked) --
+    "gaussian_mixture_em",
+    "periodogram",
     # -- round-10 batch-7 additions (never driver-checked) --
     "rmst",
     "hosmer_lemeshow",

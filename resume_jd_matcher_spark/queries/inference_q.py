@@ -3027,3 +3027,261 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conv_base double, removal_effect double, "
         "attribution_share double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-component Gaussian mixture EM (fixed 3 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_EM_ITER = 3
+_EM_DP = 6
+
+
+def _gmm_sql(n_iter: int = _EM_ITER, dp: int = _EM_DP) -> str:
+    """Unrolled EM oracle: deterministic quantile/sd init (rounded),
+    then per-iteration E-step responsibilities from the ROUNDED
+    params and sufficient-statistic M-step, each params row rounded —
+    the kmeans/pagerank trajectory discipline. Every CTE MATERIALIZED
+    so the chain is evaluated once."""
+    head = f"""WITH x AS MATERIALIZED (
+  SELECT c_acctbal AS v FROM customer
+), p0 AS MATERIALIZED (
+  SELECT round(quantile_cont(v, 0.25), {dp}) AS mu1,
+         round(quantile_cont(v, 0.75), {dp}) AS mu2,
+         round(stddev_samp(v), {dp}) AS s1,
+         round(stddev_samp(v), {dp}) AS s2,
+         0.5 AS pi1
+  FROM x
+)"""
+    its = []
+    for t in range(1, n_iter + 1):
+        its.append(
+            f""", r{t} AS MATERIALIZED (
+  SELECT v,
+         p.pi1 * exp(-(v - p.mu1) * (v - p.mu1)
+                     / (2.0 * greatest(p.s1 * p.s1, 1e-6))) / p.s1 AS w1,
+         (1.0 - p.pi1) * exp(-(v - p.mu2) * (v - p.mu2)
+                     / (2.0 * greatest(p.s2 * p.s2, 1e-6))) / p.s2 AS w2
+  FROM x, p{t - 1} p
+), g{t} AS MATERIALIZED (
+  SELECT v, w1 / nullif(w1 + w2, 0.0) AS r FROM r{t}
+), p{t} AS MATERIALIZED (
+  SELECT round(avg(r), {dp}) AS pi1,
+         round(sum(r * v) / nullif(sum(r), 0.0), {dp}) AS mu1,
+         round(sum((1 - r) * v) / nullif(sum(1 - r), 0.0), {dp}) AS mu2,
+         round(sqrt(greatest(
+           sum(r * v * v) / nullif(sum(r), 0.0)
+           - (sum(r * v) / nullif(sum(r), 0.0))
+             * (sum(r * v) / nullif(sum(r), 0.0)), 1e-6)), {dp}) AS s1,
+         round(sqrt(greatest(
+           sum((1 - r) * v * v) / nullif(sum(1 - r), 0.0)
+           - (sum((1 - r) * v) / nullif(sum(1 - r), 0.0))
+             * (sum((1 - r) * v) / nullif(sum(1 - r), 0.0)), 1e-6)),
+           {dp}) AS s2
+  FROM g{t}
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT (SELECT count(*) FROM x)::BIGINT AS n,
+       pi1, mu1, s1 AS sigma1, mu2, s2 AS sigma2
+FROM p{n_iter}
+"""
+    )
+
+
+@register("gaussian_mixture_em", _gmm_sql())
+def q_gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 [EXT]: two-component 1-D Gaussian mixture fit of account
+    balance by {_EM_ITER} fixed EM iterations (Dempster et al. 1977)
+    — deterministic quartile/sd initialization, per-row E-step
+    responsibilities from the ROUNDED previous params, sufficient-
+    statistic M-step (Σr, Σrv, Σrv² per component in ONE hash agg),
+    params re-rounded each iteration so the oracle replays the exact
+    trajectory (the kmeans/Lloyd discipline). The model-based
+    companion of score_banding/rfm_segments' rule-based splits: it
+    answers whether the balance distribution is one population or
+    two.
+
+    Scale shape: init is one percentile agg; each EM iteration is
+    ONE fact pass — a 1-row params broadcast into a map-side-
+    combined sufficient-statistic agg. {_EM_ITER} passes total, no
+    window, no join wider than the broadcast."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("v")
+    )
+    n = c.count()
+    p = c.agg(
+        F.round(F.percentile("v", F.lit(0.25)), _EM_DP).alias("mu1"),
+        F.round(F.percentile("v", F.lit(0.75)), _EM_DP).alias("mu2"),
+        F.round(F.stddev("v"), _EM_DP).alias("s1"),
+        F.round(F.stddev("v"), _EM_DP).alias("s2"),
+        F.lit(0.5).alias("pi1"),
+    )
+    for _ in range(_EM_ITER):
+        j = c.crossJoin(F.broadcast(p))
+        w1 = (
+            F.col("pi1")
+            * F.exp(
+                -(F.col("v") - F.col("mu1"))
+                * (F.col("v") - F.col("mu1"))
+                / (
+                    F.lit(2.0)
+                    * F.greatest(F.col("s1") * F.col("s1"), F.lit(1e-6))
+                )
+            )
+            / F.col("s1")
+        )
+        w2 = (
+            (F.lit(1.0) - F.col("pi1"))
+            * F.exp(
+                -(F.col("v") - F.col("mu2"))
+                * (F.col("v") - F.col("mu2"))
+                / (
+                    F.lit(2.0)
+                    * F.greatest(F.col("s2") * F.col("s2"), F.lit(1e-6))
+                )
+            )
+            / F.col("s2")
+        )
+        g = j.select(
+            "v", (w1 / F.nullif(w1 + w2, F.lit(0.0))).alias("r")
+        )
+        sr = F.sum("r")
+        srv = F.sum(F.col("r") * F.col("v"))
+        srvv = F.sum(F.col("r") * F.col("v") * F.col("v"))
+        cr = F.lit(1) - F.col("r")
+        scr = F.sum(cr)
+        scrv = F.sum(cr * F.col("v"))
+        scrvv = F.sum(cr * F.col("v") * F.col("v"))
+        mu1 = srv / F.nullif(sr, F.lit(0.0))
+        mu2 = scrv / F.nullif(scr, F.lit(0.0))
+        p = g.agg(
+            F.round(F.avg("r"), _EM_DP).alias("pi1"),
+            F.round(mu1, _EM_DP).alias("mu1"),
+            F.round(mu2, _EM_DP).alias("mu2"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        srvv / F.nullif(sr, F.lit(0.0)) - mu1 * mu1,
+                        F.lit(1e-6),
+                    )
+                ),
+                _EM_DP,
+            ).alias("s1"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        scrvv / F.nullif(scr, F.lit(0.0)) - mu2 * mu2,
+                        F.lit(1e-6),
+                    )
+                ),
+                _EM_DP,
+            ).alias("s2"),
+        )
+    return p.select(
+        F.lit(n).cast("bigint").alias("n"),
+        "pi1",
+        "mu1",
+        F.col("s1").alias("sigma1"),
+        "mu2",
+        F.col("s2").alias("sigma2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram of daily revenue (bounded-frequency DFT)
+# ---------------------------------------------------------------------------
+
+_PGRAM_K = 16
+
+
+@register(
+    "periodogram",
+    f"""
+WITH g AS ({_SQL_DAY_REV}
+), t AS (
+  SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n FROM g
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         cents - s / n::DOUBLE AS dev, n
+  FROM g CROSS JOIN t
+), f AS (
+  SELECT k.k, max(idx.n) AS n,
+         sum(dev * cos(2 * pi() * k.k * i / idx.n)) AS a,
+         sum(dev * sin(2 * pi() * k.k * i / idx.n)) AS b
+  FROM idx
+  CROSS JOIN (SELECT unnest(generate_series(1, {_PGRAM_K})) AS k) k
+  GROUP BY k.k
+), pw AS (
+  SELECT k, n, (a * a + b * b) AS raw FROM f
+), tot AS (SELECT sum(raw) AS tr FROM pw)
+SELECT k::INT AS k,
+       round(n::DOUBLE / k + 1e-9, 2) AS period_days,
+       round(raw / nullif(tot.tr, 0.0) + 1e-9, 6) AS power_share
+FROM pw, tot
+""",
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 [EXT]: periodogram of the daily-revenue series — the DFT
+    power |Σ dev_t·e^(−2πikt/n)|² at the first {_PGRAM_K} Fourier
+    frequencies, normalized to power shares (Schuster 1898). The
+    FREQUENCY-domain seasonality detector beside acf_daily's lag
+    domain: a weekly cycle concentrates share at period ≈ 7 days,
+    and the share vector is the input to a spectral-entropy
+    regularity score.
+
+    Scale shape: the integer-cents day grain, a 1-row mean
+    broadcast, and ONE hash agg over (day grain × {_PGRAM_K}-row
+    literal frequency spine) — never fact-sized after the first
+    agg. Trig arguments are exact small rationals of (k, t, n), so
+    both engines evaluate identical points; the only cross-row
+    float sums are the per-k (a, b) pairs, and the exposed share is
+    rounded."""
+    g = _day_rev(spark, sf_dir)
+    t = g.agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    idx = g.crossJoin(F.broadcast(t)).select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        (F.col("cents") - F.col("s") / F.col("n").cast("double")).alias(
+            "dev"
+        ),
+        "n",
+    )
+    ks = idx.select(
+        "i",
+        "dev",
+        "n",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _PGRAM_K + 1)])
+        ).alias("k"),
+    )
+    arg = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * F.col("k")
+        * F.col("i")
+        / F.col("n")
+    )
+    f = ks.groupBy("k").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("dev") * F.cos(arg)).alias("a"),
+        F.sum(F.col("dev") * F.sin(arg)).alias("b"),
+    )
+    pw = f.select(
+        "k", "n", (F.col("a") * F.col("a") + F.col("b") * F.col("b")).alias("raw")
+    )
+    tot = pw.agg(F.sum("raw").alias("tr"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("int").alias("k"),
+        F.round(
+            F.col("n").cast("double") / F.col("k") + F.lit(1e-9), 2
+        ).alias("period_days"),
+        F.round(
+            F.col("raw") / F.nullif(F.col("tr"), F.lit(0.0)) + F.lit(1e-9), 6
+        ).alias("power_share"),
+    )

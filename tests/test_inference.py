@@ -1159,3 +1159,61 @@ class TestMarkovAttribution:
         assert out["click"]["attribution_share"] == pytest.approx(
             1.0, abs=1e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: gaussian_mixture_em / periodogram
+# ---------------------------------------------------------------------------
+
+class TestGaussianMixtureEm:
+    def test_bimodal_components_separate(self, spark, monkeypatch):
+        """Two well-separated normal-ish clumps (~100 and ~5000):
+        after 3 EM iterations the component means straddle them and
+        the mixing weight is near 0.5."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        vals = [90, 95, 100, 105, 110] * 20 + [4900, 4950, 5000, 5050, 5100] * 20
+        c = spark.createDataFrame(
+            _cust([(0, v, "A") for v in vals]), _CUST_SCHEMA
+        )
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: c)
+        [r] = inference_q.q_gaussian_mixture_em(spark, SF).collect()
+        assert r["n"] == 200
+        assert r["mu1"] == pytest.approx(100.0, abs=25.0)
+        assert r["mu2"] == pytest.approx(5000.0, abs=25.0)
+        assert 0.3 < r["pi1"] < 0.7
+        assert r["sigma1"] < 200 and r["sigma2"] < 200
+
+    def test_single_population_means_agree(self, spark, monkeypatch):
+        """Unimodal data: both components settle near the common
+        mean (EM has nothing to separate)."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        vals = list(range(900, 1101, 2))
+        c = spark.createDataFrame(
+            _cust([(0, v, "A") for v in vals]), _CUST_SCHEMA
+        )
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: c)
+        [r] = inference_q.q_gaussian_mixture_em(spark, SF).collect()
+        assert abs(r["mu1"] - r["mu2"]) < 120
+
+
+class TestPeriodogram:
+    def test_weekly_cycle_peaks_at_period_seven(self, spark, monkeypatch):
+        """A pure 7-day cycle over 56 days (n/7 = 8 full periods):
+        the k = n/7 = 8 frequency takes nearly all the power."""
+        from resume_jd_matcher_spark.queries import inference_q
+
+        n = 56
+        prices = [
+            1000 + 500 * math.cos(2 * math.pi * d / 7) for d in range(n)
+        ]
+        o = spark.createDataFrame(_ord(list(enumerate(prices))), _ORD_SCHEMA)
+        monkeypatch.setattr(inference_q, "load_table", lambda *a: o)
+        out = {r["k"]: r for r in inference_q.q_periodogram(spark, SF).collect()}
+        assert len(out) == 16
+        assert out[8]["period_days"] == pytest.approx(7.0, abs=1e-6)
+        assert out[8]["power_share"] > 0.9
+        for k, r in out.items():
+            if k != 8:
+                assert r["power_share"] < 0.05

@@ -437,6 +437,12 @@ def test_registry_wide_no_cartesian_products(spark):
         # same 1-row moment broadcast + the <=10-row bins²/bins³
         # minimax joins (inequality joins on broadcast bin frames):
         "isotonic_calibration",
+        # per EM iteration: the 1-row ROUNDED params broadcast
+        # crossed into the fact before the sufficient-statistic agg:
+        "gaussian_mixture_em",
+        # 1-row mean + 1-row spectral-total broadcasts over the
+        # calendar-bounded (day grain x 16-frequency spine):
+        "periodogram",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

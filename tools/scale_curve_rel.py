@@ -335,6 +335,9 @@ REGISTERED = [
     "hosmer_lemeshow",
     "isotonic_calibration",
     "markov_attribution",
+    # round-10 batch 8 (customer / orders inputs):
+    "gaussian_mixture_em",
+    "periodogram",
 ]
 
 
