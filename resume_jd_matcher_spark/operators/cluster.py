@@ -250,13 +250,25 @@ def pagerank(
     # full MinHash pipeline) must not re-run per round — same
     # checkpoint discipline as the label-propagation loop above.
     edges = edges.localCheckpoint()
+    # Right-size frames to their measured row counts: the graphs this
+    # runs on (min-count token graphs, LSH candidate graphs) are
+    # usually vocabulary-bounded, and a checkpoint otherwise inherits
+    # the 32-partition shuffle layout — every subsequent round then
+    # pays 32-task stage latency to move a few thousand rows. Both
+    # counts are already needed (edges is materialized, n feeds the
+    # teleport term), so the sizing is free.
+    n_edges = edges.count()
+    eparts = max(1, min(32, n_edges // 50_000 + 1))
+    if eparts < 32:
+        edges = edges.coalesce(eparts)
     n = nodes.count()  # bounded scalar: the node count
+    nparts = max(1, min(32, n // 50_000 + 1))
     base = (1.0 - damping) / n
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     r = nodes.select(
         F.col(id_col).alias("node"),
         F.round(F.lit(1.0 / n), round_dp).alias("pr"),
-    ).localCheckpoint()
+    ).coalesce(nparts).localCheckpoint()
     for _ in range(n_iter):
         contrib = (
             edges.join(r, edges["src"] == r["node"])
@@ -274,6 +286,7 @@ def pagerank(
                     round_dp,
                 ).alias("pr"),
             )
+            .coalesce(nparts)
             .localCheckpoint()
         )
     return r.select(F.col("node").alias(id_col), "pr")
@@ -406,6 +419,16 @@ def connected_components_star(
     )
     prev_sum = edge_checksum(cur)
     converged = False
+
+    def right_parts(n_edges: int) -> int:
+        # Star contraction SHRINKS the edge set geometrically, but a
+        # checkpoint inherits the 32-partition shuffle layout — later
+        # rounds then pay 32-task stage latency to move a few hundred
+        # rows (the r10 verdict's 10x kernel-ratio lead). Size each
+        # round's frame to its measured edge count instead; the count
+        # is free (edge_checksum already collects it every round).
+        return max(1, min(32, n_edges // 50_000 + 1))
+
     for _ in range(max_iter):
         both = cur.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
             cur.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
@@ -436,6 +459,7 @@ def connected_components_star(
                 F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
             )
             .distinct()
+            .coalesce(right_parts(prev_sum[0]))
             .localCheckpoint(eager=True)
         )
         cur = ss
@@ -584,3 +608,84 @@ def k_core(
         .agg(F.count("*").cast("bigint").alias("core_deg"))
         .filter(F.col("core_deg") >= k)
     )
+
+
+def label_propagation_sync(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src: str = "a",
+    dst: str = "b",
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) over a SYMMETRIZED edge list: every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors PLUS its own current label (the self-vote is the
+    standard stabilizer — without it a symmetric pair 2-cycles
+    forever), ties broken by the smallest label. Fixed ``n_iter``
+    synchronized rounds, fully integer — the trajectory is exactly
+    replayable (no RNG, no rounding, no convergence test).
+
+    Cost-based routing, same philosophy as ``connected_components``:
+    a bounded ``take()`` doubles as the fetch — at or below
+    ``local_threshold`` edges the trajectory runs driver-side in one
+    pass (each distributed round costs two shuffles, which at small
+    edge counts is pure stage latency); above it, the DataFrame loop
+    runs with the identical vote/tie semantics. Output: one row per
+    node ``(node, community)``.
+    """
+    probe = edges.select(src, dst).take(local_threshold + 1)
+    if len(probe) <= local_threshold:
+        return _lpa_local_df(
+            edges.sparkSession, [(r[0], r[1]) for r in probe], n_iter
+        )
+    return _lpa_distributed(edges, n_iter, src, dst)
+
+
+def _lpa_local_df(spark, pairs, n_iter: int) -> DataFrame:
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, [])
+    lbl = {v: v for v in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for v, ns in nbrs.items():
+            votes: dict = {lbl[v]: 1}  # self-vote
+            for u in ns:
+                votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+            # max count, then min label
+            new[v] = min(votes, key=lambda k: (-votes[k], k))
+        lbl = new
+    return spark.createDataFrame(
+        sorted(lbl.items()), "node: bigint, community: bigint"
+    )
+
+
+def _lpa_distributed(
+    edges: DataFrame, n_iter: int, src: str, dst: str
+) -> DataFrame:
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # self-loop = the self-vote; flat lineage so each round is
+    # O(edges), not a replay of the upstream edge derivation
+    e = sym.unionByName(
+        sym.select("a").distinct().select("a", F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        # top-1 as a max_by aggregate: one map-side-combinable
+        # shuffle per round; (c, -lbl) is unique per node so the pick
+        # is deterministic (max count, then min label)
+        labels = votes.groupBy(F.col("a").alias("node")).agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -128,16 +128,25 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard:
     same-band pairs (id1 < id2), est_jaccard = fraction of equal
     signature components. Output: (left_id, right_id, est_jaccard).
+
+    persist=False skips the signature cache entirely: the
+    explode→groupBy subplan is recomputed per consumer (3×), which is
+    the right trade for callers on a bounded slice (e.g. a doc_id cap)
+    — nothing enters the CacheManager, so there is nothing to leak or
+    to release after the query's action.
     """
     # Signatures feed three consumers (banding + both sides of the
     # estimate join); persist so the explode→groupBy runs once, not 3×.
     # Tracked in _PERSISTED for explicit release by long-lived callers.
-    sigs = minhash_signatures(df, n_hashes, id_col, text_col).persist()
-    _PERSISTED.append(sigs)
+    sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+    if persist:
+        sigs = sigs.persist()
+        _PERSISTED.append(sigs)
     return _minhash_lsh_from_sigs(sigs, rows_per_band, id_col)
 
 

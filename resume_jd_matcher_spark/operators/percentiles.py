@@ -140,45 +140,50 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     """EXACT interpolated global median of ``value_col`` as a 1-row
     DataFrame ``(med DOUBLE, n BIGINT)`` — sketch-guided selection:
 
-    1. one pass computes n and an approx [48%, 52%] value bracket
-       (``percentile_approx``, accuracy 2000 → rank error ≤ n/2000,
-       40x smaller than the 2%·n bracket margin, so the true middle
-       ranks k = floor/ceil(0.5·(n-1)+1) always land inside);
-    2. a second pass counts rows strictly below the bracket and ranks
-       ONLY the bracket slice (~4% of rows + boundary-tie mass) in one
-       small window, then interpolates the two middle ranks
-       (quantile_cont semantics).
+    1. one pass computes n and an approx [49.4%, 50.6%] value bracket
+       (``percentile_approx``, accuracy 500 → Greenwald-Khanna rank
+       error ≤ n/500 = 0.2%·n, 3x smaller than the 0.6%·n bracket
+       margin, so the true middle ranks k = floor/ceil(0.5·(n-1)+1)
+       always land inside; accuracy 500 measured ~30% cheaper than
+       2000 on a 2.9M-row input with the same guarantee structure);
+    2. ONE fused second pass zones every row against the bracket
+       (below / inside / above) and collapses it to the zone×value
+       grain in a single map-side-combined aggregate — the below-rank
+       offset and the bracket slice's value histogram come out of the
+       same scan (r10 spelled these as two separate passes over the
+       input plus an unbounded 4% slice; at sf0.1 theil_sen's 2.9M
+       pair space spent ~3 of its 4 s re-scanning for them).
+    3. the slice histogram is ranked with a tiny global prefix and
+       the two middle ranks interpolate (quantile_cont semantics).
 
     Inputs of ≤ 100k rows skip the bracket (the when() collapses it
-    to ±infinity) and rank everything — below that size the sketch's
-    rank guarantee has no room and a full sort is free anyway.
+    to ±infinity, every row zones inside) and rank everything — below
+    that size the sketch's rank guarantee has no room and a full sort
+    is free anyway.
 
     This is the selection-by-sampling classic (Floyd-Rivest style)
     rephrased as two declarative scans: unlike ``percentile()`` it
     never buffers all values in one aggregate, and unlike a global
     rank (operators/prefix.py) it never sorts the full input — the
-    only sort covers the bracket slice. NULLs are skipped (quantile
-    semantics). Heavy tie mass AT the median widens the slice (every
-    tied row falls inside the bracket) but never breaks correctness.
+    only sort covers the ~1.2% bracket slice's value grain. NULLs are
+    skipped (quantile semantics). Heavy tie mass AT the median widens
+    the slice (every tied row falls inside the bracket) but never
+    breaks correctness — ties collapse to one (value, count) row in
+    the zone grain, so no stage ever sees the tie mass row-wise
+    (rank-within-tie was the one thing no bucket scheme could
+    parallelize, and the median never needed it).
 
-    r10 (carried r8/r9 verdict item): the slice is first collapsed to
-    its VALUE GRAIN — ``groupBy(_v).count()``, map-side combined — and
-    the running count comes from ``operators/prefix.global_prefix``
-    over the distinct values instead of an unpartitioned
-    ``Window.orderBy`` over the raw slice rows. The value at a global
-    rank only needs each distinct value's covering rank interval
-    (cum−cnt, cum], never an intra-tie order, so a mass-tied input
-    (30%+ of rows on one value) costs ONE row in the prefix — the
-    straggler the r8-r9 docstrings warned about is structurally gone,
-    not just rebalanced (rank-within-tie was the one thing no bucket
-    scheme could parallelize, and the median never needed it). The
-    1-row stats frame is pinned eagerly for the same reason prefix.py
-    pins its height-mode bounds: ``percentile_approx`` is
-    merge-order-sensitive and ``s`` is embedded in BOTH the
-    below-count subtree and the slice filter — a divergent recompute
-    would count "below" against a different bracket than it slices,
-    corrupting the rank. One row: pinning is free.
+    The 1-row stats frame is pinned eagerly for the same reason
+    prefix.py pins its height-mode bounds: ``percentile_approx`` is
+    merge-order-sensitive and ``s`` is embedded in the zone keys —
+    a divergent recompute would zone rows against a different
+    bracket than the ranks assume, corrupting the selection. One
+    row: pinning is free. The zone grain (≤ slice-distinct + 2 rows)
+    is persisted and enrolled in the engine-wide release ledger so
+    the prefix machinery and the below-offset both read the one
+    materialization instead of re-scanning the input.
     """
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
     from resume_jd_matcher_spark.operators.prefix import global_prefix
 
     small_n = 100_000
@@ -188,7 +193,7 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     s = x.agg(
         F.count("*").cast("bigint").alias("_n"),
         F.percentile_approx(
-            "_v", F.array(F.lit(0.48), F.lit(0.52)), F.lit(2_000)
+            "_v", F.array(F.lit(0.494), F.lit(0.506)), F.lit(500)
         ).alias("_br"),
     ).localCheckpoint(eager=True)
     lo = F.when(F.col("_n") <= small_n, F.lit(float("-inf"))).otherwise(
@@ -200,29 +205,37 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     xb = x.crossJoin(F.broadcast(s)).select(
         "_v", "_n", lo.alias("_lo"), hi.alias("_hi")
     )
-    below = xb.agg(
-        F.sum(F.when(F.col("_v") < F.col("_lo"), 1).otherwise(0))
+    # Fused zone pass: -1 below the bracket, 0 inside (keyed by
+    # value), +1 above. Out-of-bracket rows keep a NULL value key so
+    # the whole scan collapses to ≤ |slice distinct| + 2 rows.
+    zone = (
+        F.when(F.col("_v") < F.col("_lo"), F.lit(-1))
+        .when(F.col("_v") > F.col("_hi"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    zg = (
+        xb.select(
+            zone.alias("_z"),
+            F.when(zone == 0, F.col("_v")).alias("_vv"),
+        )
+        .groupBy("_z", "_vv")
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+        .persist()
+    )
+    _PERSISTED.append(zg)
+    below = zg.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_z") == -1, F.col("_cnt"))), F.lit(0)
+        )
         .cast("bigint")
         .alias("_c_below")
     )
     t = F.lit(0.5) * (F.col("_n") - 1) + 1
-    # Value grain: ties collapse to one (value, count) row here, via
-    # partial aggregation — no downstream stage ever sees the tie
-    # mass row-wise. Project down to _v first: global_prefix's
-    # internals use _lo/_hi/_n working columns, which would be
-    # ambiguous against the bracket columns; _n re-attaches from the
-    # pinned 1-row stats.
-    vc = (
-        xb.filter(
-            (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
-        )
-        .groupBy("_v")
-        .agg(F.count("*").cast("bigint").alias("_cnt"))
+    vc = zg.filter(F.col("_z") == 0).select(
+        F.col("_vv").alias("_v"), "_cnt"
     )
-    # checkpoint=False: the value-grain lineage is a pruned agg over
-    # the caller's (typically persisted) input with the 1-row pinned
-    # stats — re-running it per internal consumer beats materializing
-    # it.
+    # checkpoint=False: vc is a filter over the persisted zone grain —
+    # each internal consumer reads the cache, not the input.
     ranked = global_prefix(
         vc, ["_v"], sum_col="_cnt", sum_type="bigint", checkpoint=False
     )

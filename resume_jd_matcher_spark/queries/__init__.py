@@ -69,6 +69,7 @@ from resume_jd_matcher_spark.queries import curation_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import ops_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import evalplan_q  # noqa: E402,F401
 from resume_jd_matcher_spark.queries import inference_q  # noqa: E402,F401
+from resume_jd_matcher_spark.queries import structure_q  # noqa: E402,F401
 
 # The driver records correctness for the first 50 registered queries
 # per round. Rotation policy: never-driver-checked > second
@@ -78,33 +79,45 @@ from resume_jd_matcher_spark.queries import inference_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 10: new r10 queries lead (never driver-checked), then
-# effective_sources (r9 verdict task #4 — exactly one driver row,
-# from r8; rotate forward for its second confirmation), then the
-# queries REWORKED this round (link prediction's df-cap elbow,
-# degree_assortativity's posting-list rewrite, decontaminate's
-# span-derived split, join_theta_band's widened band,
-# cross_source_leakage's cache release — all must re-confirm in a
-# driver window), then the remaining r9 cohort for ITS second
-# confirmation, then the r8 tail that didn't fit in the r9 window.
-# Everything below the first 50 keeps registry order.
+# Round 11 window (the driver samples the first 50):
+# 1) the three r11 correctness fixes lead — they MUST re-confirm
+#    hash-green (rolling_beta's scaled-integer beta_e4, rmst's tau
+#    floor-division parity, markov_attribution's p0-guard +
+#    half-away trajectory rounding);
+# 2) the four streaming batch-twins (r10 verdict task 7: selfcheck
+#    greens but few driver rows across ten rounds);
+# 3) cross_source_leakage (persist=False cache-hygiene rework this
+#    round — code path changed, must re-confirm);
+# 4) the rest of the r10 debut cohort for its second confirmation
+#    (r10 verdict task 3). 42 of the remaining 47 fit; the five
+#    displaced by the streaming twins are the single-row
+#    scaled-integer / nudge-safe readouts least exposed to rounding
+#    boundaries (matthews_mcc, theil_index, hhi_concentration,
+#    cohens_kappa, mcnemar_test) — queued immediately below the
+#    window so they lead the r12 rotation.
 _DRIVER_PRIORITY = [
-    # -- round-10 batch-8 additions (never driver-checked) --
+    # -- r11 correctness fixes (reworked this round; re-confirm) --
+    "rolling_beta",
+    "rmst",
+    "markov_attribution",
+    # -- streaming batch-twins (r10 verdict task 7) --
+    "stream_tumbling_counts",
+    "stream_attribution_join",
+    "stream_drift_monitor",
+    "session_window_agg",
+    # -- cache-hygiene rework this round (re-confirm) --
+    "cross_source_leakage",
+    # -- r10 debut cohort: second confirmations --
     "gaussian_mixture_em",
     "periodogram",
-    # -- round-10 batch-7 additions (never driver-checked) --
-    "rmst",
     "hosmer_lemeshow",
     "isotonic_calibration",
     "k_core_graph",
-    "markov_attribution",
-    # -- round-10 batch-6 additions (never driver-checked) --
     "log_rank_test",
     "price_index_fisher",
     "tukey_hsd",
     "cooks_distance",
     "embedding_effective_rank",
-    # -- round-10 batch-5 additions (never driver-checked) --
     "mann_whitney_u",
     "friedman_test",
     "breusch_pagan",
@@ -112,7 +125,6 @@ _DRIVER_PRIORITY = [
     "good_turing",
     "jsd_drift",
     "textrank_keywords",
-    # -- round-10 batch-4 additions (never driver-checked) --
     "jarque_bera",
     "anova_oneway",
     "kruskal_wallis",
@@ -121,13 +133,8 @@ _DRIVER_PRIORITY = [
     "durbin_watson",
     "holt_linear_forecast",
     "brier_logloss",
-    "matthews_mcc",
-    "theil_index",
-    "hhi_concentration",
     "grubbs_test",
-    "rolling_beta",
     "local_clustering",
-    # -- round-10 additions (never driver-checked) --
     "lead_lag_ccf",
     "multitouch_attribution",
     "ips_policy_eval",
@@ -140,10 +147,15 @@ _DRIVER_PRIORITY = [
     "nelson_aalen",
     "woe_iv",
     "pr_auc",
-    "cohens_kappa",
     "t_closeness",
     "cramer_von_mises",
     "lorenz_curve",
+    # ---- window boundary (50) ----
+    # r10 debuts displaced by the streaming twins; lead r12
+    "matthews_mcc",
+    "theil_index",
+    "hhi_concentration",
+    "cohens_kappa",
     "mcnemar_test",
     # -- rotate-forward: one driver row only (r8) --
     "effective_sources",
@@ -152,7 +164,6 @@ _DRIVER_PRIORITY = [
     "degree_assortativity",
     "decontaminate",
     "join_theta_band",
-    "cross_source_leakage",
     # -- reworked in round 10 batch 2 (cache-release converted from
     #    eager materialize to the persisted ledger; plans unchanged
     #    but the code path differs — re-confirm) --
@@ -227,7 +238,6 @@ _DRIVER_PRIORITY = [
     "ndcg_eval",
     "vocab_overlap",
     "acf_daily",
-    "stream_drift_monitor",
     "welch_ttest",
     "ratio_metric_delta",
     "cuped_adjustment",
@@ -261,7 +271,6 @@ _DRIVER_PRIORITY = [
     "mine_triplets",
     "quality_aware_dedup",
     "score_deciles",
-    "session_window_agg",
     "skew_salted_join",
     "tfidf_cosine_pairs",
     # -- multiply-confirmed anchors --

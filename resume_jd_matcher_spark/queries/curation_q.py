@@ -1340,7 +1340,7 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     cand = dedup.minhash_lsh_candidates(
-        d, n_hashes=16, rows_per_band=4
+        d, n_hashes=16, rows_per_band=4, persist=False
     ).filter(F.col("est_jaccard") >= _LEAK_MIN_EST)
     src = d.select("doc_id", "source").localCheckpoint()
     leak = (
@@ -1365,13 +1365,13 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard",
         )
     )
-    # minhash_lsh_candidates persists its signature frame into
-    # dedup._PERSISTED, the engine-wide ledger every sweep hook
-    # (driver_sim / bench) drains after the query's action — so the
-    # cache is released deterministically per query WITHOUT an eager
-    # in-query checkpoint (an earlier r10 draft checkpointed here,
-    # which blinded the plan audits behind a Scan ExistingRDD node
-    # and ran the MinHash job at plan-construction time).
+    # persist=False above: on the doc_id < 200 slice the signature
+    # subplan is cheap to recompute per consumer, so no cache enters
+    # the CacheManager at all — it is empty immediately after this
+    # query's action with no release hook needed, and the plan stays
+    # fully visible to the audits (an earlier r10 draft checkpointed
+    # here, which blinded them behind a Scan ExistingRDD node and ran
+    # the MinHash job at plan-construction time).
     return leak.groupBy("src_a", "src_b").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.round(F.avg("est_jaccard") + F.lit(1e-9), 4).alias(

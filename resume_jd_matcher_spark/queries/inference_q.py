@@ -1190,27 +1190,33 @@ _BETA_WIN = 14
     f"""
 WITH d AS (
   SELECT o.o_orderdate::DATE AS day,
-         sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS mkt,
+         sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::HUGEINT AS mkt,
          sum(CASE WHEN c.c_mktsegment = 'BUILDING'
                   THEN floor(o.o_totalprice * 100 + 0.5)::BIGINT
-                  ELSE 0 END)::BIGINT AS seg
+                  ELSE 0 END)::HUGEINT AS seg
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY 1
 ), w AS (
   SELECT day,
          count(*) OVER win AS n_w,
-         sum(mkt::DOUBLE) OVER win AS sx,
-         sum(seg::DOUBLE) OVER win AS sy,
-         sum(mkt::DOUBLE * mkt) OVER win AS sxx,
-         sum(mkt::DOUBLE * seg) OVER win AS sxy
+         sum(mkt) OVER win AS sx,
+         sum(seg) OVER win AS sy,
+         sum(mkt * mkt) OVER win AS sxx,
+         sum(mkt * seg) OVER win AS sxy
   FROM d
   WINDOW win AS (ORDER BY day ROWS BETWEEN {_BETA_WIN - 1} PRECEDING
                  AND CURRENT ROW)
+), r AS (
+  SELECT day, n_w,
+         (n_w * sxy - sx * sy)::HUGEINT AS num,
+         (n_w * sxx - sx * sx)::HUGEINT AS den
+  FROM w
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
-       round((n_w * sxy - sx * sy)
-             / nullif(n_w * sxx - sx * sx, 0.0) + 1e-9, 4) AS beta
-FROM w WHERE n_w = {_BETA_WIN}
+       ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        * ((abs(num) * 20000 + den) // nullif(2 * den, 0)))::BIGINT
+         AS beta_e4
+FROM r WHERE n_w = {_BETA_WIN}
 """,
 )
 def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,19 +1227,24 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     elasticity_by_brand's cross-sectional version; a segment whose β
     drifts from its long-run share flags a mix shift.
 
-    Scale shape: fact⋈dim equi-join then ONE integer-cents hash agg
-    to the day grain; the rolling frame is a window over that
+    Scale shape: fact⋈dim equi-join (no broadcast hint — the
+    customer projection is linear in sf, so the optimizer picks the
+    strategy from measured sizes) then ONE integer-cents hash agg to
+    the day grain; the rolling frame is a window over that
     CALENDAR-BOUNDED grain (days, not facts — the cusum/IMR
-    pattern). Moments enter the frame as exact integers widened to
-    double; both engines sum the same {_BETA_WIN} values per frame
-    and the exposed β is rounded."""
+    pattern). Every moment, the covariance/variance products, and
+    the exposed β stay in exact integer arithmetic end to end:
+    β is emitted as beta_e4 = round(β·1e4) computed by integer
+    division with half-away-from-zero rounding in decimal(38,0)
+    (Spark) / HUGEINT (DuckDB), so no float ever reaches the
+    driver's value hash."""
     o = load_table(spark, sf_dir, "orders")
     cst = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     d = (
-        o.join(F.broadcast(cst), o.o_custkey == cst.c_custkey)
+        o.join(cst, o.o_custkey == cst.c_custkey)
         .select(
             F.to_date("o_orderdate").alias("day"),
             cents.alias("c"),
@@ -1250,8 +1261,9 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = (
         Window.orderBy("day").rowsBetween(-(_BETA_WIN - 1), Window.currentRow)
     )
-    x = F.col("mkt").cast("double")
-    y = F.col("seg").cast("double")
+    dec = "decimal(38,0)"
+    x = F.col("mkt").cast(dec)
+    y = F.col("seg").cast(dec)
     w = d.select(
         "day",
         F.count("*").over(win).alias("n_w"),
@@ -1260,17 +1272,22 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).over(win).alias("sxx"),
         F.sum(x * y).over(win).alias("sxy"),
     )
-    return w.filter(F.col("n_w") == _BETA_WIN).select(
+    n = F.col("n_w").cast(dec)
+    r = w.filter(F.col("n_w") == _BETA_WIN).select(
+        "day",
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return r.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(
-            (F.col("n_w") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.nullif(
-                F.col("n_w") * F.col("sxx") - F.col("sx") * F.col("sx"),
-                F.lit(0.0),
+        (
+            F.when(F.col("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(num) * 20000 + den) div nullif(2 * den, cast(0 as decimal(38,0)))"
             )
-            + F.lit(1e-9),
-            4,
-        ).alias("beta"),
+        )
+        .cast("bigint")
+        .alias("beta_e4"),
     )
 
 
@@ -2329,7 +2346,10 @@ WITH u AS (
          CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS death
   FROM u CROSS JOIN m
 ), tau AS (
-  SELECT (max(t) / 2)::BIGINT AS tau FROM l
+  -- integer floor division: DuckDB's double->BIGINT cast rounds to
+  -- nearest while Spark's cast truncates; // makes both engines
+  -- floor, so an odd max(t) yields the same tau on both sides
+  SELECT (max(t) // 2)::BIGINT AS tau FROM l
 ), g AS (
   SELECT t, sum(death)::BIGINT AS d, sum(1 - death)::BIGINT AS c
   FROM l GROUP BY t
@@ -2392,7 +2412,7 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(F.col("dd").isNotNull(), 1).otherwise(0).alias("death"),
     )
-    tau = l.agg((F.max("t") / F.lit(2)).cast("bigint").alias("tau"))
+    tau = l.agg(F.floor(F.max("t") / F.lit(2)).cast("bigint").alias("tau"))
     g = l.groupBy("t", "n_users").agg(
         F.sum("death").cast("bigint").alias("d"),
         F.sum(F.lit(1) - F.col("death")).cast("bigint").alias("c"),
@@ -3003,12 +3023,20 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for (a, b), c in sorted(agg.items()):
                         if a == s:
                             acc += (c / out_tot[s]) * v.get(b, 0.0)
-                    nv[s] = round(acc, _MKV_DP)
+                    # DuckDB round(double, dp) is half-away-from-zero
+                    # (std::round of the scaled value); Python round()
+                    # is banker's half-even — emulate the oracle so the
+                    # per-iteration rounding step keeps bit-parity
+                    # (acc >= 0, so half-up == half-away)
+                    nv[s] = math.floor(acc * 10**_MKV_DP + 0.5) / 10**_MKV_DP
             v = nv
         rows.append((var, v.get("START", 0.0)))
     p0 = next(p for var, p in rows if var == "base")
+    # p0 == 0 mirrors the oracle's greatest(1.0 - p/nullif(p0,0), 0.0):
+    # DuckDB's greatest skips the NULL operand and yields 0.0, so a
+    # conversion-free corpus attributes zero removal to every channel
     rem = [
-        (var, max(1.0 - (p / p0 if p0 else 0.0), 0.0))
+        (var, max(1.0 - p / p0, 0.0) if p0 else 0.0)
         for var, p in rows
         if var != "base"
     ]

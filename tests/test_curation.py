@@ -375,3 +375,19 @@ class TestBenjaminiHochberg:
         # p is non-decreasing in rank
         ps = [r["p_value"] for r in rows]
         assert all(a <= b for a, b in zip(ps, ps[1:]))
+
+
+class TestCrossSourceLeakageCacheHygiene:
+    def test_cache_manager_empty_right_after_action(self, spark, sf_dir):
+        """r10 advice residual: the MinHash signature frame must not
+        lean on the sweep-level release_persisted() — with
+        persist=False the query enrolls NOTHING in the CacheManager,
+        so it is empty immediately after the action with no hook."""
+        from resume_jd_matcher_spark.operators import dedup
+        from resume_jd_matcher_spark.queries import curation_q
+
+        spark.catalog.clearCache()
+        ledger_before = len(dedup._PERSISTED)
+        curation_q.q_cross_source_leakage(spark, sf_dir).collect()
+        assert len(dedup._PERSISTED) == ledger_before
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

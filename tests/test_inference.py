@@ -515,7 +515,7 @@ class TestRollingBeta:
         rows = iq.q_rolling_beta(spark, SF).collect()
         assert len(rows) == 30 - 13
         for r in rows:
-            assert r["beta"] == pytest.approx(0.5, abs=1e-6)
+            assert r["beta_e4"] == 5000  # β = 0.5 exactly, scaled 1e4
 
 
 class TestLocalClustering:

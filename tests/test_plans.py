@@ -443,6 +443,16 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row mean + 1-row spectral-total broadcasts over the
         # calendar-bounded (day grain x 16-frequency spine):
         "periodogram",
+        # -- round 11, structure family --
+        # 1-row (n_calib, k) + 1-row q-hat + 1-row coverage scalars
+        # crossed around the value-grain prefix and the eval agg:
+        "conformal_interval",
+        # 1-row corpus total crossed into the per-cluster fixed-point
+        # terms, then the 1-row precision x 1-row recall cross for F1:
+        "bcubed_eval",
+        # 1-row global-mean-frequency + 1-row weight-total broadcasts
+        # crossed into the |sources|-bounded grain:
+        "doremi_reweight",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):
