@@ -242,33 +242,28 @@ def pagerank(
 
     Each iteration: contributions ride one equi-join of the slim
     (node, pr/deg) projection with the edge list, then one map-side-
-    combined sum per destination — O(edges) shuffle per round, flat
-    lineage via localCheckpoint. Output: (id_col, pr).
+    combined sum per destination — O(edges) shuffle per round, ONE
+    job for the whole unrolled chain. Output: (id_col, pr).
     """
     # Materialize the edge list ONCE: it feeds deg + every iteration
     # (n_iter+1 consumers), and upstream edge derivations (e.g. the
     # full MinHash pipeline) must not re-run per round — same
     # checkpoint discipline as the label-propagation loop above.
     edges = edges.localCheckpoint()
-    # Right-size frames to their measured row counts: the graphs this
-    # runs on (min-count token graphs, LSH candidate graphs) are
-    # usually vocabulary-bounded, and a checkpoint otherwise inherits
-    # the 32-partition shuffle layout — every subsequent round then
-    # pays 32-task stage latency to move a few thousand rows. Both
-    # counts are already needed (edges is materialized, n feeds the
-    # teleport term), so the sizing is free.
-    n_edges = edges.count()
-    eparts = max(1, min(32, n_edges // 50_000 + 1))
-    if eparts < 32:
-        edges = edges.coalesce(eparts)
     n = nodes.count()  # bounded scalar: the node count
-    nparts = max(1, min(32, n // 50_000 + 1))
     base = (1.0 - damping) / n
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    r = nodes.select(
+    # The rank chain is LINEAR (each frame referenced exactly once by
+    # the next), so the unrolled plan evaluates each round once with
+    # no per-iteration action; r10 checkpointed every round, which
+    # cost one eager job per iteration and measured 2x slower at
+    # sf0.1 (3.2 s -> 1.5 s warm on the textrank graph). nodes is
+    # checkpointed once: it feeds two subtrees per round.
+    nodes_c = nodes.localCheckpoint()
+    r = nodes_c.select(
         F.col(id_col).alias("node"),
         F.round(F.lit(1.0 / n), round_dp).alias("pr"),
-    ).coalesce(nparts).localCheckpoint()
+    )
     for _ in range(n_iter):
         contrib = (
             edges.join(r, edges["src"] == r["node"])
@@ -277,7 +272,7 @@ def pagerank(
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )
         r = (
-            nodes.select(F.col(id_col).alias("node"))
+            nodes_c.select(F.col(id_col).alias("node"))
             .join(contrib, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
@@ -286,8 +281,6 @@ def pagerank(
                     round_dp,
                 ).alias("pr"),
             )
-            .coalesce(nparts)
-            .localCheckpoint()
         )
     return r.select(F.col("node").alias(id_col), "pr")
 
@@ -419,16 +412,13 @@ def connected_components_star(
     )
     prev_sum = edge_checksum(cur)
     converged = False
-
-    def right_parts(n_edges: int) -> int:
-        # Star contraction SHRINKS the edge set geometrically, but a
-        # checkpoint inherits the 32-partition shuffle layout — later
-        # rounds then pay 32-task stage latency to move a few hundred
-        # rows (the r10 verdict's 10x kernel-ratio lead). Size each
-        # round's frame to its measured edge count instead; the count
-        # is free (edge_checksum already collects it every round).
-        return max(1, min(32, n_edges // 50_000 + 1))
-
+    # Measured dead end (r11, following the r10 verdict's suggestion):
+    # coalescing each round's checkpointed edge frame to its measured
+    # edge count (coalesce(1) at these graph sizes) SLOWED the kernel
+    # 3.6 -> 5.2 s at sf0.1 — the narrow coalesce folds the round's
+    # distinct/join reduce work into one task, which costs more than
+    # the 32-task stage latency it saves. The 32-partition layout
+    # stays.
     for _ in range(max_iter):
         both = cur.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
             cur.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
@@ -459,7 +449,6 @@ def connected_components_star(
                 F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
             )
             .distinct()
-            .coalesce(right_parts(prev_sum[0]))
             .localCheckpoint(eager=True)
         )
         cur = ss

@@ -1,16 +1,19 @@
 """Round-11 family: graph structure, shard assignment, and
 calibration governance over the fixture tables.
 
-Six operators a 100-TB training-data platform needs beyond the r10
+Eight operators a 100-TB training-data platform needs beyond the r10
 inventory: HITS hub/authority centrality (the eigenvector-family
 member pagerank_neardup doesn't cover), synchronous label-propagation
 communities (modularity structure, not connectivity — cc/k-core see
 components, LPA sees dense sub-groups), rendezvous (HRW) shard
 routing with a resize-movement audit, split-conformal prediction
 intervals (finite-sample coverage guarantee for any point predictor),
-B-cubed cluster-quality evaluation of the dedup clustering, and a
+B-cubed cluster-quality evaluation of the dedup clustering, a
 multiplicative-weights domain-reweighting pass (DoReMi-style
-excess-difficulty upweighting with a frequency-rarity proxy).
+excess-difficulty upweighting with a frequency-rarity proxy), exact
+Shapley-value conversion attribution (the axiomatic member of the
+attribution trio), and a Fano-factor burstiness profile of the event
+stream.
 
 Determinism discipline (the r11 rolling_beta lesson, applied from
 birth): every exposed number in this module is an exact integer or a
@@ -746,4 +749,276 @@ def q_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_halfup_div("wraw", "tw", 10**6))
         .cast("bigint")
         .alias("weight_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution over conversion journeys
+# ---------------------------------------------------------------------------
+
+_SHAP_MAX_CH = 20  # 2^n coalition enumeration guard
+
+
+def _shapley_sql() -> str:
+    # factorial via ln/exp is float-unsafe; build it as a self-join
+    # product of a small literal spine instead (n <= 20)
+    return """WITH fp AS (
+  SELECT user_id, min(ts) AS pts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), journey AS (
+  SELECT e.user_id, e.event_type,
+         CASE WHEN fp.pts IS NOT NULL THEN 1 ELSE 0 END AS conv
+  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE (fp.pts IS NULL OR e.ts <= fp.pts)
+    AND e.event_type <> 'purchase'
+), ch AS MATERIALIZED (
+  SELECT event_type,
+         (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS idx
+  FROM (SELECT DISTINCT event_type FROM journey)
+), n AS (SELECT count(*)::BIGINT AS n FROM ch),
+um AS (
+  SELECT j.user_id, sum(DISTINCT (1::BIGINT << ch.idx))::BIGINT AS mask,
+         max(j.conv) AS conv
+  FROM journey j JOIN ch USING (event_type)
+  GROUP BY j.user_id
+), msk AS MATERIALIZED (
+  SELECT mask, sum(conv)::HUGEINT AS n_conv FROM um GROUP BY mask
+), subsets AS MATERIALIZED (
+  SELECT s.s AS smask,
+         len(replace(bin(s.s::UBIGINT), '0', ''))::BIGINT AS sz
+  FROM (SELECT unnest(generate_series(0::BIGINT,
+               ((1::BIGINT << (SELECT n FROM n)) - 1)::BIGINT)) AS s) s
+), v AS MATERIALIZED (
+  SELECT s.smask, s.sz, coalesce(sum(m.n_conv), 0)::HUGEINT AS v
+  FROM subsets s LEFT JOIN msk m ON (m.mask & ~s.smask) = 0
+  GROUP BY s.smask, s.sz
+), fact AS MATERIALIZED (
+  SELECT a.k,
+         coalesce((SELECT product(b.k::DOUBLE) FROM
+                   (SELECT unnest(generate_series(1, a.k)) AS k) b),
+                  1)::HUGEINT AS f
+  FROM (SELECT unnest(generate_series(0, (SELECT n FROM n))) AS k) a
+), phi AS (
+  SELECT ch.event_type,
+         sum(fs.f * fns.f * (vi.v - vs.v))::HUGEINT AS phi_scaled
+  FROM ch
+  JOIN v vs ON (vs.smask & (1::BIGINT << ch.idx)) = 0
+  JOIN v vi ON vi.smask = (vs.smask | (1::BIGINT << ch.idx))
+  JOIN fact fs ON fs.k = vs.sz
+  JOIN fact fns ON fns.k = (SELECT n FROM n) - 1 - vs.sz
+  GROUP BY ch.event_type
+), tot AS (SELECT sum(phi_scaled)::HUGEINT AS t FROM phi)
+SELECT phi.event_type AS channel, phi.phi_scaled::BIGINT AS phi_scaled,
+       CASE WHEN tot.t = 0 THEN 0
+            ELSE ((phi.phi_scaled * 2000000 + tot.t) // (2 * tot.t))
+       END::BIGINT AS share_e6
+FROM phi, tot
+"""
+
+
+@register("shapley_attribution", _shapley_sql())
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 [EXT]: exact Shapley-value attribution (Shapley 1953;
+    Zhao et al. 2018 for the marketing formulation) — channels are
+    players, v(S) = conversions among users whose pre-conversion
+    touchset is contained in coalition S, and each channel's credit
+    is its exact Shapley sum. The AXIOMATIC member of the attribution
+    trio: multitouch divides by position, markov_attribution asks the
+    counterfactual, Shapley is the unique efficient/symmetric/
+    additive split. phi is exposed scaled by n! (every coalition
+    weight |S|!(n-1-|S|)! is then an integer) plus the e6 share —
+    exact integers end to end.
+
+    Scale shape: the fact collapses to per-user touchset BITMASKS
+    (one conditional agg per user), then to the <= 2^n-bounded
+    (mask, conversions) grain; the 2^n coalition enumeration and the
+    Shapley sum run driver-side on that bounded census (the
+    markov/HITS precedent), guarded at n <= {n} channels. The oracle
+    replays the identical enumeration with DuckDB bit algebra.""".format(
+        n=_SHAP_MAX_CH
+    )
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    j = (
+        e.join(fp, "user_id", "left")
+        .filter(
+            (F.col("pts").isNull() | (F.col("ts") <= F.col("pts")))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias("conv"),
+        )
+    )
+    # bounded: |channels| rows
+    channels = sorted(
+        r["event_type"]
+        for r in j.select("event_type").distinct().collect()
+    )
+    n = len(channels)
+    if n > _SHAP_MAX_CH:
+        raise ValueError(
+            f"shapley_attribution: {n} channels exceeds the 2^n "
+            f"enumeration guard ({_SHAP_MAX_CH}); bucket channels first"
+        )
+    idx = {c: i for i, c in enumerate(channels)}
+    idx_map = F.create_map(
+        *[x for c, i in idx.items() for x in (F.lit(c), F.lit(i))]
+    )
+    # per-user DISTINCT bit set via bit_or (a sum would
+    # double-count repeated touches of the same channel)
+    um = (
+        j.select(
+            "user_id",
+            F.element_at(idx_map, F.col("event_type")).alias("idx"),
+            "conv",
+        )
+        .select(
+            "user_id",
+            F.expr("shiftleft(cast(1 as bigint), idx)").alias("bit"),
+            "conv",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(bit)").alias("mask"),
+            F.max("conv").alias("conv"),
+        )
+    )
+    # bounded: <= 2^n rows
+    msk = [
+        (r["mask"], r["nc"])
+        for r in um.groupBy("mask")
+        .agg(F.sum("conv").cast("bigint").alias("nc"))
+        .collect()
+    ]
+    # driver-side exact enumeration (bounded census)
+    full = 1 << n
+    v = [0] * full
+    for mask, nc in msk:
+        # add nc to every superset of mask: iterate supersets directly
+        s = mask
+        while True:
+            v[s] += nc
+            if s == full - 1:
+                break
+            s = (s + 1) | mask
+    import math
+
+    phi = {}
+    for c in channels:
+        bit = 1 << idx[c]
+        acc = 0
+        for s in range(full):
+            if s & bit:
+                continue
+            sz = bin(s).count("1")
+            w = math.factorial(sz) * math.factorial(n - 1 - sz)
+            acc += w * (v[s | bit] - v[s])
+        phi[c] = acc
+    tot = sum(phi.values())
+    rows = [
+        (
+            c,
+            phi[c],
+            (phi[c] * 2 * 10**6 + tot) // (2 * tot) if tot else 0,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, phi_scaled bigint, share_e6 bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness profile: Fano factor + CV^2 of daily event counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "burstiness_fano",
+    """
+WITH d AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM span
+), grid AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM events) t, spine s
+), g AS (
+  SELECT grid.event_type, coalesce(d.c, 0)::HUGEINT AS c
+  FROM grid LEFT JOIN d USING (event_type, day)
+), st AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(c)::HUGEINT AS s1, sum(c * c)::HUGEINT AS s2
+  FROM g GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n_days, s1::BIGINT AS n_events,
+       (((n * s2 - s1 * s1) * 2000000 + (n - 1) * s1)
+        // nullif(2 * (n - 1) * s1, 0))::BIGINT AS fano_e6,
+       ((n * (n * s2 - s1 * s1) * 2000000 + (n - 1) * s1 * s1)
+        // nullif(2 * (n - 1) * s1 * s1, 0))::BIGINT AS cv2_e6
+FROM st
+""",
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 [EXT]: burstiness profile of the event stream — Fano
+    factor (variance-to-mean ratio of daily counts, 1 under Poisson)
+    and the squared coefficient of variation per event type, on the
+    zero-filled calendar spine so quiet days count. The
+    dispersion-side companion of imr_control_chart (level) and
+    permutation_entropy (order): Fano >> 1 flags bursty arrivals that
+    break per-day capacity planning and Poisson-assuming samplers.
+    Both readouts are pure integer ratios of exact count moments —
+    n·Σc² − (Σc)² over scaled denominators — so the fixed-point e6
+    exposures are bit-stable.
+
+    Scale shape: ONE (type, day) hash agg over the fact, a
+    |types| x |days| calendar-bounded zero-fill grid, one moment agg
+    per type; no windows, no joins wider than the bounded grid."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    g = grid.join(d, ["event_type", "day"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).cast(_DEC).alias("c")
+    )
+    st = g.groupBy("event_type").agg(
+        F.count("*").cast(_DEC).alias("n"),
+        F.sum("c").cast(_DEC).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast(_DEC).alias("s2"),
+    )
+    return st.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.expr(
+            "((n * s2 - s1 * s1) * 2000000 + (n - 1) * s1)"
+            " div nullif(2 * (n - 1) * s1, cast(0 as decimal(38,0)))"
+        )
+        .cast("bigint")
+        .alias("fano_e6"),
+        F.expr(
+            "(n * (n * s2 - s1 * s1) * 2000000 + (n - 1) * s1 * s1)"
+            " div nullif(2 * (n - 1) * s1 * s1, cast(0 as decimal(38,0)))"
+        )
+        .cast("bigint")
+        .alias("cv2_e6"),
     )

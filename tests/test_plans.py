@@ -453,6 +453,9 @@ def test_registry_wide_no_cartesian_products(spark):
         # 1-row global-mean-frequency + 1-row weight-total broadcasts
         # crossed into the |sources|-bounded grain:
         "doremi_reweight",
+        # calendar-bounded day spine broadcast crossed into the
+        # |event_types| dim to build the zero-fill grid:
+        "burstiness_fano",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):

@@ -272,3 +272,83 @@ class TestDoremiReweight:
         rows = sq.q_doremi_reweight(spark, sf_dir).collect()
         total = sum(r["weight_e6"] for r in rows)
         assert abs(total - 10**6) <= len(rows)  # half-up per share
+
+
+class TestShapleyAttribution:
+    def test_hand_computed_two_channels(self, spark, monkeypatch):
+        """u1: A -> purchase; u2: B (no conversion); u3: A,B ->
+        purchase. v(0)=0, v(A)=1, v(B)=0, v(AB)=2 — phi.2! = (3, 1)."""
+        import datetime as dt
+
+        from resume_jd_matcher_spark.queries import structure_q as sq
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ev(i, u, typ, minute):
+            return (i, t0 + dt.timedelta(minutes=minute), u, typ, 1.0, "{}")
+
+        rows = [
+            ev(0, 1, "A", 0), ev(1, 1, "purchase", 1),
+            ev(2, 2, "B", 0),
+            ev(3, 3, "A", 0), ev(4, 3, "B", 1), ev(5, 3, "purchase", 2),
+        ]
+        e = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        monkeypatch.setattr(sq, "load_table", lambda *a: e)
+        out = {
+            r["channel"]: r
+            for r in sq.q_shapley_attribution(spark, SF).collect()
+        }
+        assert out["A"]["phi_scaled"] == 3
+        assert out["B"]["phi_scaled"] == 1
+        assert out["A"]["share_e6"] == 750_000
+        assert out["B"]["share_e6"] == 250_000
+
+    def test_efficiency_property(self, spark, sf_dir):
+        """Sum of scaled phis equals n!.(v(N) - v(0)) — shares sum
+        to ~1e6."""
+        from resume_jd_matcher_spark.queries import structure_q as sq
+
+        rows = sq.q_shapley_attribution(spark, sf_dir).collect()
+        total = sum(r["share_e6"] for r in rows)
+        assert abs(total - 10**6) <= len(rows)
+
+
+class TestBurstinessFano:
+    def test_hand_computed_counts(self, spark, monkeypatch):
+        """Daily counts (2, 0, 4) over a 3-day spine: Fano = 2.0,
+        CV^2 = 1.0 — both exact fixed-point."""
+        import datetime as dt
+
+        from resume_jd_matcher_spark.queries import structure_q as sq
+
+        t0 = dt.datetime(2024, 1, 1, 12)
+        rows = []
+        eid = 0
+        for day, cnt in ((0, 2), (2, 4)):
+            for _ in range(cnt):
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day), 1, "view", 1.0, "{}")
+                )
+                eid += 1
+        e = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        monkeypatch.setattr(sq, "load_table", lambda *a: e)
+        [r] = sq.q_burstiness_fano(spark, SF).collect()
+        assert r["n_days"] == 3 and r["n_events"] == 6
+        assert r["fano_e6"] == 2_000_000
+        assert r["cv2_e6"] == 1_000_000
+
+    def test_poisson_ish_near_one(self, spark, sf_dir):
+        """On the fixture, every type's Fano is positive and finite;
+        constant-rate types sit near 1."""
+        from resume_jd_matcher_spark.queries import structure_q as sq
+
+        rows = sq.q_burstiness_fano(spark, sf_dir).collect()
+        assert rows and all(r["fano_e6"] >= 0 for r in rows)

@@ -46,7 +46,8 @@ HEADLINERS = {
     "corpus_shuffle": "global positions via bucket-offset rank: data windows "
     "partitioned by bucket; only the <=256-row offset table is single-partition",
     "pagerank_neardup": "edge list checkpointed once; each iteration one "
-    "equi-join + map-side-combined sum, lineage flat",
+    "equi-join + map-side-combined sum; the linear rank chain runs as "
+    "ONE job (r11 dropped the per-round eager checkpoints, 2x)",
     "semdedup": "pair scan is a cid equi-join over the persisted Lloyd "
     "assignment (InMemoryTableScan on both sides, fit runs once); only "
     "the <=8-row centroid table is nested-loop-broadcast",
@@ -449,6 +450,33 @@ HEADLINERS = {
     "rollup - no single-partition window",
     "mcnemar_test": "order-grain label join + ONE discordant-cell "
     "agg; 1-row closed form",
+    # -- round 11, structure family --
+    "hits_scores": "fact collapses ONCE to the distinct edge grain; "
+    "M = EtE from one user-keyed self-join hash agg; the iteration "
+    "runs on the collected |types|^2-bounded exact integers — no "
+    "per-round job over the user grain",
+    "label_propagation": "banded LSH candidates, then the cost-routed "
+    "trajectory: bounded take() routes small graphs to the driver "
+    "loop; distributed path is one edge-label equi-join + two "
+    "map-side-combinable aggs per round, no collect_list",
+    "shard_rendezvous": "linear explode to doc x (shards+1), ONE "
+    "max_by(struct) hash agg per doc (no window), 16-row final agg",
+    "conformal_interval": "order statistic from value-grain counts + "
+    "global_prefix (no raw-score sort, no percentile buffer); "
+    "predictor means a 5-row broadcast; scalars 1-row broadcasts",
+    "bcubed_eval": "metric runs on the (pred x gold) CELL grain — "
+    "bounded by cluster counts; labels from the cost-routed cc over "
+    "banded candidates; fixed-point integer algebra end to end",
+    "doremi_reweight": "token stream pre-aggregated to (source, tok) "
+    "BEFORE the vocab join (grouped-grain equi-join, never raw "
+    "occurrences); |sources|-bounded algebra after",
+    "shapley_attribution": "fact collapses to per-user touchset "
+    "bitmasks (one bit_or agg), then the <=2^n (mask, conversions) "
+    "census; the coalition enumeration runs driver-side on that "
+    "bounded census, guarded at n<=20 channels",
+    "burstiness_fano": "ONE (type, day) hash agg; zero-fill grid is "
+    "|types| x calendar-bounded days; moment agg per type — no "
+    "windows, exact integer moments",
 }
 
 

@@ -338,6 +338,17 @@ REGISTERED = [
     # round-10 batch 8 (customer / orders inputs):
     "gaussian_mixture_em",
     "periodogram",
+    # round-11 structure family (relational members; label_propagation
+    # and bcubed_eval are doc_id-capped documents kernels sharing the
+    # text curve's minhash-edge chain; shard_rendezvous and
+    # doremi_reweight are documents kernels on the text curve):
+    "hits_scores",
+    "conformal_interval",
+    # round-11 batch 2 (events inputs; shapley's 2^n enumeration runs
+    # on the bounded touchset census — its fact cost is the per-user
+    # bitmask agg, measured here):
+    "shapley_attribution",
+    "burstiness_fano",
 ]
 
 
