@@ -326,6 +326,12 @@ def lloyd_kmeans_partition(
             .select(F.col(id_col), F.col("_m._cid").alias("_cid"))
         )
 
+    # Measured dead end (r11): computing the per-dim means as ONE
+    # hash agg of dim avg(_v[i]) columns — to avoid this posexplode's
+    # rows x dim long-form shuffle — measured ~1.7x SLOWER end to end
+    # (ivf_pq_topk 3.8 -> 6.3 s, semdedup 1.9 -> 5.2 s at sf0.1): the
+    # 64 per-row GetArrayItem aggregate updates cost more than the
+    # narrow explode shuffle they replace. The long form stays.
     for _ in range(n_iter):
         a = assign(cents).join(v, id_col)
         long = a.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
@@ -423,6 +429,9 @@ def lloyd_kmeans_grouped(
         )
         .localCheckpoint()
     )
+    # Long-form per-dim means, same rationale as
+    # lloyd_kmeans_partition (the wide avg(_v[i]) agg measured slower
+    # — see the note there).
     for _ in range(n_iter):
         a = assign_to_centroids_grouped(
             v, cents, group_col=group_col, id_col=id_col, vec_col="_v"

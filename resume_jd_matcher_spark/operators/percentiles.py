@@ -138,123 +138,107 @@ def group_percentiles_exact(
 
 def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     """EXACT interpolated global median of ``value_col`` as a 1-row
-    DataFrame ``(med DOUBLE, n BIGINT)`` — sketch-guided selection:
+    DataFrame ``(med DOUBLE, n BIGINT)`` — bucket-histogram selection
+    (group_percentiles_exact's two-scan plan, globalized; replaced the
+    r10/r11a percentile_approx-bracket spelling, whose GK sketch and
+    generic global-prefix machinery were each ~2 s of fixed cost at
+    sf0.1 while this plan's three jobs total well under 1 s):
 
-    1. one pass computes n and an approx [49.4%, 50.6%] value bracket
-       (``percentile_approx``, accuracy 500 → Greenwald-Khanna rank
-       error ≤ n/500 = 0.2%·n, 3x smaller than the 0.6%·n bracket
-       margin, so the true middle ranks k = floor/ceil(0.5·(n-1)+1)
-       always land inside; accuracy 500 measured ~30% cheaper than
-       2000 on a 2.9M-row input with the same guarantee structure);
-    2. ONE fused second pass zones every row against the bracket
-       (below / inside / above) and collapses it to the zone×value
-       grain in a single map-side-combined aggregate — the below-rank
-       offset and the bracket slice's value histogram come out of the
-       same scan (r10 spelled these as two separate passes over the
-       input plus an unbounded 4% slice; at sf0.1 theil_sen's 2.9M
-       pair space spent ~3 of its 4 s re-scanning for them).
-    3. the slice histogram is ranked with a tiny global prefix and
-       the two middle ranks interpolate (quantile_cont semantics).
+    1. one pass pins n / min / max (merge-order-invariant, so the
+       eager pin can never diverge from a recompute);
+    2. one pass histograms every row into 65536 equal-width buckets
+       (map-side-combined; the cumulative count over the bounded
+       bucket grain runs as ONE single-partition window — 64k rows,
+       not data) and the bucket(s) covering the two middle ranks
+       k = floor/ceil(0.5·(n-1)+1) fall out with their EXACT
+       rank offsets — no sketch, no probabilistic bracket;
+    3. one final pass keeps only rows in those ≤2 target buckets
+       (~n/65536 rows + tie mass), collapses them to the value grain,
+       ranks that tiny grain with another single-partition cumulative
+       window, and interpolates (quantile_cont semantics).
 
-    Inputs of ≤ 100k rows skip the bracket (the when() collapses it
-    to ±infinity, every row zones inside) and rank everything — below
-    that size the sketch's rank guarantee has no room and a full sort
-    is free anyway.
-
-    This is the selection-by-sampling classic (Floyd-Rivest style)
-    rephrased as two declarative scans: unlike ``percentile()`` it
-    never buffers all values in one aggregate, and unlike a global
-    rank (operators/prefix.py) it never sorts the full input — the
-    only sort covers the ~1.2% bracket slice's value grain. NULLs are
-    skipped (quantile semantics). Heavy tie mass AT the median widens
-    the slice (every tied row falls inside the bracket) but never
-    breaks correctness — ties collapse to one (value, count) row in
-    the zone grain, so no stage ever sees the tie mass row-wise
-    (rank-within-tie was the one thing no bucket scheme could
-    parallelize, and the median never needed it).
-
-    The 1-row stats frame is pinned eagerly for the same reason
-    prefix.py pins its height-mode bounds: ``percentile_approx`` is
-    merge-order-sensitive and ``s`` is embedded in the zone keys —
-    a divergent recompute would zone rows against a different
-    bracket than the ranks assume, corrupting the selection. One
-    row: pinning is free. The zone grain (≤ slice-distinct + 2 rows)
-    is persisted and enrolled in the engine-wide release ledger so
-    the prefix machinery and the below-offset both read the one
-    materialization instead of re-scanning the input.
+    NULLs are skipped (quantile semantics). Heavy tie mass AT the
+    median lands in one bucket but collapses to one (value, count)
+    row at the value grain, so no stage ever sees the tie mass
+    row-wise (rank-within-tie was the one thing no bucket scheme
+    could parallelize, and the median never needed it). A degenerate
+    min==max domain routes every row to bucket 1 and interpolation
+    returns that single value. The only single-partition windows run
+    over the 64k-bounded bucket grain and the ≤2-bucket value grain —
+    never over data.
     """
     from resume_jd_matcher_spark.operators.dedup import _PERSISTED
-    from resume_jd_matcher_spark.operators.prefix import global_prefix
 
-    small_n = 100_000
+    n_buckets = 65_536
     x = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v")
     )
     s = x.agg(
         F.count("*").cast("bigint").alias("_n"),
-        F.percentile_approx(
-            "_v", F.array(F.lit(0.494), F.lit(0.506)), F.lit(500)
-        ).alias("_br"),
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
     ).localCheckpoint(eager=True)
-    lo = F.when(F.col("_n") <= small_n, F.lit(float("-inf"))).otherwise(
-        F.col("_br")[0]
+    xb = x.crossJoin(F.broadcast(s))
+    bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(1)).otherwise(
+        F.width_bucket("_v", "_lo", "_hi", F.lit(n_buckets))
     )
-    hi = F.when(F.col("_n") <= small_n, F.lit(float("inf"))).otherwise(
-        F.col("_br")[1]
+    hist = (
+        xb.groupBy(bkt.alias("_b"))
+        .agg(F.count("*").cast("bigint").alias("_bc"))
+        # bounded: <= n_buckets+1 rows; ONE partition so the
+        # cumulative window below needs no global machinery
+        .coalesce(1)
     )
-    xb = x.crossJoin(F.broadcast(s)).select(
-        "_v", "_n", lo.alias("_lo"), hi.alias("_hi")
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    # bucket _b covers global ranks (_cum - _bc, _cum]
+    ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).localCheckpoint(
+        eager=True
     )
-    # Fused zone pass: -1 below the bracket, 0 inside (keyed by
-    # value), +1 above. Out-of-bracket rows keep a NULL value key so
-    # the whole scan collapses to ≤ |slice distinct| + 2 rows.
-    zone = (
-        F.when(F.col("_v") < F.col("_lo"), F.lit(-1))
-        .when(F.col("_v") > F.col("_hi"), F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    zg = (
-        xb.select(
-            zone.alias("_z"),
-            F.when(zone == 0, F.col("_v")).alias("_vv"),
+    t = F.lit(0.5) * (F.col("_n") - 1) + 1
+    k_lo, k_hi = F.floor(t), F.ceil(t)
+    tb = ch.crossJoin(F.broadcast(s)).filter(
+        (
+            (F.col("_cum") >= k_lo)
+            & (F.col("_cum") - F.col("_bc") < k_lo)
         )
-        .groupBy("_z", "_vv")
-        .agg(F.count("*").cast("bigint").alias("_cnt"))
-        .persist()
-    )
-    _PERSISTED.append(zg)
-    below = zg.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("_z") == -1, F.col("_cnt"))), F.lit(0)
+        | (
+            (F.col("_cum") >= k_hi)
+            & (F.col("_cum") - F.col("_bc") < k_hi)
         )
+    )
+    # <= 2 rows; the slice's global rank offset is the cumulative
+    # count before its FIRST target bucket
+    off = tb.agg(
+        F.coalesce(F.min(F.col("_cum") - F.col("_bc")), F.lit(0))
         .cast("bigint")
         .alias("_c_below")
     )
-    t = F.lit(0.5) * (F.col("_n") - 1) + 1
-    vc = zg.filter(F.col("_z") == 0).select(
-        F.col("_vv").alias("_v"), "_cnt"
+    vc = (
+        xb.join(F.broadcast(tb.select("_b").distinct()), bkt == F.col("_b"))
+        .groupBy("_v")
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+        .coalesce(1)
+        .persist()
     )
-    # checkpoint=False: vc is a filter over the persisted zone grain —
-    # each internal consumer reads the cache, not the input.
-    ranked = global_prefix(
-        vc, ["_v"], sum_col="_cnt", sum_type="bigint", checkpoint=False
-    )
-    # A value row covers slice-local ranks (cum_sum-_cnt, cum_sum];
+    _PERSISTED.append(vc)
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.withColumn("cum_sum", F.sum("_cnt").over(wv))
+    # A value row covers slice-local ranks (cum_sum - _cnt, cum_sum];
     # shift by _c_below to global ranks and keep the row(s) covering
     # the two middle ranks.
-    k_lo = F.floor(t) - F.col("_c_below")
-    k_hi = F.ceil(t) - F.col("_c_below")
+    kl = F.floor(t) - F.col("_c_below")
+    kh = F.ceil(t) - F.col("_c_below")
     mid = (
-        ranked.crossJoin(F.broadcast(below))
+        ranked.crossJoin(F.broadcast(off))
         .crossJoin(F.broadcast(s.select("_n")))
         .filter(
             (
-                (F.col("cum_sum") >= k_lo)
-                & (F.col("cum_sum") - F.col("_cnt") < k_lo)
+                (F.col("cum_sum") >= kl)
+                & (F.col("cum_sum") - F.col("_cnt") < kl)
             )
             | (
-                (F.col("cum_sum") >= k_hi)
-                & (F.col("cum_sum") - F.col("_cnt") < k_hi)
+                (F.col("cum_sum") >= kh)
+                & (F.col("cum_sum") - F.col("_cnt") < kh)
             )
         )
     )

@@ -1248,12 +1248,13 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space is CALENDAR-bounded (days^2 — ~2.9M pairs for 7 years,
     INDEPENDENT of fact rows; coarsen to week grain for decade-plus
     calendars). The pair build is a broadcast self-pairing of the
-    bounded day summary; the slope median runs the sketch-guided
-    exact selection (operators/percentiles.global_median_exact): a
-    percentile_approx bracket pass, then ranking ONLY the ~4%
-    bracket slice — never a full-input sort or a raw-value agg
-    buffer (a full global rank of the pair space measured 7-13 s at
-    sf0.1; the bracketed selection is ~2 s); the intercept median
+    bounded day summary; the slope median runs the bucket-histogram
+    exact selection (operators/percentiles.global_median_exact):
+    min/max pin, a 65536-bucket histogram with exact cumulative
+    ranks, then ranking ONLY the 1-2 target buckets' value grain —
+    never a full-input sort or a raw-value agg buffer (a full global
+    rank of the pair space measured 7-13 s at sf0.1; the r10 GK-
+    sketch bracket ~4 s; this plan ~1 s); the intercept median
     buffers only the day grain."""
     from resume_jd_matcher_spark.operators.dedup import _PERSISTED
     from resume_jd_matcher_spark.operators.percentiles import (
