@@ -254,3 +254,76 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
         ).alias("med"),
         F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias("n"),
     )
+
+
+def global_value_at_rank(
+    df: DataFrame,
+    value_col: str,
+    rank_expr: str,
+    n_buckets: int = 65_536,
+) -> DataFrame:
+    """EXACT value at a data-dependent global rank as a 1-row
+    DataFrame ``(val DOUBLE, n BIGINT)`` — the order-statistic sibling
+    of ``global_median_exact``, same bucket-histogram selection plan
+    (min/max pin, equal-width histogram with exact cumulative ranks,
+    rank the single target bucket's value grain).
+
+    ``rank_expr`` is a SQL expression over the pinned count column
+    ``_n`` producing the 1-based target rank k as an integer, e.g.
+    ``"(9 * (_n + 1) + 9) div 10"`` for the split-conformal
+    ceil(0.9·(n+1)) order statistic — integer arithmetic keeps the
+    rank exact on both engines. Returns the SMALLEST value whose
+    cumulative count reaches k (the strict order statistic, no
+    interpolation). NULL values are skipped.
+    """
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+
+    x = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    s = x.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+    ).localCheckpoint(eager=True)
+    xb = x.crossJoin(F.broadcast(s))
+    bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(1)).otherwise(
+        F.width_bucket("_v", "_lo", "_hi", F.lit(n_buckets))
+    )
+    hist = (
+        xb.groupBy(bkt.alias("_b"))
+        .agg(F.count("*").cast("bigint").alias("_bc"))
+        .coalesce(1)
+    )
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).localCheckpoint(
+        eager=True
+    )
+    k = F.expr(rank_expr).cast("bigint")
+    tb = ch.crossJoin(F.broadcast(s)).filter(
+        (F.col("_cum") >= k) & (F.col("_cum") - F.col("_bc") < k)
+    )
+    off = tb.agg(
+        F.coalesce(F.min(F.col("_cum") - F.col("_bc")), F.lit(0))
+        .cast("bigint")
+        .alias("_c_below")
+    )
+    vc = (
+        xb.join(F.broadcast(tb.select("_b").distinct()), bkt == F.col("_b"))
+        .groupBy("_v")
+        .agg(F.count("*").cast("bigint").alias("_cnt"))
+        .coalesce(1)
+        .persist()
+    )
+    _PERSISTED.append(vc)
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.withColumn("cum_sum", F.sum("_cnt").over(wv))
+    return (
+        ranked.crossJoin(F.broadcast(off))
+        .crossJoin(F.broadcast(s.select("_n")))
+        .filter(F.col("_c_below") + F.col("cum_sum") >= k)
+        .agg(
+            F.min("_v").alias("val"),
+            F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )

@@ -410,10 +410,12 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one fact pass builds split + cents; group means are
     a 5-row broadcast; the order statistic comes from a value-grain
-    count + global_prefix running sum (never a full sort of raw
+    bucket-histogram rank selection (never a full sort of raw
     scores, never a percentile buffer); the eval pass is one
     conditional hash agg with the 1-row q-hat broadcast."""
-    from resume_jd_matcher_spark.operators.prefix import global_prefix
+    from resume_jd_matcher_spark.operators.percentiles import (
+        global_value_at_rank,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -433,28 +435,20 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = cal_rows.join(F.broadcast(g), "o_orderpriority").select(
         F.abs(F.col("cents") - F.col("yhat")).alias("s")
     )
-    k = cal.agg(
-        F.count("*").cast("bigint").alias("n_calib"),
-        F.expr(
-            f"({100 - _CONF_ALPHA_PCT} * (count(*) + 1) + 99) div 100"
-        )
-        .cast("bigint")
-        .alias("k"),
+    # order statistic via the shared bucket-histogram rank selection
+    # (operators/percentiles.global_value_at_rank) — the first r11
+    # spelling ran the generic global_prefix over the ~70k-row score
+    # value grain, ~3 stages of pure latency this replaces with one
+    # histogram job + one single-bucket rank
+    kq = global_value_at_rank(
+        cal,
+        "s",
+        f"({100 - _CONF_ALPHA_PCT} * (_n + 1) + 99) div 100",
     )
-    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
-
-    # global_prefix reads its input ~3x (bounds, offsets, rank join);
-    # persist the bounded value grain so those read one cache, not
-    # three re-scans of the calibration join.
-    vc = cal.groupBy("s").agg(F.count("*").cast("bigint").alias("c")).persist()
-    _PERSISTED.append(vc)
-    ranked = global_prefix(vc, ["s"], sum_col="c", sum_type="bigint",
-                           checkpoint=False)
-    q = (
-        ranked.crossJoin(F.broadcast(k))
-        .filter(F.col("cum_sum") >= F.col("k"))
-        .agg(F.min("s").cast("bigint").alias("qhat_cents"))
+    k = kq.select(
+        F.col("n").alias("n_calib"),
     )
+    q = kq.select(F.col("val").cast("bigint").alias("qhat_cents"))
     ev = (
         o.filter(F.col("sp") >= 5)
         .join(F.broadcast(g), "o_orderpriority")

@@ -461,9 +461,10 @@ HEADLINERS = {
     "map-side-combinable aggs per round, no collect_list",
     "shard_rendezvous": "linear explode to doc x (shards+1), ONE "
     "max_by(struct) hash agg per doc (no window), 16-row final agg",
-    "conformal_interval": "order statistic from value-grain counts + "
-    "global_prefix (no raw-score sort, no percentile buffer); "
-    "predictor means a 5-row broadcast; scalars 1-row broadcasts",
+    "conformal_interval": "order statistic from the bucket-histogram "
+    "rank selection (no raw-score sort, no percentile buffer, no "
+    "generic prefix machinery); predictor means a 5-row broadcast; "
+    "scalars 1-row broadcasts",
     "bcubed_eval": "metric runs on the (pred x gold) CELL grain — "
     "bounded by cluster counts; labels from the cost-routed cc over "
     "banded candidates; fixed-point integer algebra end to end",
