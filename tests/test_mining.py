@@ -897,3 +897,32 @@ class TestCramersV:
         monkeypatch.setattr(mining_q, "load_table", lambda *a: cust)
         r = mining_q.q_cramers_v(spark, SF).collect()[0]
         assert r["cramers_v"] is None
+
+
+class TestGlobalValueAtRank:
+    def _val(self, spark, values, rank_expr):
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_value_at_rank,
+        )
+
+        df = spark.createDataFrame([(float(v),) for v in values], "_x double")
+        [r] = global_value_at_rank(df, "_x", rank_expr).collect()
+        return r["val"], r["n"]
+
+    def test_exact_order_statistics(self, spark):
+        vals = [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]
+        for k in (1, 3, 5, 10):
+            v, n = self._val(spark, vals, str(k))
+            assert n == 10 and v == float(sorted(vals)[k - 1])
+
+    def test_data_dependent_rank(self, spark):
+        # conformal's ceil(0.9*(n+1)) on n=9 -> k=9 -> 9th smallest
+        v, n = self._val(spark, range(1, 10), "(9 * (_n + 1) + 9) div 10")
+        assert n == 9 and v == 9.0
+
+    def test_tie_mass_at_target(self, spark):
+        vals = [1.0] * 5 + [2.0] * 5
+        v, _ = self._val(spark, vals, "5")
+        assert v == 1.0
+        v, _ = self._val(spark, vals, "6")
+        assert v == 2.0
