@@ -170,9 +170,15 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     from resume_jd_matcher_spark.operators.dedup import _PERSISTED
 
     n_buckets = 65_536
+    # NULLs skipped (quantile semantics); non-finite values skipped
+    # too — a NaN passes isNotNull but width_buckets to a NULL bucket
+    # that sorts FIRST in the cumulative window (shifting every rank),
+    # and an infinite min/max makes width_bucket NULL for all rows
+    # (r11 ADVICE; latent — current callers feed integer cents /
+    # day-denominated slopes, which cannot produce NaN/Inf).
     x = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v")
-    )
+    ).filter(~F.isnan("_v") & (F.abs("_v") != F.lit(float("inf"))))
     s = x.agg(
         F.count("*").cast("bigint").alias("_n"),
         F.min("_v").alias("_lo"),
@@ -272,15 +278,22 @@ def global_value_at_rank(
     ``_n`` producing the 1-based target rank k as an integer, e.g.
     ``"(9 * (_n + 1) + 9) div 10"`` for the split-conformal
     ceil(0.9·(n+1)) order statistic — integer arithmetic keeps the
-    rank exact on both engines. Returns the SMALLEST value whose
-    cumulative count reaches k (the strict order statistic, no
-    interpolation). NULL values are skipped.
+    rank exact on both engines. The rank is CLAMPED to [1, _n]
+    before selection: conformal's ceil(0.9·(n+1)) exceeds n whenever
+    n < 9, and an unclamped k would match no bucket, returning
+    (val=NULL, n=0) while the caller's oracle still reports the true
+    n (r11 ADVICE). Returns the SMALLEST value whose cumulative count
+    reaches the clamped k (the strict order statistic, no
+    interpolation). NULL and non-finite values are skipped —
+    width_bucket maps NaN to a NULL bucket that sorts first in the
+    cumulative window and shifts every rank, and an infinite min/max
+    voids the whole histogram (r11 ADVICE).
     """
     from resume_jd_matcher_spark.operators.dedup import _PERSISTED
 
     x = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v")
-    )
+    ).filter(~F.isnan("_v") & (F.abs("_v") != F.lit(float("inf"))))
     s = x.agg(
         F.count("*").cast("bigint").alias("_n"),
         F.min("_v").alias("_lo"),
@@ -299,7 +312,13 @@ def global_value_at_rank(
     ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).localCheckpoint(
         eager=True
     )
-    k = F.expr(rank_expr).cast("bigint")
+    # clamp: rank expressions like ceil(0.9*(n+1)) exceed n on tiny
+    # inputs; an out-of-range k must select the extreme order
+    # statistic, not an empty bucket set.
+    k = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(F.expr(rank_expr).cast("bigint"), F.col("_n")),
+    )
     tb = ch.crossJoin(F.broadcast(s)).filter(
         (F.col("_cum") >= k) & (F.col("_cum") - F.col("_bc") < k)
     )

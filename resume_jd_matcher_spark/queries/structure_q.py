@@ -750,12 +750,18 @@ def q_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact Shapley-value attribution over conversion journeys
 # ---------------------------------------------------------------------------
 
-_SHAP_MAX_CH = 20  # 2^n coalition enumeration guard
+# 2^n coalition enumeration guard. 15, not 20: phi_scaled is the
+# n!-scaled credit, and by efficiency sum(phi) = n! * v(N), so any
+# single channel's credit can reach n! * total_conversions — at n=20
+# that overflows BIGINT with as few as 4 conversions (20!*4 > 2^63;
+# r11 ADVICE). 15! ~ 1.3e12 keeps ~7e6 conversions inside int64, and
+# a runtime assert below re-checks the exact product per input.
+_SHAP_MAX_CH = 15
 
 
 def _shapley_sql() -> str:
     # factorial via ln/exp is float-unsafe; build it as a self-join
-    # product of a small literal spine instead (n <= 20)
+    # product of a small literal spine instead (n <= _SHAP_MAX_CH)
     return """WITH fp AS (
   SELECT user_id, min(ts) AS pts FROM events
   WHERE event_type = 'purchase' GROUP BY user_id
@@ -903,6 +909,15 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = (s + 1) | mask
     import math
 
+    # exact overflow re-check: sum(phi) = n! * v(N), so the largest
+    # possible phi_scaled is factorial(n) * v_full; both the oracle's
+    # HUGEINT::BIGINT cast and Spark's bigint schema need it in int64.
+    if math.factorial(n) * v[full - 1] >= 2**63:
+        raise ValueError(
+            f"shapley_attribution: n!*v(N) = {n}! * {v[full - 1]} "
+            "overflows the BIGINT phi_scaled exposure; bucket channels "
+            "or pre-aggregate conversions first"
+        )
     phi = {}
     for c in channels:
         bit = 1 << idx[c]

@@ -926,3 +926,34 @@ class TestGlobalValueAtRank:
         assert v == 1.0
         v, _ = self._val(spark, vals, "6")
         assert v == 2.0
+
+    def test_rank_clamped_to_n(self, spark):
+        """conformal's ceil(0.9*(n+1)) exceeds n whenever n < 9; the
+        clamp must select the max order statistic and still report
+        the true n (r11 ADVICE: unclamped -> (NULL, 0))."""
+        v, n = self._val(spark, [4.0, 2.0, 7.0], "(9 * (_n + 1) + 9) div 10")
+        assert n == 3 and v == 7.0
+        # below-range rank clamps to 1 -> min order statistic
+        v, n = self._val(spark, [4.0, 2.0, 7.0], "0")
+        assert n == 3 and v == 2.0
+
+    def test_non_finite_skipped(self, spark):
+        """NaN width_buckets to a NULL bucket (shifts every rank) and
+        an infinite min/max voids the histogram; both are filtered
+        like NULLs (r11 ADVICE)."""
+        vals = [1.0, float("nan"), 3.0, float("inf"), 2.0, float("-inf")]
+        v, n = self._val(spark, vals, "2")
+        assert n == 3 and v == 2.0
+
+    def test_median_non_finite_skipped(self, spark):
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_median_exact,
+        )
+
+        df = spark.createDataFrame(
+            [(v,) for v in [1.0, float("nan"), 3.0, float("inf"), 2.0]],
+            "_x double",
+        )
+        r = global_median_exact(df, "_x").collect()[0]
+        assert r["n"] == 3
+        assert r["med"] == pytest.approx(2.0)

@@ -316,6 +316,45 @@ class TestShapleyAttribution:
         total = sum(r["share_e6"] for r in rows)
         assert abs(total - 10**6) <= len(rows)
 
+    def test_overflow_guard_bounds_bigint(self, spark, monkeypatch):
+        """phi_scaled's BIGINT exposure caps at n! * v(N) by the
+        efficiency axiom; the guard must keep every reachable product
+        inside int64 (r11 ADVICE: the old n<=20 admitted 20!*4 >
+        2^63). The static cap itself must be safe for a plausible
+        conversion count, and the runtime assert must fire on an
+        exact-product breach."""
+        import math
+
+        from resume_jd_matcher_spark.queries import structure_q as sq
+
+        # static cap sanity: 1e6 conversions at the cap stays in int64
+        assert math.factorial(sq._SHAP_MAX_CH) * 10**6 < 2**63
+
+        # runtime breach: 3 channels, forced v_full past the bound
+        monkeypatch.setattr(sq, "_SHAP_MAX_CH", 3)
+        big = 2**61
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t0, 1, "A", 0.0, None),
+            (1, t0, 1, "B", 0.0, None),
+            (2, t0, 1, "C", 0.0, None),
+            (3, t0 + dt.timedelta(hours=1), 1, "purchase", 0.0, None),
+        ]
+        e = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        monkeypatch.setattr(sq, "load_table", lambda *a: e)
+        real_factorial = math.factorial
+        monkeypatch.setattr(
+            math, "factorial", lambda k: real_factorial(k) * big
+        )
+        with pytest.raises(ValueError, match="overflows"):
+            sq.q_shapley_attribution(spark, SF)
+
 
 class TestBurstinessFano:
     def test_hand_computed_counts(self, spark, monkeypatch):
