@@ -79,35 +79,96 @@ from resume_jd_matcher_spark.queries import structure_q  # noqa: E402,F401
 # tools/driver_sim.py — diff those instead of reading rotation
 # comments.
 #
-# Round 11 window (the driver samples the first 50):
-# 1) the three r11 correctness fixes lead — they MUST re-confirm
-#    hash-green (rolling_beta's scaled-integer beta_e4, rmst's tau
-#    floor-division parity, markov_attribution's p0-guard +
-#    half-away trajectory rounding);
-# 2) the four streaming batch-twins (r10 verdict task 7: selfcheck
-#    greens but few driver rows across ten rounds);
-# 3) cross_source_leakage (persist=False cache-hygiene rework this
-#    round — code path changed, must re-confirm);
-# 4) the rest of the r10 debut cohort for its second confirmation
-#    (r10 verdict task 3). 42 of the remaining 47 fit; the five
-#    displaced by the streaming twins are the single-row
-#    scaled-integer / nudge-safe readouts least exposed to rounding
-#    boundaries (matthews_mcc, theil_index, hhi_concentration,
-#    cohens_kappa, mcnemar_test) — queued immediately below the
-#    window so they lead the r12 rotation.
+# Round 12 window (the driver samples the first 50) — r11 verdict
+# task 2 verbatim:
+# 1) the 8 r11 structure debuts lead (zero driver rows so far;
+#    conformal_interval and shapley_attribution additionally carry
+#    this round's percentile-clamp / overflow-guard reworks, so their
+#    rows double as re-confirmations);
+# 2) the five r10 names displaced from r11's window (queued for this
+#    exact slot by the r11 rotation comment);
+# 3) the r8/r9 tail that hasn't had a driver row since its debut
+#    round — the round-9 cohort's second confirmations, the r10
+#    rework batch (link_prediction_jaccard, decontaminate, ...,
+#    whose code changed after their last row), and the r8 names
+#    whose second confirmation never fit a window (mde_power ...).
+# r12 debuts (streaming/multimodal additions) queue immediately
+# below the boundary to lead r13.
 _DRIVER_PRIORITY = [
-    # -- r11 correctness fixes (reworked this round; re-confirm) --
+    # -- r11 structure debuts: first driver rows --
+    "bcubed_eval",
+    "burstiness_fano",
+    "conformal_interval",
+    "doremi_reweight",
+    "hits_scores",
+    "label_propagation",
+    "shapley_attribution",
+    "shard_rendezvous",
+    # -- r10 debuts displaced from r11's window --
+    "matthews_mcc",
+    "theil_index",
+    "hhi_concentration",
+    "cohens_kappa",
+    "mcnemar_test",
+    # -- rotate-forward: one driver row only (r8) --
+    "effective_sources",
+    # -- reworked in round 10 (code changed; must re-confirm) --
+    "link_prediction_jaccard",
+    "degree_assortativity",
+    "decontaminate",
+    "join_theta_band",
+    # -- reworked in round 10 batch 2 (persisted-ledger cache path) --
+    "zipf_fit",
+    "llr_keyness",
+    "theil_sen_trend",
+    "approx_stats",
+    "exact_percentiles",
+    "qte_deciles",
+    # -- round-9 cohort: second confirmations --
+    "anomaly_mad_daily",
+    "elasticity_by_brand",
+    "funnel_time_to_convert",
+    "incremental_agg_merge",
+    "changelog_apply",
+    "theta_sketch_setops",
+    "lsh_param_planner",
+    "event_paths_top",
+    "ngram_contamination",
+    "intradoc_repetition",
+    "unigram_logprob_quality",
+    "neyman_allocation",
+    "imr_control_chart",
+    "permutation_entropy",
+    "spearman_daily_corr",
+    "sort_key_advisor",
+    "obrien_fleming_monitor",
+    "benjamini_hochberg",
+    "kaplan_meier",
+    # -- r8 names whose second confirmation never fit a window --
+    "mde_power",
+    "join_plan_advisor",
+    "calibration_eval",
+    "pareto_frontier",
+    "k_anonymity",
+    "dp_noisy_counts",
+    "mann_kendall",
+    # ---- window boundary (50) ----
+    # r12 debuts land here (queue to lead r13's window)
+    # -- remaining r8 second confirmations --
+    "cusum_changepoint",
+    "stl_decompose",
+    "diff_in_did",
+    "hurst_exponent",
+    "silhouette_score",
+    # -- r11 window (confirmed in CORRECTNESS_r11, 50/50 green) --
     "rolling_beta",
     "rmst",
     "markov_attribution",
-    # -- streaming batch-twins (r10 verdict task 7) --
     "stream_tumbling_counts",
     "stream_attribution_join",
     "stream_drift_monitor",
     "session_window_agg",
-    # -- cache-hygiene rework this round (re-confirm) --
     "cross_source_leakage",
-    # -- r10 debut cohort: second confirmations --
     "gaussian_mixture_em",
     "periodogram",
     "hosmer_lemeshow",
@@ -150,63 +211,6 @@ _DRIVER_PRIORITY = [
     "t_closeness",
     "cramer_von_mises",
     "lorenz_curve",
-    # ---- window boundary (50) ----
-    # r10 debuts displaced by the streaming twins; lead r12
-    "matthews_mcc",
-    "theil_index",
-    "hhi_concentration",
-    "cohens_kappa",
-    "mcnemar_test",
-    # -- rotate-forward: one driver row only (r8) --
-    "effective_sources",
-    # -- reworked in round 10 (code changed; must re-confirm) --
-    "link_prediction_jaccard",
-    "degree_assortativity",
-    "decontaminate",
-    "join_theta_band",
-    # -- reworked in round 10 batch 2 (cache-release converted from
-    #    eager materialize to the persisted ledger; plans unchanged
-    #    but the code path differs — re-confirm) --
-    "zipf_fit",
-    "llr_keyness",
-    "theil_sen_trend",
-    "approx_stats",
-    "exact_percentiles",
-    "qte_deciles",
-    # -- round-9 cohort: second confirmations --
-    "anomaly_mad_daily",
-    "elasticity_by_brand",
-    "funnel_time_to_convert",
-    "incremental_agg_merge",
-    "changelog_apply",
-    "theta_sketch_setops",
-    "lsh_param_planner",
-    "event_paths_top",
-    "ngram_contamination",
-    "intradoc_repetition",
-    "unigram_logprob_quality",
-    "neyman_allocation",
-    "imr_control_chart",
-    "permutation_entropy",
-    "spearman_daily_corr",
-    "sort_key_advisor",
-    "obrien_fleming_monitor",
-    "benjamini_hochberg",
-    "kaplan_meier",
-    # -- r8 names whose second confirmation did NOT fit r9's window
-    #    (everything confirmed in CORRECTNESS_r09 rotates below) --
-    "mde_power",
-    "join_plan_advisor",
-    "calibration_eval",
-    "pareto_frontier",
-    "k_anonymity",
-    "dp_noisy_counts",
-    "mann_kendall",
-    "cusum_changepoint",
-    "stl_decompose",
-    "diff_in_did",
-    "hurst_exponent",
-    "silhouette_score",
     # -- r7/r6 cohorts: third confirmations (fill past the window;
     #    kept explicit so the window stays fully rotation-determined)
     "market_basket",
