@@ -270,51 +270,77 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts. 25 is the discriminative-item regime — below the df
     median, where co-purchase actually signals taste similarity.
 
-    Scale shape: edge dedup one distinct agg; stop-item filter a
-    broadcast posting join; ONE df-capped posting-list self-join
-    builds pairs and counts common in the same hash agg; degrees
-    (capped universe) join by key; top-k is TakeOrderedAndProject
-    with a full deterministic tie-break."""
+    Scale shape (r12 posting-list rewrite): ONE groupBy(part)
+    collect_set builds each part's buyer basket AND is the
+    (cust, part) dedup, so the r10 spelling's separate edge
+    distinct, posting census, its broadcast join, and both
+    localCheckpoints all disappear; the df cap is just
+    size(set) <= cap; candidate pairs are generated EXPRESSION-side
+    from each sorted, <=cap-sized buyer array (flatten/transform
+    combinatorics — C(cap,2) <= 300 pairs per part, never a
+    self-join shuffle) and counted in one hash agg; degrees come
+    from re-exploding the same capped baskets and join broadcast
+    (|custs| rows); top-k is TakeOrderedAndProject with a full
+    deterministic tie-break. Two data-sized shuffles total (basket
+    groupBy, pair agg) vs the r10 plan's five plus two checkpoints;
+    measured 3.95 -> 2.40 s at sf0.1."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-        .localCheckpoint()  # two consumers: posting census + the filter
+    e0 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
     )
-    posting = e0.groupBy("part").agg(F.count("*").cast("bigint").alias("pdf"))
-    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+    # per-part buyer basket in ONE shuffle: collect_set IS the
+    # (cust, part) distinct, so no separate edge-dedup pass; the
+    # stop-item cap is then just the basket size (set size == part
+    # df, bounded by the data shape — max 53 at sf0.1)
+    baskets = (
+        e0.groupBy("part")
+        .agg(F.sort_array(F.collect_set("cust")).alias("cs"))
+        .filter(F.size("cs") <= _LP_DF_CAP)
+        # AQE coalesces the tiny (<=|parts| rows) basket frame to one
+        # partition, which would pin the C(k,2)-per-row pair
+        # explosion below to one core; REPARTITION_BY_NUM is exempt
+        # from coalescing and the frame is small enough that the
+        # round-robin shuffle is free.
+        .repartition(spark.sparkContext.defaultParallelism)
+        # two consumers (deg + pairs) over a tiny frame
+        .persist()
+    )
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
 
-    # the similarity universe: stop-item-filtered edges (see
-    # docstring). ensure_parallelism: the checkpointed edge list
-    # inherits the handful of scan partitions, which would funnel the
-    # sum(min(df,cap)^2)-row pair build through 3 cores at sf0.1
-    # (measured 21-28 s; 32-way it is ~8 s).
-    e = ensure_parallelism(
-        e0.join(
-            F.broadcast(
-                posting.filter(F.col("pdf") <= _LP_DF_CAP).select("part")
-            ),
-            "part",
-        )
-    ).localCheckpoint()  # three consumers: deg + both self-join sides
-    deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("d"))
-    a = e.select(F.col("cust").alias("cust_a"), "part")
-    b = e.select(F.col("cust").alias("cust_b"), "part")
+    _PERSISTED.append(baskets)
+    deg = (
+        baskets.select(F.explode("cs").alias("cust"))
+        .groupBy("cust")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    # all C(k,2) ordered pairs per basket, expression-side (sorted
+    # input array => cust_a < cust_b by construction)
     pairs = (
-        a.join(b, "part")
-        .filter(F.col("cust_b") > F.col("cust_a"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, (a, i) -> "
+                    "transform(slice(cs, i + 2, size(cs)), "
+                    "b -> struct(a AS cust_a, b AS cust_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.cust_a", "p.cust_b")
         .groupBy("cust_a", "cust_b")
         .agg(F.count("*").cast("bigint").alias("common"))
     )
     scored = (
         pairs.join(
-            deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da")),
+            F.broadcast(
+                deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da"))
+            ),
             "cust_a",
         )
         .join(
-            deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db")),
+            F.broadcast(
+                deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db"))
+            ),
             "cust_b",
         )
         .select(
