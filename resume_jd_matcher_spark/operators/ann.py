@@ -276,6 +276,36 @@ def ivf_topk(
     )
 
 
+# Centroid tables at or below this many values (k·dim, summed over
+# groups) are embedded as plan literals so every assignment is a
+# shuffle-free narrow projection; above it, the broadcast-join argmin
+# runs (a literal plan with 65536 IVF lists x 768 dims would be a
+# 50M-constant codegen blowup — the join IS the right plan there).
+# Same cost-routing discipline as cluster.py's 100k-edge LPA gate.
+_LIT_ASSIGN_MAX_VALUES = 32_768
+
+
+def _argmin_literal(vec, cents: list[tuple[int, list[float]]]):
+    """Expression-side nearest-centroid id against LITERAL centroids:
+    array_min over (dist, cid) structs — identical squared-L2
+    arithmetic (same zip_with/aggregate fold) and identical
+    (dist, cid) tie-break as the groupBy-argmin path, so the two
+    routes are trajectory-equivalent."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    squared_l2(
+                        vec, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("_d"),
+                    F.lit(int(cid)).alias("_cid"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )["_cid"]
+
+
 def lloyd_kmeans_partition(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -316,8 +346,14 @@ def lloyd_kmeans_partition(
         .localCheckpoint()
     )
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        cand = v.crossJoin(F.broadcast(cents_df))
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    # dim 0 (empty corpus) keeps the join route: an empty literal
+    # centroid array is untypable, and every frame is empty anyway
+    lit_route = 0 < n_clusters * dim <= _LIT_ASSIGN_MAX_VALUES
+
+    def assign_join(cents_df: DataFrame, src: DataFrame) -> DataFrame:
+        cand = src.crossJoin(F.broadcast(cents_df))
         d = squared_l2(F.col("_v"), F.col("centroid"))
         return (
             cand.select(F.col(id_col), F.col("_cid"), d.alias("_d"))
@@ -326,14 +362,30 @@ def lloyd_kmeans_partition(
             .select(F.col(id_col), F.col("_m._cid").alias("_cid"))
         )
 
+    def lits(cents_df: DataFrame) -> list[tuple[int, list[float]]]:
+        # bounded by construction: n_clusters rows, already
+        # materialized by the localCheckpoint — the collect reads the
+        # checkpoint, it does not rerun the iteration
+        return sorted(
+            (r["_cid"], list(r["centroid"])) for r in cents_df.collect()
+        )
+
     # Measured dead end (r11): computing the per-dim means as ONE
     # hash agg of dim avg(_v[i]) columns — to avoid this posexplode's
     # rows x dim long-form shuffle — measured ~1.7x SLOWER end to end
     # (ivf_pq_topk 3.8 -> 6.3 s, semdedup 1.9 -> 5.2 s at sf0.1): the
     # 64 per-row GetArrayItem aggregate updates cost more than the
     # narrow explode shuffle they replace. The long form stays.
+    #
+    # r12: the literal-argmin route applies ONLY to the final
+    # full-corpus assignment, where it deletes a corpus-sized shuffle
+    # (the assign groupBy + join-back on id). Inside the iteration
+    # loop it was measured SLOWER (per-iteration centroid collect +
+    # a bigger whole-stage-codegen compile each round beat the tiny
+    # sample-bounded shuffles they replaced), so the loop keeps the
+    # broadcast-join argmin.
     for _ in range(n_iter):
-        a = assign(cents).join(v, id_col)
+        a = assign_join(cents, v).join(v, id_col)
         long = a.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
         per_dim = long.groupBy("_cid", "_dim").agg(F.avg("_x").alias("_cv"))
         cents = (
@@ -347,9 +399,18 @@ def lloyd_kmeans_partition(
             .localCheckpoint()
         )
 
-    assigned = corpus.join(
-        assign(cents).withColumnRenamed("_cid", out_col), id_col
-    )
+    if lit_route:
+        assigned = corpus.withColumn(
+            out_col,
+            _argmin_literal(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                lits(cents),
+            ),
+        )
+    else:
+        assigned = corpus.join(
+            assign_join(cents, v).withColumnRenamed("_cid", out_col), id_col
+        )
     return assigned, cents.withColumnRenamed("_cid", out_col)
 
 
@@ -360,6 +421,7 @@ def assign_to_centroids_grouped(
     id_col: str = "vec_id",
     vec_col: str = "_v",
     cid_col: str = "_cid",
+    collectable: bool = True,
 ) -> DataFrame:
     """Broadcast-argmin encode, one independent centroid set per
     group: each (group, vector) row joins the ≤groups×k-row broadcast
@@ -369,7 +431,32 @@ def assign_to_centroids_grouped(
     ungrouped Lloyd assign, so a sample-fit + full-corpus encode is
     trajectory-identical to a full-corpus fit whenever the sample
     covers the corpus. ``vec_col`` must already be ARRAY<DOUBLE>.
-    Output: (group_col, id_col, cid_col)."""
+    Output: (group_col, id_col, cid_col).
+
+    r12: when the centroid table fits the literal budget AND is
+    already materialized (``collectable=True``, the fit paths — the
+    table is localCheckpoint'ed there), the assignment is a
+    shuffle-free narrow projection via _grouped_argmin_literal
+    instead of the join+argmin-agg; the join route remains the
+    at-scale path."""
+    if collectable:
+        by_group = _grouped_literals(
+            cents.select(
+                F.col(group_col), F.col(cid_col).alias("_cid"), "centroid"
+            ),
+            group_col,
+        )
+        if by_group is not None:
+            return vectors.select(
+                F.col(group_col),
+                F.col(id_col),
+                _grouped_argmin_literal(
+                    F.col(vec_col), group_col, by_group
+                ).alias(cid_col),
+                # a group with no fitted centroids falls off the
+                # when-chain as NULL; the join route drops it (inner
+                # join) — mirror that
+            ).filter(F.col(cid_col).isNotNull())
     cand = vectors.join(
         F.broadcast(
             cents.select(
@@ -399,6 +486,7 @@ def lloyd_kmeans_grouped(
     id_col: str = "vec_id",
     vec_col: str = "_sv",
     round_dp: int = 6,
+    n_clusters_by_group: dict | None = None,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means fitted INDEPENDENTLY
     per group in one shared pass — the vectorized twin of running
@@ -412,16 +500,35 @@ def lloyd_kmeans_grouped(
 
     Input: (group_col, id_col, vec_col) long form, one row per
     (group, vector). Returns centroids (group_col, _cid, centroid),
-    localCheckpoint'ed so downstream lineage stays flat."""
+    localCheckpoint'ed so downstream lineage stays flat.
+
+    ``n_clusters_by_group`` optionally overrides the cluster count
+    per group value (any group absent from the dict keeps
+    ``n_clusters``) — what lets a full-width coarse quantizer with
+    n_lists centroids share one fused pass with m PQ subspace
+    codebooks of k codes each (ivf_pq_fit_encode)."""
     v = vectors.select(
         F.col(group_col),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    if n_clusters_by_group:
+        kmap = F.create_map(
+            *[
+                x
+                for g, kk in sorted(n_clusters_by_group.items())
+                for x in (F.lit(g), F.lit(int(kk)))
+            ]
+        )
+        k_for_group = F.coalesce(
+            F.element_at(kmap, F.col(group_col)), F.lit(n_clusters)
+        )
+    else:
+        k_for_group = F.lit(n_clusters)
     seed_w = Window.partitionBy(group_col).orderBy(id_col)
     cents = (
         v.withColumn("_rn", F.row_number().over(seed_w))
-        .filter(F.col("_rn") <= n_clusters)
+        .filter(F.col("_rn") <= k_for_group)
         .select(
             F.col(group_col),
             (F.col("_rn") - 1).alias("_cid"),
@@ -431,10 +538,21 @@ def lloyd_kmeans_grouped(
     )
     # Long-form per-dim means, same rationale as
     # lloyd_kmeans_partition (the wide avg(_v[i]) agg measured slower
-    # — see the note there).
+    # — see the note there). The iteration loop keeps the
+    # broadcast-join assign (collectable=False): the literal-argmin
+    # route measured SLOWER per iteration (a centroid collect + a
+    # bigger whole-stage-codegen compile each round outweigh the
+    # tiny sample-bounded shuffles saved); it pays off only on the
+    # final full-corpus encode, where the caller's
+    # assign_to_centroids_grouped call takes it (collectable=True).
     for _ in range(n_iter):
         a = assign_to_centroids_grouped(
-            v, cents, group_col=group_col, id_col=id_col, vec_col="_v"
+            v,
+            cents,
+            group_col=group_col,
+            id_col=id_col,
+            vec_col="_v",
+            collectable=False,
         ).join(v, [group_col, id_col])
         long = a.select(
             F.col(group_col), F.col("_cid"), F.posexplode("_v").alias("_dim", "_x")
@@ -453,6 +571,35 @@ def lloyd_kmeans_grouped(
             .localCheckpoint()
         )
     return cents
+
+
+def _grouped_literals(cents: DataFrame, group_col: str):
+    """Collect a (bounded, checkpointed) grouped centroid table into
+    {group: [(cid, centroid), ...]} for the literal-argmin route, or
+    None when it exceeds _LIT_ASSIGN_MAX_VALUES (the broadcast-join
+    route handles it)."""
+    rows = cents.collect()
+    total = sum(len(r["centroid"]) for r in rows)
+    if not rows or total > _LIT_ASSIGN_MAX_VALUES:
+        return None
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], []).append(
+            (r["_cid"], list(r["centroid"]))
+        )
+    return {g: sorted(cl) for g, cl in by_group.items()}
+
+
+def _grouped_argmin_literal(vec, group_col: str, by_group: dict):
+    """when-chain over group values, one _argmin_literal per group —
+    same trajectory as assign_to_centroids_grouped on the join
+    route."""
+    expr = None
+    for g in sorted(by_group):
+        arm = _argmin_literal(vec, by_group[g])
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+    return expr
 
 
 def kmeans_partition(

@@ -124,6 +124,146 @@ def pq_fit_encode(
     return codes, codebooks
 
 
+def ivf_pq_fit_encode(
+    corpus: DataFrame,
+    n_lists: int = 4,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    part_col: str = "cid",
+    round_dp: int = 6,
+    fit_sample_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fused IVF+PQ fit-and-encode: the coarse quantizer and all m
+    subspace codebooks learn in ONE grouped Lloyd pass, and the full
+    corpus is encoded in ONE projection.
+
+    Group -1 carries the full-width coarse geometry (n_lists
+    centroids); groups 0..m-1 the PQ subspaces (k codes each) — per
+    group the trajectory is bit-identical to running
+    ``lloyd_kmeans_partition`` / ``pq_fit_encode`` separately (same
+    lowest-id seeds, per-iteration rounding, argmin tie-break;
+    groups are independent in grouped Lloyd), so the oracle replay
+    is unchanged. The fusion halves the fit's materialization jobs
+    (one seed + n_iter centroid checkpoints instead of two of each)
+    and, when the fitted table fits the literal-argmin budget, the
+    corpus encode emits cid AND code_0..code_{m-1} in one narrow
+    shuffle-free projection (no long-form explode, no pivot agg).
+    At 100 TB: one sample-bounded fit pass instead of two, one
+    corpus pass instead of two.
+
+    Returns (encoded, coarse_cents, codebooks): encoded =
+    corpus columns + part_col + code_0..code_{m-1};
+    coarse_cents = (part_col, centroid); codebooks =
+    (subspace, code, centroid).
+    """
+    from resume_jd_matcher_spark.operators.ann import (
+        _LIT_ASSIGN_MAX_VALUES,
+        _argmin_literal,
+        lloyd_kmeans_grouped,
+    )
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    def long_form(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("subspace"),
+                        F.col(vec_col).alias("_sv"),
+                    ),
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            F.slice(vec_col, s * sub + 1, sub).alias("_sv"),
+                        )
+                        for s in range(m)
+                    ],
+                )
+            ).alias("_e"),
+        ).select(
+            F.col(id_col),
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_sv"),
+        )
+
+    fit = corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample_rows)
+    cents = lloyd_kmeans_grouped(
+        long_form(fit),
+        n_clusters=k,
+        n_iter=n_iter,
+        group_col="subspace",
+        id_col=id_col,
+        vec_col="_sv",
+        round_dp=round_dp,
+        n_clusters_by_group={-1: n_lists},
+    )
+    coarse_cents = cents.filter(F.col("subspace") == -1).select(
+        F.col("_cid").alias(part_col), "centroid"
+    )
+    codebooks = cents.filter(F.col("subspace") >= 0).select(
+        "subspace", F.col("_cid").alias("code"), "centroid"
+    )
+    total_vals = n_lists * dim + m * k * sub
+    if 0 < total_vals <= _LIT_ASSIGN_MAX_VALUES:
+        # cents is checkpointed — the collect reads the materialized
+        # table, bounded at (n_lists + m*k) rows
+        by_group: dict = {}
+        for r in cents.collect():
+            by_group.setdefault(r["subspace"], []).append(
+                (r["_cid"], list(r["centroid"]))
+            )
+        by_group = {g: sorted(cl) for g, cl in by_group.items()}
+        dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        encoded = corpus.select(
+            "*",
+            _argmin_literal(dbl, by_group[-1]).alias(part_col),
+            *[
+                _argmin_literal(
+                    F.slice(dbl, s * sub + 1, sub), by_group[s]
+                )
+                .cast("int")
+                .alias(f"code_{s}")
+                for s in range(m)
+            ],
+        )
+        return encoded, coarse_cents, codebooks
+    # at-scale route: broadcast-join encode over the long form, then
+    # one pivot back to the wide code row
+    from resume_jd_matcher_spark.operators.ann import (
+        assign_to_centroids_grouped,
+    )
+
+    corpus_long = long_form(corpus).select(
+        "subspace",
+        F.col(id_col),
+        F.transform("_sv", lambda x: x.cast("double")).alias("_v"),
+    )
+    enc = assign_to_centroids_grouped(
+        corpus_long, cents, group_col="subspace", id_col=id_col, vec_col="_v"
+    )
+    wide = enc.groupBy(id_col).agg(
+        F.max(F.when(F.col("subspace") == -1, F.col("_cid")))
+        .cast("int")
+        .alias(part_col),
+        *[
+            F.max(F.when(F.col("subspace") == s, F.col("_cid")))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+    return corpus.join(wide, id_col), coarse_cents, codebooks
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: DataFrame,

@@ -297,20 +297,25 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND each candidate costs m code lookups instead of a 64-dim
     distance — both production ANN levers in one oracle-replayed
     plan (operators/pq.py:ivf_pq_topk)."""
-    from resume_jd_matcher_spark.operators.ann import lloyd_kmeans_partition
-    from resume_jd_matcher_spark.operators.pq import ivf_pq_topk, pq_fit_encode
+    from resume_jd_matcher_spark.operators.pq import (
+        ivf_pq_fit_encode,
+        ivf_pq_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    parted, coarse = lloyd_kmeans_partition(
-        emb.select("vec_id", "embedding"), n_clusters=4, n_iter=2, out_col="cid"
+    # fused fit: coarse quantizer + all 4 subspace codebooks in ONE
+    # grouped Lloyd pass, corpus encoded (cid + codes) in ONE
+    # projection — per-group trajectories bit-identical to the
+    # separate fits, so the oracle replay is unchanged
+    encoded, coarse, books = ivf_pq_fit_encode(
+        emb.select("vec_id", "embedding"), n_lists=4, m=4, k=4, n_iter=2
     )
-    codes, books = pq_fit_encode(emb, m=4, k=4, n_iter=2)
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
     topk, _ = ivf_pq_topk(
-        codes, books, parted, coarse, qs, k_top=5, n_probe=2, m=4
+        encoded, books, encoded, coarse, qs, k_top=5, n_probe=2, m=4
     )
     return topk.select(
         "query_id",
