@@ -383,16 +383,27 @@ def connected_components_star(
     edges give each node its component minimum directly. Output:
     (node, cluster_rep), identical labels to ``connected_components``.
     """
+    # symmetrize via ONE explode, not union(edges, swap(edges)) — the
+    # union spelling evaluates the (possibly expensive) upstream edge
+    # subplan twice; a candidate-pair producer like minhash LSH was
+    # the whole front half of dedup_clusters_star's runtime (r12)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    # consumed once, at the very end, off the sym checkpoint — no
+    # eager materialization job of its own
+    all_nodes = sym.select(F.col("a").alias("node")).distinct()
 
     def edge_checksum(e: DataFrame) -> int:
         row = e.agg(
@@ -429,6 +440,11 @@ def connected_components_star(
             .agg(F.min("b").alias("_mb"))
             .select("a", F.least("_mb", F.col("a")).alias("m"))
         )
+        # no distinct here (r12): duplicate large-star edges are
+        # absorbed by the min agg below and by ss's final distinct —
+        # dropping it saves one shuffle per round (the duplicate
+        # multiplicity is bounded by node degree, and the join fans
+        # the SAME (lo, hi) pairs, never new ones)
         ls = (
             both.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
@@ -436,7 +452,6 @@ def connected_components_star(
                 F.least("b", "m").alias("lo"), F.greatest("b", "m").alias("hi")
             )
             .filter(F.col("lo") != F.col("hi"))
-            .distinct()
         )
         # -- small-star over the large-star output --
         smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
