@@ -153,7 +153,12 @@ _DRIVER_PRIORITY = [
     "dp_noisy_counts",
     "mann_kendall",
     # ---- window boundary (50) ----
-    # r12 debuts land here (queue to lead r13's window)
+    # -- r12 debuts: queue to lead r13's window --
+    "stream_session_dedup",
+    "stream_ann_dedup_gate",
+    "stream_topk_trending",
+    "media_magic_dispatch",
+    "media_payload_entropy",
     # -- remaining r8 second confirmations --
     "cusum_changepoint",
     "stl_decompose",

@@ -629,3 +629,242 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return psi_finalize(stream_bucket_counts(ev), baseline_dist(ev))
+
+
+@register(
+    "stream_session_dedup",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_type, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, event_type,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       count(*)::BIGINT AS n_dupes,
+       round(sum(value), 2) AS total_value
+FROM numbered
+GROUP BY user_id, event_type, session_id
+""",
+)
+def q_stream_session_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G [EXT] batch twin of SESSION-GAP DEDUP: repeated events of
+    the same type by the same user within a 30-minute session collapse
+    to one row carrying their multiplicity — the ingest compaction
+    that keeps retries / double-fires from inflating downstream
+    counts. Native session_window keyed on (user_id, event_type), so
+    in stream mode the state store holds only open per-(user, type)
+    sessions under the watermark; tests/test_streaming.py asserts the
+    streamed run (including a duplicate-replay phase) produces
+    IDENTICAL rows (streaming/events.py:session_type_dedup).
+
+    Scale shape: ONE keyed session aggregation over the fact — no
+    joins, no windows over data; state is open-sessions-bounded."""
+    from resume_jd_matcher_spark.streaming.events import session_type_dedup
+
+    return session_type_dedup(load_table(spark, sf_dir, "events"))
+
+
+from resume_jd_matcher_spark.queries.vector_q import (  # noqa: E402
+    _LSH_PLANES,
+    _SQL_LSH_SIG,
+    SQL_SQL2,
+)
+
+
+@register(
+    "stream_ann_dedup_gate",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT vec_id, e AS ce,
+         {_SQL_LSH_SIG.format(a='e', planes=_LSH_PLANES)} AS bucket
+  FROM e0 WHERE vec_id % 4 <> 3
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         {_SQL_LSH_SIG.format(a='e', planes=_LSH_PLANES)} AS qbucket
+  FROM e0 WHERE vec_id % 4 = 3
+), d AS (
+  SELECT q.query_id, c.vec_id AS nn_id, c.bucket,
+         {SQL_SQL2.format(a='qe', b='ce')} AS dist
+  FROM c JOIN q ON c.bucket = q.qbucket
+), r AS (
+  SELECT query_id, nn_id, bucket, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, nn_id) AS rn
+  FROM d
+)
+SELECT query_id, nn_id, bucket, round(dist, 4) AS dist,
+       (round(dist, 4) <= 1.5) AS is_dup
+FROM r WHERE rn = 1
+""",
+)
+def q_stream_ann_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G/V8 [EXT] batch twin of the STREAM-STATIC ANN GATE: each
+    arriving vector (the vec_id % 4 == 3 slice — sf-proportional, so
+    the stream is non-empty at every scale) is checked against the
+    static LSH-indexed corpus for an existing near-duplicate before
+    admission — the online dedup gate of a training-data ingest. Top-1
+    same-bucket neighbor + is_dup verdict at squared-L2 1.5.
+
+    The formulation is streaming-safe end to end: bucket signature is
+    a narrow projection on the arriving side, the index is a broadcast
+    static join, and top-1 is a struct-min aggregate (not a rank
+    window). tests/test_streaming.py asserts the streamed run equals
+    this twin (streaming/events.py:ann_dedup_gate)."""
+    from resume_jd_matcher_spark.streaming.events import ann_dedup_gate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_dedup_gate(
+        emb.filter(F.col("vec_id") % 4 == 3),
+        emb.filter(F.col("vec_id") % 4 != 3),
+        threshold=1.5,
+        n_planes=_LSH_PLANES,
+    )
+
+
+@register(
+    "stream_topk_trending",
+    """
+WITH c AS (
+  SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day_epoch, event_type, n,
+         row_number() OVER (PARTITION BY day_epoch
+                            ORDER BY n DESC, event_type) AS rank
+  FROM c
+)
+SELECT day_epoch, rank::INT AS rank, event_type, n
+FROM r WHERE rank <= 3
+""",
+)
+def q_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G [EXT] batch twin of the TRENDING-TOPK monitor: per
+    tumbling event-time day, the top-3 event types by count with a
+    full deterministic tie-break — the dashboard feed shape. Rank
+    windows can't run inside a streaming aggregation, so the streamed
+    run is the tumbling pre-aggregate with a STATELESS rank finalize
+    (the drift-monitor precedent); tests/test_streaming.py asserts
+    equality (streaming/events.py:trending_finalize)."""
+    from resume_jd_matcher_spark.streaming.events import trending_finalize
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n")).select(
+        F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
+        "event_type",
+        "n",
+    )
+    return trending_finalize(counts, k=3)
+
+
+_MAGIC_CASE = """CASE WHEN doc_id % 7 = 0 THEN ''
+          WHEN doc_id % 3 = 0 THEN '89504E470D0A1A0A'
+          WHEN doc_id % 3 = 1 THEN '52494646'
+          ELSE '0000001866747970' END"""
+
+_MODALITY_CASE = """CASE WHEN doc_id % 3 = 0 THEN 'image'
+          WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"""
+
+
+@register(
+    "media_magic_dispatch",
+    f"""
+WITH m AS (
+  SELECT doc_id, {_MODALITY_CASE} AS declared,
+         {_MAGIC_CASE} || hex(encode(text)) AS hx
+  FROM documents
+), det AS (
+  SELECT declared,
+         CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+              WHEN starts_with(hx, '52494646') THEN 'riff'
+              WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+              ELSE 'unknown' END AS detected,
+         (length(hx) // 2)::BIGINT AS bytes
+  FROM m
+), g AS (
+  SELECT declared, detected, count(*)::BIGINT AS n,
+         round(avg(bytes) + 1e-9, 2) AS avg_bytes
+  FROM det GROUP BY 1, 2
+)
+SELECT declared, detected, n, avg_bytes,
+       (detected = 'unknown' OR declared <>
+          CASE WHEN detected = 'png' THEN 'image'
+               WHEN detected = 'riff' THEN 'audio'
+               ELSE 'video' END) AS mismatch
+FROM g
+""",
+)
+def q_media_magic_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6/SRC4 [EXT]: container dispatch by MAGIC BYTES over the
+    binary media column — detect PNG / RIFF / ISO-BMFF('ftyp') from
+    the payload's leading bytes and reconcile against the declared
+    modality; every 7th payload ships headerless so the 'unknown'
+    quarantine arm is exercised. The binary-column extension of the
+    filename dispatcher (sources/io.py format_dispatch)
+    (operators/multimodal.py:magic_dispatch)."""
+    from resume_jd_matcher_spark.operators.multimodal import (
+        attach_media_encoded,
+        magic_dispatch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return magic_dispatch(attach_media_encoded(d))
+
+
+@register(
+    "media_payload_entropy",
+    f"""
+WITH m AS (
+  SELECT doc_id, {_MODALITY_CASE} AS modality,
+         {_MAGIC_CASE} || hex(encode(text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, modality, substr(hx, (i - 1) * 2 + 1, 2) AS byte
+  FROM m, unnest(generate_series(1, length(hx) // 2)) AS t(i)
+), c AS (
+  SELECT doc_id, modality, byte, count(*)::DOUBLE AS c
+  FROM b GROUP BY 1, 2, 3
+), h AS (
+  SELECT doc_id, modality,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+  FROM c GROUP BY 1, 2
+)
+SELECT modality, count(*)::BIGINT AS n_docs,
+       round(avg(h) + 1e-9, 4) AS avg_entropy_bits
+FROM h GROUP BY 1
+""",
+)
+def q_media_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 [EXT]: byte-level Shannon entropy of the binary media
+    payloads per modality — the decode-free compressed/encrypted-vs-
+    plain screen multimodal ingest runs before routing to decoders
+    (plain text ~4-5 bits/byte; real compressed media ~8; an 'image'
+    blob at text entropy is a mislabel). Linear in payload bytes, two
+    bounded hash aggs, no joins
+    (operators/multimodal.py:payload_entropy)."""
+    from resume_jd_matcher_spark.operators.multimodal import (
+        attach_media_encoded,
+        payload_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return payload_entropy(attach_media_encoded(d))

@@ -311,6 +311,143 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def session_type_dedup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-gap dedup: repeated events of the SAME type by the same
+    user within a ``gap`` session collapse to one row — the streaming
+    compaction a clickstream ingest runs so retries / double-fires
+    don't inflate downstream counts. Keyed native session_window on
+    (user_id, event_type): sessions are per-(user, type), so a burst
+    of identical actions is one output row carrying its multiplicity.
+
+    Same projection serves batch and stream (the session_window_counts
+    contract); in stream mode add a watermark upstream. Output:
+    (user_id, event_type, session_start, n_dupes, total_value)."""
+    s = events.groupBy(
+        "user_id", "event_type", F.session_window("ts", gap)
+    ).agg(
+        F.count("*").alias("n_dupes"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return s.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+        "n_dupes",
+        "total_value",
+    )
+
+
+def ann_dedup_gate(
+    arrivals: DataFrame,
+    index_df: DataFrame,
+    threshold: float = 1.5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stream-static ANN gate: each ARRIVING vector is checked against
+    the STATIC LSH-indexed corpus — its nearest same-bucket neighbor
+    plus an is_dup verdict at ``threshold`` (squared L2) — the online
+    near-dup admission gate a training-data ingest runs before a new
+    document enters the corpus.
+
+    Streaming-safe by construction: the arriving side computes its
+    bucket signature NARROWLY (no shuffle), joins the broadcast static
+    index on the bucket key, and top-1 is a struct-min aggregate (not
+    a rank window, which streams can't run) — identical result to
+    row_number ORDER BY (dist, id). Arrivals whose bucket has no index
+    member pass the gate silently (inner join; at production recall
+    pair with multi-probe — lsh_multiprobe_topk — exactly as in the
+    batch family). Output: (query_id, nn_id, bucket, dist, is_dup)."""
+    from resume_jd_matcher_spark.functions.vector import squared_l2
+    from resume_jd_matcher_spark.operators.ann import lsh_signature
+
+    q = arrivals.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qe"),
+        lsh_signature(F.col(vec_col), n_planes).alias("_qbucket"),
+    )
+    c = index_df.select(
+        F.col(id_col).alias("_nn_id"),
+        F.col(vec_col).alias("_ce"),
+        lsh_signature(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    cand = q.join(F.broadcast(c), F.col("_qbucket") == F.col("_bucket"))
+    d = squared_l2(F.col("_qe"), F.col("_ce"))
+    best = cand.groupBy("query_id").agg(
+        F.min(
+            F.struct(
+                d.alias("dist"),
+                F.col("_nn_id").alias("nn_id"),
+                F.col("_bucket").alias("bucket"),
+            )
+        ).alias("_m")
+    )
+    dist_r = F.round(F.col("_m.dist"), 4)
+    return best.select(
+        "query_id",
+        F.col("_m.nn_id").alias("nn_id"),
+        F.col("_m.bucket").alias("bucket"),
+        dist_r.alias("dist"),
+        (dist_r <= F.lit(threshold)).alias("is_dup"),
+    )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the ARRIVING slice of the embeddings
+    fixture (vec_id % 4 == 3 — scale-factor-proportional, so the
+    stream is non-empty at every sf) for the stream-static ANN gate
+    tests. Same staging discipline as read_events_stream."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from resume_jd_matcher_spark.sources.io import load_table
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"emb_stream_{digest}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        if os.path.isdir(stage):
+            shutil.rmtree(stage, ignore_errors=True)
+        tmp = f"{stage}_tmp_{os.getpid()}"
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 4 == 3
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, "_STAGED"), "w").close()
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def trending_finalize(day_counts: DataFrame, k: int = 3) -> DataFrame:
+    """Stateless finalize over the tumbling pre-aggregate: per day,
+    the top-k event types by (n DESC, event_type ASC). Rank windows
+    can't run inside a streaming agg, so this runs as a batch
+    finalize over the stream's windowed output — the drift-monitor
+    precedent. Output: (day_epoch, rank, event_type, n)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day_epoch").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        day_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("day_epoch", F.col("rank").cast("int").alias("rank"), "event_type", "n")
+    )
+
+
 def user_tier_dim(events_batch: DataFrame, threshold: int = 60) -> DataFrame:
     """Static enrichment dimension computed OFFLINE from the batch
     table: user → activity tier ('heavy' ≥ threshold lifetime events).

@@ -64,3 +64,98 @@ def test_media_binary_neardup_pairs_near_identical_blobs(spark):
     pairs = {(r["left_id"], r["right_id"]) for r in got}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestMagicDispatch:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_known_signatures_detected(self, spark):
+        """Hand-built payloads: PNG at offset 0, RIFF at offset 0,
+        ftyp at offset 4, and a headerless blob -> unknown."""
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.operators.multimodal import (
+            MAGIC_HEX,
+            magic_dispatch,
+        )
+
+        rows = [
+            (1, "image", bytes.fromhex(MAGIC_HEX["image"]) + b"x"),
+            (2, "audio", bytes.fromhex(MAGIC_HEX["audio"]) + b"yy"),
+            (3, "video", bytes.fromhex(MAGIC_HEX["video"]) + b"zzz"),
+            (4, "image", b"plain text, no header"),
+        ]
+        df = spark.createDataFrame(
+            [(i, payload, m) for i, m, payload in rows],
+            "doc_id long, media binary, modality string",
+        ).select(
+            "doc_id",
+            "media",
+            F.struct(
+                F.col("modality").alias("modality"),
+                F.lit("raw").alias("codec"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        got = {
+            (r["declared"], r["detected"]): r
+            for r in magic_dispatch(df).collect()
+        }
+        assert got[("image", "png")]["mismatch"] is False
+        assert got[("audio", "riff")]["mismatch"] is False
+        assert got[("video", "mp4")]["mismatch"] is False
+        assert got[("image", "unknown")]["mismatch"] is True
+        assert got[("image", "png")]["avg_bytes"] == 9.0
+
+    def test_attach_media_encoded_headerless_every_7th(self, spark):
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.operators.multimodal import (
+            attach_media_encoded,
+        )
+        from resume_jd_matcher_spark.sources.io import load_table
+
+        d = load_table(spark, SF, "documents").limit(30)
+        m = attach_media_encoded(d)
+        hdr = m.select(
+            "doc_id", F.hex(F.col("media")).alias("hx")
+        ).collect()
+        for r in hdr:
+            if r["doc_id"] % 7 == 0:
+                assert not r["hx"].startswith("89504E47")
+                assert not r["hx"].startswith("52494646")
+
+
+class TestPayloadEntropy:
+    def test_uniform_vs_constant_bytes(self, spark):
+        """256 distinct bytes -> exactly 8 bits; a constant blob ->
+        exactly 0 bits."""
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.operators.multimodal import (
+            payload_entropy,
+        )
+
+        rows = [
+            (1, "image", bytes(range(256))),
+            (2, "audio", b"\x00" * 100),
+        ]
+        df = spark.createDataFrame(
+            [(i, payload, m) for i, m, payload in rows],
+            "doc_id long, media binary, modality string",
+        ).select(
+            "doc_id",
+            "media",
+            F.struct(
+                F.col("modality").alias("modality"),
+                F.lit("raw").alias("codec"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        got = {r["modality"]: r for r in payload_entropy(df).collect()}
+        assert got["image"]["avg_entropy_bits"] == 8.0
+        assert got["audio"]["avg_entropy_bits"] == 0.0
+        assert got["image"]["n_docs"] == 1

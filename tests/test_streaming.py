@@ -326,3 +326,91 @@ def test_drift_bucket_clamped_both_ends(spark):
     base = {r["bkt"]: r["p_base"] for r in baseline_dist(neg).collect()}
     assert base[0] == pytest.approx(1.0)
     assert sum(base.values()) == pytest.approx(1.0 + 9e-4, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_session_type_dedup_stream_equals_batch(spark):
+    """Session-gap dedup: keyed (user, type) session_window collapses
+    same-type bursts identically in streaming (state-store sessions
+    under a watermark) and batch."""
+    from resume_jd_matcher_spark.queries.stream_q import q_stream_session_dedup
+    from resume_jd_matcher_spark.streaming.events import session_type_dedup
+
+    stream = session_type_dedup(
+        read_events_stream(spark, SF).withWatermark("ts", "2 hours")
+    )
+    got = run_stream_to_memory(stream, "t_session_dedup", output_mode="complete")
+    want = q_stream_session_dedup(spark, SF)
+    assert _rows(got) == _rows(want)
+
+
+@pytest.mark.slow
+def test_session_dedup_collapses_duplicate_replay(spark):
+    """A verbatim replay of in-session events must not create new
+    session rows — duplicates land in the SAME (user, type) session
+    and only inflate n_dupes. Compares the deduped session count on
+    the original data vs data + replay (batch semantics twin of the stream
+    guarantee)."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import session_type_dedup
+
+    e = load_table(spark, SF, "events")
+    replayed = e.unionByName(e.filter(F.col("event_id") % 5 == 0))
+    base = session_type_dedup(e)
+    with_dupes = session_type_dedup(replayed)
+    assert base.count() == with_dupes.count()
+    # the replay is visible only in multiplicities
+    assert (
+        with_dupes.agg(F.sum("n_dupes")).collect()[0][0]
+        > base.agg(F.sum("n_dupes")).collect()[0][0]
+    )
+
+
+@pytest.mark.slow
+def test_ann_dedup_gate_stream_equals_batch(spark):
+    """Stream-static ANN gate: arriving embeddings replayed through a
+    file source, LSH-bucket-joined to the broadcast static index with
+    a struct-min top-1 — streamed rows must equal the batch twin."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.queries.stream_q import q_stream_ann_dedup_gate
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import (
+        ann_dedup_gate,
+        read_embeddings_stream,
+    )
+
+    static_index = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") % 4 != 3
+    )
+    stream = ann_dedup_gate(
+        read_embeddings_stream(spark, SF), static_index, threshold=1.5
+    )
+    got = run_stream_to_memory(stream, "t_ann_gate", output_mode="complete")
+    want = q_stream_ann_dedup_gate(spark, SF)
+    assert _rows(got) == _rows(want)
+    # the gate is non-vacuous: both verdicts appear
+    verdicts = {r.is_dup for r in got.collect()}
+    assert verdicts == {True, False}
+
+
+@pytest.mark.slow
+def test_topk_trending_stream_plus_finalize_equals_batch(spark):
+    """Tumbling pre-aggregate streamed, rank applied as a stateless
+    batch finalize (rank windows can't run in-stream) — must equal
+    the registered batch twin."""
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.queries.stream_q import q_stream_topk_trending
+    from resume_jd_matcher_spark.streaming.events import (
+        trending_finalize,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(read_events_stream(spark, SF))
+    pre = run_stream_to_memory(stream, "t_trending_pre", output_mode="complete")
+    got = trending_finalize(pre.select("day_epoch", "event_type", "n"), k=3)
+    want = q_stream_topk_trending(spark, SF)
+    assert _rows(got) == _rows(want)
