@@ -15,6 +15,42 @@ Contract shared by every pair (FIXTURES.md oracle-harness notes):
 - deterministic tie-breaks on every top-k / limit;
 - float arrays cast to DOUBLE before arithmetic on both sides, folded
   left-to-right (bit-compatible accumulation).
+
+Half-up rounding nudge (``round(x + 1e-9, k)``) — tie-distance audit
+(r12, census in tools/nudge_audit.py). The nudge itself is never the
+risk; the question is whether the value reaching ``round`` can DIFFER
+between engines. Three classes:
+
+1. **Bit-identical by exactness** (the majority): a single float
+   division of exactly-transported integers — counts, integer cents
+   (``round(value*100)``; the fixtures are integer-cents by
+   construction), token counts. Same two integers divided → same
+   float64 on both engines → identical rounding regardless of tie
+   distance. Additionally the tie-distance lemma
+   |a/b − (2m+1)/(2·10^k)| ≥ 1/(2·10^k·b) means such a quotient
+   cannot even land within 1e-9 of a round-half boundary unless
+   exactly ON it (which the nudge resolves identically). Sums of
+   integers below 2^53 are exact in float64, so order-independence
+   extends to avg/sum of integer-valued doubles.
+2. **Bit-identical by contract**: float folds with pinned evaluation
+   order (left-to-right array aggregates, identical scalar
+   expression trees over identical inputs).
+3. **Order-dependent watch class**: unordered float aggregates over
+   genuinely fractional values (sum/avg/corr of transcendental
+   per-row terms). Engines can diverge by ~1 ulp per merge; a hash
+   flip needs the true value within that radius of a boundary —
+   generic values make this ~(n·2^-52)/10^-k per readout, negligible
+   at fixture scales UNLESS the algebra subtracts near-equal large
+   moments (catastrophic cancellation), which amplifies the
+   divergence into the exposed digits. That cancellation-amplified
+   subclass is the CAN-TIE class and is kept at ZERO: every moment
+   ratio (beta, theta, corr, slope) is computed from exact
+   DECIMAL(38,0) integer moments and composed in DOUBLE after
+   aggregation — rolling_beta (r11), regression_stats and
+   cuped_adjustment (r12). New single-row moment-ratio readouts MUST
+   use this discipline (or scaled-integer exposures like beta_e4 /
+   matthews_mcc / authority_e9) rather than native float
+   corr/regr_*/var_pop.
 """
 
 from __future__ import annotations

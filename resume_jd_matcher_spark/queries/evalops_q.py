@@ -1410,30 +1410,41 @@ def q_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH u AS (
   SELECT user_id,
          {_SQL_H32.format(x="user_id::VARCHAR || '#ab'")} % 2 AS arm,
-         sum(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END)
-           AS x,
-         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END)
-           AS y
+         sum(CASE WHEN ts <  TIMESTAMP '2024-01-16'
+                  THEN round(value * 100)::HUGEINT ELSE 0::HUGEINT END) AS xc,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN round(value * 100)::HUGEINT ELSE 0::HUGEINT END) AS yc
   FROM events GROUP BY user_id
 ), g AS (
-  SELECT avg(x) AS mx,
-         sum(x * x) / count(*) - avg(x) * avg(x) AS vx,
-         sum(x * y) / count(*) - avg(x) * avg(y) AS cxy
+  SELECT count(*)::HUGEINT AS n0, sum(xc) AS sx0, sum(yc) AS sy0,
+         sum(xc * xc) AS sxx0, sum(xc * yc) AS sxy0
   FROM u
 ), t AS (
-  SELECT mx,
-         CASE WHEN vx > 1e-9 THEN cxy / vx ELSE 0.0 END AS theta
+  SELECT sx0::DOUBLE / n0::DOUBLE AS mxc,
+         CASE WHEN (n0 * sxx0 - sx0 * sx0)::DOUBLE
+                   / (n0 * n0)::DOUBLE / 1e4 > 1e-9
+              THEN (n0 * sxy0 - sx0 * sy0)::DOUBLE
+                   / (n0 * sxx0 - sx0 * sx0)::DOUBLE
+              ELSE 0.0 END AS theta
   FROM g
+), a AS (
+  SELECT arm, count(*)::HUGEINT AS n, sum(xc) AS sx, sum(yc) AS sy,
+         sum(xc * xc) AS sxx, sum(xc * yc) AS sxy, sum(yc * yc) AS syy
+  FROM u GROUP BY arm
 )
-SELECT arm::INT AS arm, count(*)::BIGINT AS n,
-       round(avg(y) + 1e-9, 4) AS mean_y,
-       round(avg(y - t.theta * (x - t.mx)) + 1e-9, 4) AS mean_cuped,
-       round(any_value(t.theta) + 1e-9, 6) AS theta,
-       round(CASE WHEN var_pop(y) > 1e-9
-                  THEN 1.0 - var_pop(y - t.theta * (x - t.mx)) / var_pop(y)
+SELECT arm::INT AS arm, n::BIGINT AS n,
+       round(sy::DOUBLE / n::DOUBLE / 100 + 1e-9, 4) AS mean_y,
+       round((sy::DOUBLE / n::DOUBLE
+              - t.theta * (sx::DOUBLE / n::DOUBLE - t.mxc)) / 100
+             + 1e-9, 4) AS mean_cuped,
+       round(t.theta + 1e-9, 6) AS theta,
+       round(CASE WHEN (n * syy - sy * sy)::DOUBLE
+                       / (n * n)::DOUBLE / 1e4 > 1e-9
+                  THEN (2 * t.theta * (n * sxy - sx * sy)::DOUBLE
+                        - t.theta * t.theta * (n * sxx - sx * sx)::DOUBLE)
+                       / (n * syy - sy * sy)::DOUBLE
                   ELSE 0.0 END + 1e-9, 4) AS var_reduction
-FROM u, t
-GROUP BY arm
+FROM a, t
 """,
 )
 def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1448,56 +1459,92 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality, so a degenerate covariate can't blow up the ratio on a
     last-bit difference between engines.
 
+    r12 rewrite (the rolling_beta discipline, from the tie-distance
+    audit): theta = cov(x,y)/var(x) from float moments subtracts
+    near-equal large values — cancellation amplifies engine-order
+    accumulation noise into the 6-dp exposure, the exact class that
+    made rolling_beta hash-red in r10. Instead: per-user sums as
+    exact integer CENTS, all pooled/per-arm moments as exact
+    DECIMAL(38,0) sums (order-independent by exactness), and every
+    readout — theta, the adjusted mean (algebraically mean_y -
+    theta*(mean_x - mx), not a row-wise float sum), and the variance
+    reduction (identity: (2*theta*cov - theta^2*varx)/vary, the n^2
+    denominators cancel) — composed in DOUBLE from those exact
+    scalars with the identical formula on both engines.
+
     Scale shape: one user-grain conditional hash agg over events,
     one 1-row pooled-moment agg broadcast back, one per-arm agg —
     three shuffles, all on bounded or user-grain data; everything
     after the user agg is O(users)."""
     from resume_jd_matcher_spark.functions.text import hash32
 
+    dec = "decimal(38,0)"
     split = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast(dec)
     e = load_table(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.sum(
-            F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)
-        ).alias("x"),
+            F.when(F.col("ts") < split, cents).otherwise(F.lit(0).cast(dec))
+        ).cast(dec).alias("xc"),
         F.sum(
-            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
-        ).alias("y"),
+            F.when(F.col("ts") >= split, cents).otherwise(F.lit(0).cast(dec))
+        ).cast(dec).alias("yc"),
     ).withColumn(
         "arm",
         hash32(F.concat(F.col("user_id").cast("string"), F.lit("#ab"))) % 2,
     )
+    d = lambda c: c.cast("double")  # noqa: E731
     g = u.agg(
-        F.avg("x").alias("mx"),
-        (F.sum(F.col("x") * F.col("x")) / F.count("*")
-         - F.avg("x") * F.avg("x")).alias("vx"),
-        (F.sum(F.col("x") * F.col("y")) / F.count("*")
-         - F.avg("x") * F.avg("y")).alias("cxy"),
-    ).select(
-        "mx",
+        F.count("*").cast(dec).alias("n0"),
+        F.sum("xc").cast(dec).alias("sx0"),
+        F.sum("yc").cast(dec).alias("sy0"),
+        F.sum(F.col("xc") * F.col("xc")).cast(dec).alias("sxx0"),
+        F.sum(F.col("xc") * F.col("yc")).cast(dec).alias("sxy0"),
+    )
+    vx0 = d(F.col("n0") * F.col("sxx0") - F.col("sx0") * F.col("sx0"))
+    t = g.select(
+        (d(F.col("sx0")) / d(F.col("n0"))).alias("mxc"),
         F.when(
-            F.col("vx") > F.lit(1e-9), F.col("cxy") / F.col("vx")
+            vx0 / d(F.col("n0") * F.col("n0")) / F.lit(1e4) > F.lit(1e-9),
+            d(F.col("n0") * F.col("sxy0") - F.col("sx0") * F.col("sy0"))
+            / vx0,
         ).otherwise(F.lit(0.0)).alias("theta"),
     )
-    adj = u.crossJoin(F.broadcast(g)).withColumn(
-        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+    a = u.groupBy("arm").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("xc").cast(dec).alias("sx"),
+        F.sum("yc").cast(dec).alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast(dec).alias("sxx"),
+        F.sum(F.col("xc") * F.col("yc")).cast(dec).alias("sxy"),
+        F.sum(F.col("yc") * F.col("yc")).cast(dec).alias("syy"),
     )
-    return adj.groupBy("arm").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.round(F.avg("y") + F.lit(1e-9), 4).alias("mean_y"),
-        F.round(F.avg("y_adj") + F.lit(1e-9), 4).alias("mean_cuped"),
-        F.round(F.first("theta") + F.lit(1e-9), 6).alias("theta"),
+    eps = F.lit(1e-9)
+    cov = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    varx = d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vary = d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return a.crossJoin(F.broadcast(t)).select(
+        F.col("arm").cast("int").alias("arm"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(d(F.col("sy")) / d(F.col("n")) / 100 + eps, 4).alias(
+            "mean_y"
+        ),
+        F.round(
+            (d(F.col("sy")) / d(F.col("n"))
+             - F.col("theta")
+             * (d(F.col("sx")) / d(F.col("n")) - F.col("mxc"))) / 100
+            + eps,
+            4,
+        ).alias("mean_cuped"),
+        F.round(F.col("theta") + eps, 6).alias("theta"),
         F.round(
             F.when(
-                F.var_pop("y") > F.lit(1e-9),
-                F.lit(1.0) - F.var_pop("y_adj") / F.var_pop("y"),
+                vary / d(F.col("n") * F.col("n")) / F.lit(1e4) > eps,
+                (F.lit(2.0) * F.col("theta") * cov
+                 - F.col("theta") * F.col("theta") * varx) / vary,
             ).otherwise(F.lit(0.0))
-            + F.lit(1e-9),
+            + eps,
             4,
         ).alias("var_reduction"),
-    ).select(
-        F.col("arm").cast("int").alias("arm"), "n", "mean_y", "mean_cuped",
-        "theta", "var_reduction",
     )
 
 

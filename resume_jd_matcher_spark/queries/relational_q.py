@@ -969,38 +969,78 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH o AS (
   SELECT o_orderpriority,
-         (floor(epoch(o_orderdate))::BIGINT // 86400) AS x_day,
-         o_totalprice AS y
+         (floor(epoch(o_orderdate))::BIGINT // 86400)::HUGEINT AS x,
+         round(o_totalprice * 100)::HUGEINT AS yc
   FROM orders
+), m AS (
+  SELECT o_orderpriority, count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(yc) AS sy,
+         sum(x * x) AS sxx, sum(x * yc) AS sxy, sum(yc * yc) AS syy
+  FROM o GROUP BY o_orderpriority
 )
-SELECT o_orderpriority,
-       count(*)::BIGINT AS n,
-       round(regr_slope(y, x_day) + 1e-9, 4) AS slope,
-       round(regr_intercept(y, x_day) + 1e-9, 2) AS intercept,
-       round(corr(y, x_day) + 1e-9, 6) AS corr_xy,
-       round(avg(y) + 1e-9, 2) AS mean_y
-FROM o GROUP BY o_orderpriority
+SELECT o_orderpriority, n::BIGINT AS n,
+       round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+             / 100 + 1e-9, 4) AS slope,
+       round((sy::DOUBLE / n::DOUBLE
+              - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+                * (sx::DOUBLE / n::DOUBLE)) / 100 + 1e-9, 2) AS intercept,
+       round((n * sxy - sx * sy)::DOUBLE
+             / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+             + 1e-9, 6) AS corr_xy,
+       round(sy::DOUBLE / n::DOUBLE / 100 + 1e-9, 2) AS mean_y
+FROM m
 """,
 )
 def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 regression aggregates: per-priority OLS trend of order value
-    over order date (regr_slope / regr_intercept / corr) — the
-    monitoring query every pipeline dashboard runs ("is value
-    drifting?"). Single map-side-combined hash agg; the regression
-    moments (Sx, Sy, Sxy, Sxx) decompose exactly like sum/count, so
-    the skew/scale story is pricing_summary's."""
+    over order date — the monitoring query every pipeline dashboard
+    runs ("is value drifting?"). Single map-side-combined hash agg.
+
+    r12 rewrite (the rolling_beta discipline, from the tie-distance
+    audit): the natives regr_slope/regr_intercept/corr accumulate
+    float co-moments whose merge order differs between engines, and
+    the corr/slope ratios subtract near-equal large moments
+    (catastrophic cancellation amplifies a ~1e-16 accumulation
+    difference into ~1e-6 of the readout — exactly the class that
+    made rolling_beta hash-red in r10, and corr_xy here is exposed
+    at 6 dp). Instead: prices as exact integer CENTS, the five
+    moments as exact DECIMAL(38,0) sums (order-independent by
+    exactness), and every readout composed in DOUBLE from those
+    exact scalars with the identical formula on both engines —
+    bit-identical, no luck."""
+    dec = "decimal(38,0)"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.expr("unix_timestamp(o_orderdate) div 86400").alias("x_day"),
-        F.col("o_totalprice").alias("y"),
+        F.expr("unix_timestamp(o_orderdate) div 86400")
+        .cast(dec)
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast(dec).alias("yc"),
     )
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("yc").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast(dec).alias("sxy"),
+        F.sum(F.col("yc") * F.col("yc")).cast(dec).alias("syy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    cov = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    varx = d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vary = d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = cov / varx
     eps = F.lit(1e-9)
-    return o.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.round(F.regr_slope("y", "x_day") + eps, 4).alias("slope"),
-        F.round(F.regr_intercept("y", "x_day") + eps, 2).alias("intercept"),
-        F.round(F.corr("y", "x_day") + eps, 6).alias("corr_xy"),
-        F.round(F.avg("y") + eps, 2).alias("mean_y"),
+    return m.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope / 100 + eps, 4).alias("slope"),
+        F.round(
+            (d(F.col("sy")) / d(F.col("n"))
+             - slope * (d(F.col("sx")) / d(F.col("n")))) / 100 + eps,
+            2,
+        ).alias("intercept"),
+        F.round(cov / F.sqrt(varx * vary) + eps, 6).alias("corr_xy"),
+        F.round(d(F.col("sy")) / d(F.col("n")) / 100 + eps, 2).alias("mean_y"),
     )
 
 

@@ -77,10 +77,79 @@ def kernels():
             pairs.select("left_id", "right_id"), max_iter=10
         )
 
+    def k_label_propagation(spark, sf_dir):
+        # UNCAPPED twin of q_label_propagation (the registered query
+        # caps doc_id for oracle boundedness): banded candidates ->
+        # symmetrize -> fixed-round LPA. local_threshold=0 forces the
+        # DISTRIBUTED per-round join+agg path — the 100-TB route is
+        # what the curve must certify, not the driver loop.
+        pairs = dedup.minhash_lsh_candidates(
+            docs(spark, sf_dir), n_hashes=16, rows_per_band=4
+        ).filter(F.col("est_jaccard") >= 0.5)
+        sym = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("left_id").alias("a"),
+                        F.col("right_id").alias("b"),
+                    ),
+                    F.struct(
+                        F.col("right_id").alias("a"),
+                        F.col("left_id").alias("b"),
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
+        return cluster.label_propagation_sync(
+            sym, n_iter=4, local_threshold=0
+        )
+
+    def k_bcubed(spark, sf_dir):
+        # UNCAPPED twin of q_bcubed_eval's metric half: near-dup
+        # component labels vs the exact-fingerprint gold partition,
+        # reduced on the (pred x gold) CELL grain. Same decimal
+        # algebra as the query; the curve certifies the cell-grain
+        # claim (cost ~ cluster counts, not documents^2).
+        from pyspark.sql import Window
+
+        from resume_jd_matcher_spark.functions.text import fingerprint_md5
+        from resume_jd_matcher_spark.queries.structure_q import (
+            _DEC,
+            _halfup_div,
+        )
+
+        d = docs(spark, sf_dir)
+        pairs = dedup.minhash_lsh_candidates(
+            d, n_hashes=16, rows_per_band=4
+        ).filter(F.col("est_jaccard") >= 0.95)
+        lab = cluster.dedup_clusters(pairs).select("doc_id", "cluster_rep")
+        pred = d.select("doc_id").join(lab, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_rep", "doc_id").alias("p")
+        )
+        wg = Window.partitionBy(fingerprint_md5(F.col("text")))
+        gold = d.select("doc_id", F.min("doc_id").over(wg).alias("g"))
+        cell = (
+            pred.join(gold, "doc_id")
+            .groupBy("p", "g")
+            .agg(F.count("*").cast(_DEC).alias("npg"))
+        )
+        np_ = cell.groupBy("p").agg(F.sum("npg").cast(_DEC).alias("n_p"))
+        tp = (
+            cell.join(np_, "p")
+            .groupBy("p", "n_p")
+            .agg(F.sum(F.col("npg") * F.col("npg")).cast(_DEC).alias("s2"))
+            .select(
+                F.expr(_halfup_div("s2", "n_p", 10**9)).cast(_DEC).alias("t")
+            )
+        )
+        return tp.agg(F.count("*").alias("n"), F.sum("t").alias("s"))
+
     return {
         "kernel:minhash_lsh_full": k_minhash,
         "kernel:simhash_neardup_full": k_simhash,
         "kernel:cc_star_full": k_cc_star,
+        "kernel:label_propagation_full": k_label_propagation,
+        "kernel:bcubed_cells_full": k_bcubed,
     }
 
 
@@ -132,6 +201,12 @@ REGISTERED = [
     # boundedness and share the minhash-edge kernel already here.
     "shard_rendezvous",
     "doremi_reweight",
+    # round-12 multimodal members (documents-only, uncapped): magic
+    # dispatch is a narrow hex-prefix projection + a bounded rollup;
+    # payload entropy explodes to the per-BYTE grain — the heaviest
+    # linear kernel on this curve, which is the point of measuring it.
+    "media_magic_dispatch",
+    "media_payload_entropy",
 ]
 
 

@@ -349,6 +349,13 @@ REGISTERED = [
     # bitmask agg, measured here):
     "shapley_attribution",
     "burstiness_fano",
+    # round-12 streaming batch-twins (events inputs; the third §2.G
+    # debut, stream_ann_dedup_gate, needs an embeddings table this
+    # corpus doesn't synthesize — its bucket equi-join is the
+    # ann_lsh_topk kernel already certified on the vector family,
+    # measured via bench + the three-sf sims):
+    "stream_session_dedup",
+    "stream_topk_trending",
 ]
 
 
