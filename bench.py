@@ -79,8 +79,17 @@ def main() -> None:
         # first-JIT residue (r7: bootstrap_ci reported 5.0 s, settles
         # warm at 3.2 s) — one more attempt bounds the damage without
         # unbounded retries; round-over-round diffs >1.5x should mean
-        # code, not JIT.
+        # code, not JIT. r12 (the ngram_jaccard/conformal_interval
+        # sweep-variance adjudication): give the third attempt a FULL
+        # environment reset — gc (which also drives the ContextCleaner
+        # over accumulated broadcast blocks) plus a scan-cache re-warm
+        # — because a memory-heavy query measured under tail storage
+        # pressure can be slow on BOTH in-sweep attempts for the same
+        # reason (its own shuffle contends with evicted-then-refetched
+        # scan blocks), which a quiet run never sees.
         if timings[name] > 3.0:
+            spark.sparkContext._jvm.System.gc()
+            src_io.warm_scan_cache(spark, SF_DIR)
             timings[name] = min(timings[name], run_once(name))
         if (j + 1) % 10 == 0:
             spark.sparkContext._jvm.System.gc()
