@@ -346,12 +346,6 @@ def lloyd_kmeans_partition(
         .localCheckpoint()
     )
 
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first is not None and first[0] is not None else 0
-    # dim 0 (empty corpus) keeps the join route: an empty literal
-    # centroid array is untypable, and every frame is empty anyway
-    lit_route = 0 < n_clusters * dim <= _LIT_ASSIGN_MAX_VALUES
-
     def assign_join(cents_df: DataFrame, src: DataFrame) -> DataFrame:
         cand = src.crossJoin(F.broadcast(cents_df))
         d = squared_l2(F.col("_v"), F.col("centroid"))
@@ -399,12 +393,20 @@ def lloyd_kmeans_partition(
             .localCheckpoint()
         )
 
-    if lit_route:
+    # Final full-corpus assignment: ONE collect of the (already
+    # checkpointed, <=n_clusters-row) centroid table decides the
+    # route AND supplies both the literal centroids and the dimension
+    # — no separate first()-probe job (r12: the probe + collect pair
+    # added ~1 s of pure job latency to semdedup's 2000-row fit; one
+    # bounded collect is the price of deleting the corpus-sized
+    # assign-shuffle + join-back that the join route pays at scale).
+    cl = lits(cents)
+    dim = len(cl[0][1]) if cl else 0
+    if 0 < n_clusters * dim <= _LIT_ASSIGN_MAX_VALUES:
         assigned = corpus.withColumn(
             out_col,
             _argmin_literal(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                lits(cents),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")), cl
             ),
         )
     else:

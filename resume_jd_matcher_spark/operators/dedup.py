@@ -504,7 +504,14 @@ def semdedup(
     # once per vector here, not recomputed per pair: cosine =
     # dot / (norm_a · norm_b), the identical operation tree to
     # functions.vector.cosine, so the rounded boundary calls match.
-    parted = parted.persist()
+    # Repartition first: the r12 literal-argmin assignment is a NARROW
+    # projection, so parted would inherit the scan's handful of splits
+    # and pin the O(sum cluster^2) pair verify to as many cores
+    # (measured 2.6 -> 3.8 s at sf0.1 without this; at real scale the
+    # scan has hundreds of splits and this is a cheap rebalance).
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    parted = ensure_parallelism(parted).persist()
     _PERSISTED.append(parted)
     a = parted.select(
         "cid",

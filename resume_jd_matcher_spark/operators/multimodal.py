@@ -219,10 +219,18 @@ def payload_entropy(media_df: DataFrame) -> DataFrame:
     doc, then the per-modality rollup. Linear in payload bytes, two
     bounded hash aggs, no joins.
     Output: (modality, n_docs, avg_entropy_bits)."""
-    hexed = media_df.select(
-        "doc_id",
-        F.col("meta.modality").alias("modality"),
-        F.hex(F.col("media")).alias("_hx"),
+    from resume_jd_matcher_spark.plans.optimize import ensure_parallelism
+
+    # the per-BYTE explode multiplies rows ~300x; the documents scan
+    # is a handful of splits at test sfs, which would pin the explode
+    # and the (doc, byte) agg to as many cores (at real scale the scan
+    # has hundreds of splits and this is a no-op)
+    hexed = ensure_parallelism(
+        media_df.select(
+            "doc_id",
+            F.col("meta.modality").alias("modality"),
+            F.hex(F.col("media")).alias("_hx"),
+        )
     )
     bytes_long = hexed.select(
         "doc_id",

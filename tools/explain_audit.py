@@ -36,7 +36,15 @@ HEADLINERS = {
     "pq_topk": "ADC rank = broadcast m*k distance table equi-join on "
     "(subspace, code) + map-side sum; no raw vector in the ranking join",
     "ivf_pq_topk": "coarse routing prunes candidates to probed partitions "
-    "BEFORE the ADC join; broadcast sides are <=nlist / <=m*k rows",
+    "BEFORE the ADC join; broadcast sides are <=nlist / <=m*k rows; "
+    "fused fit (coarse + all m codebooks in ONE grouped Lloyd pass), "
+    "corpus encoded cid+codes in ONE literal-argmin projection",
+    "stream_ann_dedup_gate": "arriving side computes its bucket "
+    "signature NARROWLY; static index broadcast into the bucket "
+    "equi-join; top-1 a struct-min hash agg (streaming-safe, no rank "
+    "window)",
+    "media_magic_dispatch": "narrow hex-prefix dispatch pushed to the "
+    "scan; only the (declared x detected)-bounded rollup shuffles",
     "cms_heavy_hitters": "sketch build is map-side combined (<=d*w cells per "
     "partition cross the wire); probes join the broadcast sketch",
     "bloom_contamination": "bloom bitset broadcast; probe side streams "
@@ -375,10 +383,11 @@ HEADLINERS = {
     "changelog_apply": "ONE window partitioned by key over <=3 ops "
     "per key; filter; |priorities|-row agg — the MERGE-compaction "
     "plan",
-    "link_prediction_jaccard": "pair space from df-capped part "
-    "postings (hash equi-join, never customers^2; cap 25 at the "
-    "measured pair-count elbow — 1.03M pairs at sf0.1, was 8.4M at "
-    "cap 40); degree tables join back by key; top-k = "
+    "link_prediction_jaccard": "ONE groupBy(part) collect_set basket "
+    "build (doubles as edge dedup); df cap = basket-size filter; "
+    "pairs generated expression-side from sorted <=cap arrays "
+    "(C(25,2) per part, never a self-join shuffle, never "
+    "customers^2); degrees broadcast back; top-k = "
     "TakeOrderedAndProject",
     "degree_assortativity": "posting-list plan: ONE shuffle by part "
     "(collect_set), explode, ONE shuffle by supp folding closed-form "
