@@ -957,3 +957,37 @@ class TestGlobalValueAtRank:
         r = global_median_exact(df, "_x").collect()[0]
         assert r["n"] == 3
         assert r["med"] == pytest.approx(2.0)
+
+    def test_property_matches_sorted_selection(self, spark):
+        """Hypothesis: for arbitrary finite multisets (ties, negatives,
+        duplicates, single element) and arbitrary rank expressions
+        (including out-of-range ones), the bucket-histogram selection
+        equals clamped sorted()[k-1]."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from resume_jd_matcher_spark.operators.percentiles import (
+            global_value_at_rank,
+        )
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            vals=st.lists(
+                st.integers(min_value=-10**6, max_value=10**6).map(
+                    lambda c: c / 100.0  # integer-cents domain
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+            k=st.integers(min_value=-3, max_value=70),
+        )
+        def check(vals, k):
+            df = spark.createDataFrame(
+                [(float(v),) for v in vals], "_x double"
+            )
+            [r] = global_value_at_rank(df, "_x", str(k)).collect()
+            kk = max(1, min(k, len(vals)))
+            assert r["n"] == len(vals)
+            assert r["val"] == sorted(vals)[kk - 1]
+
+        check()
