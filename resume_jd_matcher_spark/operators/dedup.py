@@ -395,7 +395,10 @@ def ngram_jaccard_join(
     all-pairs semantics (EXACTLY the all-pairs answer, because
     zero-overlap pairs can't clear the jaccard > 0 filter anyway);
     with a cap, worst-case candidate volume is bounded by
-    |shingles|·max_df²."""
+    |shingles|·max_df², and the capped route generates those pairs
+    expression-side from per-shingle doc baskets (one groupBy, no
+    posting self-join shuffle — r12, same rewrite as
+    link_prediction_jaccard)."""
     from resume_jd_matcher_spark.functions.text import shingles
 
     # Materialize the token array in its own projection BEFORE the
@@ -414,32 +417,57 @@ def ngram_jaccard_join(
     # to the shingle arrays, just set sizes.
     ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if max_df is not None:
-        # The posting list now feeds four consumers (df computation,
-        # both self-join sides, capped sizes); persist so the
-        # tokenize→shingle→explode pipeline runs once, not 4×.
-        ex = ex.persist()
-        _PERSISTED.append(ex)
-        # The blocked set (df > max_df) is tiny by construction —
-        # broadcast anti-join keeps the posting-list filter cheap.
-        blocked = (
+        # Basket route (r12, the link_prediction_jaccard rewrite
+        # applied here): ONE groupBy(shingle) collects each shingle's
+        # doc list — the df cap is then just the basket size (no
+        # separate df census, no broadcast anti-join), and candidate
+        # pairs are generated EXPRESSION-side from each sorted
+        # <=max_df-sized basket (C(max_df, 2) per shingle, never a
+        # posting self-join shuffle). Set sizes re-explode the SAME
+        # capped baskets, so the Jaccard denominator lives in the
+        # identical capped universe.
+        baskets = (
             ex.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("shingle")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ds"))
+            .filter(F.size("ds") <= max_df)
+            # AQE would coalesce the basket frame to a few partitions
+            # and pin the pair explosion; REPARTITION_BY_NUM is
+            # exempt and the frame is bounded
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .persist()  # two consumers: sizes + pairs
         )
-        ex = ex.join(F.broadcast(blocked), "shingle", "left_anti")
-        # Set sizes must live in the same capped universe as the
-        # intersections, or the Jaccard denominator is inconsistent.
-        sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        _PERSISTED.append(baskets)
+        sizes = (
+            baskets.select(F.explode("ds").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_sh"))
+        )
+        inter = (
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (a, i) -> "
+                        "transform(slice(ds, i + 2, size(ds)), "
+                        "b -> struct(a AS left_id, b AS right_id))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.left_id", "p.right_id")
+            .groupBy("left_id", "right_id")
+            .agg(F.count("*").alias("n_inter"))
+        )
     else:
         sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
-    inter = (
-        ex.select(F.col(id_col).alias("left_id"), "shingle")
-        .join(ex.select(F.col(id_col).alias("right_id"), "shingle"), "shingle")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .groupBy("left_id", "right_id")
-        .agg(F.count("*").alias("n_inter"))
-    )
+        inter = (
+            ex.select(F.col(id_col).alias("left_id"), "shingle")
+            .join(
+                ex.select(F.col(id_col).alias("right_id"), "shingle"),
+                "shingle",
+            )
+            .filter(F.col("left_id") < F.col("right_id"))
+            .groupBy("left_id", "right_id")
+            .agg(F.count("*").alias("n_inter"))
+        )
     pairs = (
         inter.join(sizes.select(F.col(id_col).alias("left_id"),
                                 F.col("n_sh").alias("n_a")), "left_id")
