@@ -69,30 +69,46 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     affinity use). Items are rolled up to p_brand so the pair space
     is dimension-bounded (|brands|² ≤ 625), not part².
 
-    Scale shape: baskets = one distinct on (order, brand) — map-side
-    combinable; the pair generator is a SELF-EQUI-JOIN keyed on
-    l_orderkey (never a cross join): per-order fanout is C(brands per
-    order, 2), bounded by the order's line count, so the candidate
-    stream is O(Σ per-order pairs) — linear-ish in lineitem. Brand
-    counts and the order total are broadcast back. part is a
-    broadcast dim into the lineitem scan."""
+    Scale shape (r12 basket rewrite): ONE groupBy(order) collect_set
+    builds each order's sorted brand basket AND is the
+    (order, brand) distinct; order count, per-brand counts, and the
+    C(brands-per-order, 2) pair stream all come off that persisted
+    bounded frame (pairs generated EXPRESSION-side from the sorted
+    arrays — no self-join shuffle; per-order fanout is bounded by
+    the order's line count, so the candidate stream is linear-ish in
+    lineitem). part is a broadcast dim into the lineitem scan."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+
     baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        # AQE coalesces the small basket frame; spread the pair
+        # explosion (REPARTITION_BY_NUM is coalesce-exempt)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()  # three consumers: n_orders, brand counts, pairs
     )
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
-    )
-    cnts = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
-    a = baskets.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = baskets.select(
-        F.col("l_orderkey").alias("rk"), F.col("p_brand").alias("brand_b")
+    _PERSISTED.append(baskets)
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    cnts = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
     )
     pairs = (
-        a.join(b, (a.l_orderkey == b.rk) & (F.col("brand_a") < F.col("brand_b")))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "b -> struct(a AS brand_a, b AS brand_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
