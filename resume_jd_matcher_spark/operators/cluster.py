@@ -116,9 +116,19 @@ def _union_find(pairs) -> dict:
 def _cc_distributed(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
+    # symmetrize via ONE explode, not union(edges, swap(edges)) — the
+    # union evaluates the (possibly expensive) upstream candidate-pair
+    # subplan twice (same fix as connected_components_star, r12)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
         .distinct()
         .persist()
     )
