@@ -195,6 +195,7 @@ _DRIVER_PRIORITY = [
     "stream_topk_trending",
     "media_magic_dispatch",
     "media_payload_entropy",
+    "sequence_packing",
     # -- remaining r8 second confirmations --
     "cusum_changepoint",
     "stl_decompose",

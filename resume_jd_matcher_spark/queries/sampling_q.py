@@ -669,3 +669,117 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return negative_sampling(d, k=4, vocab_size=200, seed=7)
+
+
+_PACK_LEN = 512
+
+
+@register(
+    "sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id, len({SQL_TOKS.format(c='text')})::BIGINT AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok,
+         sum(tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+), f AS (
+  SELECT doc_id, tok, cum, cum - tok AS strt,
+         (cum - tok) // {_PACK_LEN} AS bin_start,
+         (cum - 1) // {_PACK_LEN} AS bin_end
+  FROM c
+), s AS (
+  SELECT count(*)::HUGEINT AS n_docs,
+         sum(tok)::HUGEINT AS total_tokens,
+         ((sum(tok) + {_PACK_LEN} - 1) // {_PACK_LEN})::HUGEINT AS n_bins,
+         sum(CASE WHEN bin_end > bin_start THEN 1 ELSE 0 END)::HUGEINT
+           AS n_crossing,
+         sum(bin_end - bin_start + 1)::HUGEINT AS n_fragments
+  FROM f
+)
+SELECT n_docs::BIGINT AS n_docs, total_tokens::BIGINT AS total_tokens,
+       n_bins::BIGINT AS n_bins, n_crossing::BIGINT AS n_crossing,
+       n_fragments::BIGINT AS n_fragments,
+       ((n_fragments * 2000000 + n_bins) // (2 * n_bins))::BIGINT
+         AS frags_per_bin_e6,
+       (n_bins * {_PACK_LEN} - total_tokens)::BIGINT AS pad_tokens,
+       (((n_bins * {_PACK_LEN} - total_tokens) * 2000000
+         + n_bins * {_PACK_LEN})
+        // (2 * n_bins * {_PACK_LEN}))::BIGINT AS pad_pct_e6
+FROM s
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequence-packing profile for LLM pretraining: concatenate
+    the corpus in doc_id order and cut every {L} tokens (the standard
+    concat-with-EOS packing), then report how the documents land —
+    bins, boundary-crossing documents, fragments per bin, and padding
+    waste (only the final bin pads, by construction of the cut). The
+    capacity-planning readout run before a packing job: fragments/bin
+    drives attention-mask fragmentation, crossing share drives
+    document-truncation loss terms.
+
+    Determinism: token counts and the running total are exact BIGINTs
+    (global_prefix with sum_type='bigint' — bit-deterministic
+    bucketed accumulation, no float running sum); every exposed ratio
+    is a half-up scaled-integer division replayed in HUGEINT by the
+    oracle.
+
+    Scale shape: one narrow token-count projection, ONE bucketed
+    prefix shuffle (operators/prefix.global_prefix — no
+    single-partition window over data), one 1-row summary agg. The
+    per-bin grain is never materialized; everything reduces on the
+    document grain.""".format(L=_PACK_LEN)
+    from resume_jd_matcher_spark.functions.text import tokens
+    from resume_jd_matcher_spark.operators.prefix import global_prefix
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("tok")
+    )
+    c = global_prefix(
+        d, ["doc_id"], "tok", sum_type="bigint", checkpoint=False
+    )
+    L = F.lit(_PACK_LEN)
+    f = c.select(
+        "tok",
+        F.expr(f"(cum_sum - tok) div {_PACK_LEN}").alias("bin_start"),
+        F.expr(f"(cum_sum - 1) div {_PACK_LEN}").alias("bin_end"),
+    )
+    s = f.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_docs"),
+        F.sum("tok").cast("decimal(38,0)").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("bin_end") > F.col("bin_start"), 1).otherwise(0)
+        ).cast("decimal(38,0)").alias("n_crossing"),
+        F.sum(F.col("bin_end") - F.col("bin_start") + 1)
+        .cast("decimal(38,0)")
+        .alias("n_fragments"),
+    ).withColumn(
+        "n_bins",
+        F.expr(f"(total_tokens + {_PACK_LEN} - 1) div {_PACK_LEN}").cast(
+            "decimal(38,0)"
+        ),
+    )
+    halfup = (
+        lambda num, den: F.expr(f"({num} * 2000000 + {den}) div (2 * {den})")
+        .cast("bigint")
+    )
+    return s.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        F.col("n_crossing").cast("bigint").alias("n_crossing"),
+        F.col("n_fragments").cast("bigint").alias("n_fragments"),
+        halfup("n_fragments", "n_bins").alias("frags_per_bin_e6"),
+        (F.col("n_bins") * L - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        F.expr(
+            f"((n_bins * {_PACK_LEN} - total_tokens) * 2000000"
+            f" + n_bins * {_PACK_LEN})"
+            f" div (2 * n_bins * {_PACK_LEN})"
+        ).cast("bigint").alias("pad_pct_e6"),
+    )

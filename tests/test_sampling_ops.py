@@ -339,3 +339,49 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
     nat = temperature_mixture(df, alpha=1.0, total=200, group_col="source")
     byn = {r["source"]: r["n"] for r in nat.groupBy("source").count().withColumnRenamed("count", "n").collect()}
     assert byn["small"] == 20 and byn["big"] == 180
+
+
+class TestSequencePacking:
+    def test_hand_computed_packing(self, spark, monkeypatch):
+        """Three docs of 300/300/200 tokens into L=512 bins:
+        concatenated total 800 -> 2 bins; doc 2 (tokens 301-600)
+        crosses the 512 boundary -> 1 crossing, 4 fragments; last bin
+        pads 1024-800 = 224 tokens (pad_pct = 224/1024 = 21.875%)."""
+        from resume_jd_matcher_spark.queries import sampling_q
+
+        rows = [
+            (1, " ".join(["w"] * 300), "en", "s", 300),
+            (2, " ".join(["w"] * 300), "en", "s", 300),
+            (3, " ".join(["w"] * 200), "en", "s", 200),
+        ]
+        d = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        monkeypatch.setattr(sampling_q, "load_table", lambda *a: d)
+        [r] = sampling_q.q_sequence_packing(spark, SF).collect()
+        assert r["n_docs"] == 3
+        assert r["total_tokens"] == 800
+        assert r["n_bins"] == 2
+        assert r["n_crossing"] == 1
+        assert r["n_fragments"] == 4
+        assert r["frags_per_bin_e6"] == 2_000_000
+        assert r["pad_tokens"] == 224
+        assert r["pad_pct_e6"] == 218_750
+
+    def test_exact_fit_no_padding(self, spark, monkeypatch):
+        from resume_jd_matcher_spark.queries import sampling_q
+
+        rows = [(i, " ".join(["w"] * 512), "en", "s", 512) for i in (1, 2)]
+        d = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        monkeypatch.setattr(sampling_q, "load_table", lambda *a: d)
+        [r] = sampling_q.q_sequence_packing(spark, SF).collect()
+        assert r["n_bins"] == 2
+        assert r["n_crossing"] == 0
+        assert r["pad_tokens"] == 0
+        assert r["pad_pct_e6"] == 0

@@ -207,6 +207,9 @@ REGISTERED = [
     # linear kernel on this curve, which is the point of measuring it.
     "media_magic_dispatch",
     "media_payload_entropy",
+    # round-12 packing profile: one token-count projection + ONE
+    # bucketed prefix shuffle + a 1-row agg.
+    "sequence_packing",
 ]
 
 
