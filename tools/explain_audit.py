@@ -216,10 +216,18 @@ HEADLINERS = {
     "and row normalizer are |types|^2-bounded hash aggs + a broadcast "
     "dim join",
     # -- round 7 --
-    "market_basket": "pair generator is a SELF-EQUI-JOIN keyed on "
-    "l_orderkey (per-order fanout bounded by line count, never "
-    "corpus x corpus); part dim + brand counts + order total all "
-    "broadcast",
+    "market_basket": "ONE groupBy(order) collect_set basket build "
+    "(doubles as the (order, brand) distinct); pairs generated "
+    "expression-side from the sorted arrays (per-order fanout "
+    "bounded by line count, never corpus x corpus, no self-join "
+    "shuffle); part dim + brand counts + order total all broadcast",
+    "ngram_jaccard": "capped route: per-shingle doc baskets from ONE "
+    "groupBy (the df cap is the basket-size filter), pairs generated "
+    "expression-side from sorted <=max_df arrays — no posting "
+    "self-join shuffle; sizes re-explode the SAME capped baskets",
+    "sequence_packing": "one token-count projection, ONE bucketed "
+    "prefix shuffle (exact BIGINT accumulation), 1-row summary agg; "
+    "the per-bin grain never materializes",
     "abc_pareto": "global rank/cumshare via the two-phase prefix scan "
     "(operators/prefix.py): monotone width_bucket assignment + window "
     "PARTITIONED BY _bkt; the ONLY unpartitioned window covers "
