@@ -456,6 +456,11 @@ def test_registry_wide_no_cartesian_products(spark):
         # calendar-bounded day spine broadcast crossed into the
         # |event_types| dim to build the zero-fill grid:
         "burstiness_fano",
+        # -- round 12 --
+        # global_prefix's 1-row (min, max) bucket-stats broadcast
+        # crossed into the token-count projection (the abc_pareto /
+        # mann_whitney_u shape):
+        "sequence_packing",
     }
     offenders, bnlj_unexpected = [], []
     for name, qd in sorted(Q._REGISTRY.items()):
