@@ -112,26 +112,132 @@ from resume_jd_matcher_spark.queries import structure_q  # noqa: E402,F401
 # confirmation > multiply-confirmed anchors. Full rotation history
 # lives in git; per-round full-registry results (all queries, not
 # just the window) are committed as SELFCHECK_r{N}.json by
-# tools/driver_sim.py — diff those instead of reading rotation
+# tools/driver_sim.py -- diff those instead of reading rotation
 # comments.
 #
-# Round 12 window (the driver samples the first 50) — r11 verdict
+# Round 13 window (the driver samples the first 50) -- r12 verdict
 # task 2 verbatim:
-# 1) the 8 r11 structure debuts lead (zero driver rows so far;
-#    conformal_interval and shapley_attribution additionally carry
-#    this round's percentile-clamp / overflow-guard reworks, so their
-#    rows double as re-confirmations);
-# 2) the five r10 names displaced from r11's window (queued for this
-#    exact slot by the r11 rotation comment);
-# 3) the r8/r9 tail that hasn't had a driver row since its debut
-#    round — the round-9 cohort's second confirmations, the r10
-#    rework batch (link_prediction_jaccard, decontaminate, ...,
-#    whose code changed after their last row), and the r8 names
-#    whose second confirmation never fit a window (mde_power ...).
-# r12 debuts (streaming/multimodal additions) queue immediately
-# below the boundary to lead r13.
+# 1) the 6 r12 debuts lead (selfcheck + judge driver-sim green, zero
+#    driver rows so far);
+# 2) the once-confirmed backlog oldest-first: the r1 cohort (no
+#    driver row since round 1), then r3, then the r4 head -- the
+#    "never reconfirmed since debut" cohort the verdict names.
+#    Rows-only names (llm_feedback/llm_explain/mllib_lsh_join) are
+#    held out of the window so all 50 rows stay hash-checkable; they
+#    queue directly below the boundary.
+# Remaining once-confirmed r4/r5/r7/r8 names queue next for r14,
+# then the r11 structure debuts (confirmed r12), then the
+# multiply-confirmed anchors in their prior order.
 _DRIVER_PRIORITY = [
-    # -- r11 structure debuts: first driver rows --
+    # -- r12 debuts: first driver rows --
+    "stream_session_dedup",
+    "stream_ann_dedup_gate",
+    "stream_topk_trending",
+    "media_magic_dispatch",
+    "media_payload_entropy",
+    "sequence_packing",
+    # -- r1 cohort: second confirmations (no driver row since r1) --
+    "asof_join",
+    "embed_documents",
+    "header_canon",
+    "mean_score",
+    "multimodal_features",
+    "multimodal_frames",
+    "page_concat",
+    "prompt_assembly",
+    "score_parse",
+    "scoring_e2e",
+    "section_chunk",
+    "sections_map",
+    "sessionize",
+    "shortlist_e2e",
+    "stream_sliding_counts",
+    # -- r3 cohort: second confirmations --
+    "cdc_compact",
+    "chunk_embed_pool",
+    "column_profile",
+    "dq_checks",
+    "embedding_drift",
+    "embedding_quantize",
+    "incremental_append",
+    "label_centroids",
+    "mad_stats",
+    "range_join_binned",
+    "rollup_timeseries",
+    "shipping_priority",
+    "skew_salted_agg",
+    "star_join_revenue",
+    "winnow_fingerprint",
+    # -- r4 head: second confirmations --
+    "agg_grouping_sets",
+    "array_ops",
+    "bucketed_join",
+    "cap_per_source",
+    "chunk_sliding",
+    "corpus_clean_pipeline",
+    "date_arithmetic",
+    "funnel_conversion",
+    "fuzzy_match",
+    "heavy_hitters",
+    "json_struct",
+    "lang_confusion",
+    "leakage_safe_split",
+    "pack_token_budget",
+    # ---- window boundary (50) ----
+    # -- rows-only trio (held out of the hash window by design) --
+    "llm_feedback",
+    "llm_explain",
+    "mllib_lsh_join",
+    # -- remaining once-confirmed r4/r5/r7/r8: queue to lead r14 --
+    "pii_redact",
+    "pivot_unpivot",
+    "rolling_fingerprint",
+    "stats_moments",
+    "stratified_sample",
+    "stream_late_data",
+    "tfidf_topterms",
+    "top_orders_global",
+    "train_test_split",
+    "window_stats",
+    "winnow_neardup",
+    "ann_recall_eval",
+    "asof_join_forward",
+    "bloom_contamination",
+    "cms_heavy_hitters",
+    "corpus_shuffle",
+    "curriculum_order",
+    "embedding_outliers",
+    "ewma_smoothing",
+    "gap_fill_daily",
+    "graph_triangles",
+    "ivf_pq_topk",
+    "kmv_distinct",
+    "length_buckets",
+    "mixture_sample",
+    "mixture_token_budget",
+    "ngram_lm_score",
+    "pagerank_neardup",
+    "pq_topk",
+    "regression_stats",
+    "repetition_filter",
+    "rerank_e2e",
+    "substring_remove",
+    "token_entropy",
+    "weighted_sample",
+    "winsorize_stats",
+    "zorder_curve",
+    "boilerplate_ngrams",
+    "fd_check",
+    "keyword_tag_broadcast",
+    "kfold_assign",
+    "readability_ari",
+    "weighted_median",
+    "cusum_changepoint",
+    "diff_in_did",
+    "hurst_exponent",
+    "silhouette_score",
+    "stl_decompose",
+    # -- r11 structure debuts (confirmed r12) --
     "bcubed_eval",
     "burstiness_fano",
     "conformal_interval",
@@ -140,27 +246,23 @@ _DRIVER_PRIORITY = [
     "label_propagation",
     "shapley_attribution",
     "shard_rendezvous",
-    # -- r10 debuts displaced from r11's window --
+    # -- multiply-confirmed names in prior rotation order --
     "matthews_mcc",
     "theil_index",
     "hhi_concentration",
     "cohens_kappa",
     "mcnemar_test",
-    # -- rotate-forward: one driver row only (r8) --
     "effective_sources",
-    # -- reworked in round 10 (code changed; must re-confirm) --
     "link_prediction_jaccard",
     "degree_assortativity",
     "decontaminate",
     "join_theta_band",
-    # -- reworked in round 10 batch 2 (persisted-ledger cache path) --
     "zipf_fit",
     "llr_keyness",
     "theil_sen_trend",
     "approx_stats",
     "exact_percentiles",
     "qte_deciles",
-    # -- round-9 cohort: second confirmations --
     "anomaly_mad_daily",
     "elasticity_by_brand",
     "funnel_time_to_convert",
@@ -180,7 +282,6 @@ _DRIVER_PRIORITY = [
     "obrien_fleming_monitor",
     "benjamini_hochberg",
     "kaplan_meier",
-    # -- r8 names whose second confirmation never fit a window --
     "mde_power",
     "join_plan_advisor",
     "calibration_eval",
@@ -188,21 +289,6 @@ _DRIVER_PRIORITY = [
     "k_anonymity",
     "dp_noisy_counts",
     "mann_kendall",
-    # ---- window boundary (50) ----
-    # -- r12 debuts: queue to lead r13's window --
-    "stream_session_dedup",
-    "stream_ann_dedup_gate",
-    "stream_topk_trending",
-    "media_magic_dispatch",
-    "media_payload_entropy",
-    "sequence_packing",
-    # -- remaining r8 second confirmations --
-    "cusum_changepoint",
-    "stl_decompose",
-    "diff_in_did",
-    "hurst_exponent",
-    "silhouette_score",
-    # -- r11 window (confirmed in CORRECTNESS_r11, 50/50 green) --
     "rolling_beta",
     "rmst",
     "markov_attribution",
@@ -253,21 +339,12 @@ _DRIVER_PRIORITY = [
     "t_closeness",
     "cramer_von_mises",
     "lorenz_curve",
-    # -- r7/r6 cohorts: third confirmations (fill past the window;
-    #    kept explicit so the window stays fully rotation-determined)
     "market_basket",
     "rfm_segments",
     "level_shift",
     "time_weighted_avg",
     "sax_symbolize",
-    "readability_ari",
-    "boilerplate_ngrams",
-    "fd_check",
-    "keyword_tag_broadcast",
-    "weighted_median",
-    "kfold_assign",
     "heaps_law",
-    # -- confirmed twice+ (latest in r9's window); keep explicit --
     "cramers_v",
     "chi2_independence",
     "snapshot_diff",
@@ -319,7 +396,6 @@ _DRIVER_PRIORITY = [
     "score_deciles",
     "skew_salted_join",
     "tfidf_cosine_pairs",
-    # -- multiply-confirmed anchors --
     "topk_similarity",
     "pricing_summary",
     "pipeline_e2e",
