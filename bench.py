@@ -74,6 +74,17 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     src_io.warm_scan_cache(spark, SF_DIR)
     for j, name in enumerate(n for n, t in timings.items() if t > 0.5):
+        # r13 (driver-sweep drift, r12 verdict task 3): the global
+        # re-warm above goes stale as the re-measure loop itself runs
+        # hundreds of queries — a memory-heavy query re-measured late
+        # in the loop hits the same polluted tail context on BOTH
+        # attempts (the exact mechanism behind the r12 driver sweep's
+        # 1.32x median / 2x tail vs quiet runs). Make the full reset
+        # UNCONDITIONAL before re-measuring anything that exceeded
+        # 3 s on the first pass, not just on a third attempt.
+        if timings[name] > 3.0:
+            spark.sparkContext._jvm.System.gc()
+            src_io.warm_scan_cache(spark, SF_DIR)
         timings[name] = min(timings[name], run_once(name))
         # a still-slow number after the warm re-run can still be
         # first-JIT residue (r7: bootstrap_ci reported 5.0 s, settles

@@ -424,6 +424,7 @@ def assign_to_centroids_grouped(
     vec_col: str = "_v",
     cid_col: str = "_cid",
     collectable: bool = True,
+    known_total_vals: int | None = None,
 ) -> DataFrame:
     """Broadcast-argmin encode, one independent centroid set per
     group: each (group, vector) row joins the ≤groups×k-row broadcast
@@ -440,13 +441,16 @@ def assign_to_centroids_grouped(
     table is localCheckpoint'ed there), the assignment is a
     shuffle-free narrow projection via _grouped_argmin_literal
     instead of the join+argmin-agg; the join route remains the
-    at-scale path."""
+    at-scale path. Callers that can compute the centroid value count
+    plan-side (rows × dim) pass ``known_total_vals`` so the budget
+    probe costs zero Spark jobs."""
     if collectable:
         by_group = _grouped_literals(
             cents.select(
                 F.col(group_col), F.col(cid_col).alias("_cid"), "centroid"
             ),
             group_col,
+            known_total=known_total_vals,
         )
         if by_group is not None:
             return vectors.select(
@@ -575,15 +579,31 @@ def lloyd_kmeans_grouped(
     return cents
 
 
-def _grouped_literals(cents: DataFrame, group_col: str):
+def _grouped_literals(
+    cents: DataFrame, group_col: str, known_total: int | None = None
+):
     """Collect a (bounded, checkpointed) grouped centroid table into
     {group: [(cid, centroid), ...]} for the literal-argmin route, or
     None when it exceeds _LIT_ASSIGN_MAX_VALUES (the broadcast-join
-    route handles it)."""
-    rows = cents.collect()
-    total = sum(len(r["centroid"]) for r in rows)
-    if not rows or total > _LIT_ASSIGN_MAX_VALUES:
+    route handles it).
+
+    The budget check runs executor-side FIRST (one scalar agg over
+    the checkpointed table) so an over-budget centroid table is
+    never materialized on the driver (r12 ADVICE: the old order
+    collected every row before counting values — a driver-OOM
+    hazard at e.g. n_lists=65536 × dim=768). A caller that already
+    knows the value count plan-side passes ``known_total`` and skips
+    the probe job entirely."""
+    total = known_total
+    if total is None:
+        [total] = (
+            cents.agg(
+                F.coalesce(F.sum(F.size("centroid")), F.lit(0))
+            ).first()
+        )
+    if not total or total > _LIT_ASSIGN_MAX_VALUES:
         return None
+    rows = cents.collect()
     by_group: dict = {}
     for r in rows:
         by_group.setdefault(r[group_col], []).append(

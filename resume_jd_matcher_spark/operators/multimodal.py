@@ -209,6 +209,188 @@ def magic_dispatch(media_df: DataFrame) -> DataFrame:
     )
 
 
+MEDIA_FORMATS = ("png", "wav", "mp4")
+
+_EXT_BY_MODALITY = {"image": "png", "audio": "wav", "video": "mp4"}
+# the wrong-extension plant: each modality's file named with the NEXT
+# modality's extension (image→.wav, audio→.mp4, video→.png)
+_ROTATED_EXT = {"image": "wav", "audio": "mp4", "video": "png"}
+
+
+def attach_media_paths(df: DataFrame) -> DataFrame:
+    """Synthesize upload filenames for the media fixture with two
+    planted defect classes: every 11th doc gets an UNSUPPORTED
+    extension ('.bin' → the dispatcher's quarantine route) and every
+    13th (not 11th) doc gets the WRONG-but-supported extension (the
+    next modality's — an extension/content mismatch only the magic
+    bytes can catch). Adds ``path`` to ``attach_media_encoded``'s
+    (doc_id, media, meta)."""
+    modality = F.col("meta.modality")
+    right = (
+        F.when(modality == "image", _EXT_BY_MODALITY["image"])
+        .when(modality == "audio", _EXT_BY_MODALITY["audio"])
+        .otherwise(_EXT_BY_MODALITY["video"])
+    )
+    rotated = (
+        F.when(modality == "image", _ROTATED_EXT["image"])
+        .when(modality == "audio", _ROTATED_EXT["audio"])
+        .otherwise(_ROTATED_EXT["video"])
+    )
+    ext = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("bin"))
+        .when(F.col("doc_id") % 13 == 0, rotated)
+        .otherwise(right)
+    )
+    return df.withColumn(
+        "path",
+        F.concat(
+            F.lit("uploads/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+            ext,
+        ),
+    )
+
+
+def ext_magic_quarantine(media_df: DataFrame) -> DataFrame:
+    """U6/SRC4 [EXT]: reconcile the filename-extension route (the
+    SRC4 dispatcher, sources/io.format_dispatch with the media
+    whitelist) against the payload's MAGIC-BYTE container — the
+    ingest admission screen that catches (a) unsupported extensions,
+    (b) supported extensions on the wrong container (renamed files),
+    and (c) headerless/corrupt payloads that no extension can vouch
+    for. Everything is a narrow per-row projection on one scan — the
+    dispatcher adds route columns, the magic probe is prefix
+    compares — followed by one bounded (route × detected) hash agg.
+
+    Output: (route, detected, n, quarantined) — quarantined iff the
+    dispatcher routed to quarantine, the magic is unknown, or the
+    route's implied container disagrees with the detected one."""
+    from resume_jd_matcher_spark.sources.io import format_dispatch
+
+    routed = format_dispatch(media_df, path_col="path", formats=MEDIA_FORMATS)
+    hx = F.hex(F.col("media"))
+    detected = (
+        F.when(hx.startswith(MAGIC_HEX["image"]), "png")
+        .when(hx.startswith(MAGIC_HEX["audio"]), "riff")
+        .when(F.substring(hx, 9, 8) == "66747970", "mp4")
+        .otherwise("unknown")
+    )
+    return (
+        routed.select("route", detected.alias("detected"))
+        .groupBy("route", "detected")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn(
+            "quarantined",
+            (F.col("route") == "quarantine")
+            | (F.col("detected") == "unknown")
+            | (
+                F.col("detected")
+                != F.when(F.col("route") == "png", "png")
+                .when(F.col("route") == "wav", "riff")
+                .when(F.col("route") == "mp4", "mp4")
+                .otherwise("quarantine")
+            ),
+        )
+    )
+
+
+def attach_media_with_ihdr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``attach_media_encoded`` variant whose IMAGE payloads carry a
+    structurally-valid PNG header through the IHDR chunk: 8-byte
+    signature, 4-byte chunk length (13), 'IHDR', 4-byte BIG-ENDIAN
+    width and height, bit-depth/color-type/compression/filter/
+    interlace bytes, and a placeholder CRC — followed by the text
+    bytes as the 'pixel data'. Dimensions are deterministic functions
+    of doc_id (width = 16·(1 + doc_id mod 40), height =
+    16·(1 + doc_id mod 30)), so widths span 16..640 and exercise
+    multi-byte big-endian decoding. Audio/video docs keep their flat
+    container magic; every 7th doc ships headerless (corrupt-upload
+    arm), matching ``attach_media_encoded``'s census."""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    width = (16 * (1 + F.col("doc_id") % 40)).cast("int")
+    height = (16 * (1 + F.col("doc_id") % 30)).cast("int")
+    ihdr_hex = F.concat(
+        F.lit(MAGIC_HEX["image"]),  # PNG signature
+        F.lit("0000000D"),  # IHDR chunk length = 13
+        F.lit("49484452"),  # 'IHDR'
+        F.lpad(F.hex(width), 8, "0"),  # width, 4B big-endian
+        F.lpad(F.hex(height), 8, "0"),  # height, 4B big-endian
+        F.lit("0806000000"),  # depth 8, RGBA, deflate, std, none
+        F.lit("00000000"),  # placeholder CRC
+    )
+    magic = (
+        F.when(F.col("doc_id") % 7 == 0, F.unhex(F.lit("")))
+        .when(F.col("doc_id") % 3 == 0, F.unhex(ihdr_hex))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(MAGIC_HEX["audio"])))
+        .otherwise(F.unhex(F.lit(MAGIC_HEX["video"])))
+    )
+    return df.select(
+        "doc_id",
+        F.concat(magic, F.encode(F.col(text_col), "utf-8")).alias("media"),
+        F.struct(
+            modality.alias("modality"),
+            F.lit("raw").alias("codec"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def ihdr_dimensions(media_df: DataFrame) -> DataFrame:
+    """U6 [EXT]: fixed-offset header FIELD extraction from the binary
+    column — the decode-free metadata probe multimodal ingest runs
+    before any image library is loaded (pixel dimensions gate
+    resize/filter routing and GPU batch shaping). A payload parses
+    iff it starts with the PNG signature AND carries 'IHDR' at byte
+    offset 12; width/height are then the 4-byte big-endian integers
+    at offsets 16 and 20 (hex chars 33-40 / 41-48, decoded with a
+    base-16 conv — no UDF).
+
+    Pure narrow projection per row; non-PNG and headerless payloads
+    yield NULL dims and are dropped. Output: (doc_id, modality,
+    width INT, height INT)."""
+    hx = F.hex(F.col("media"))
+    is_png = hx.startswith(MAGIC_HEX["image"]) & (
+        F.substring(hx, 25, 8) == F.lit("49484452")
+    )
+    width = F.conv(F.substring(hx, 33, 8), 16, 10).cast("int")
+    height = F.conv(F.substring(hx, 41, 8), 16, 10).cast("int")
+    return (
+        media_df.select(
+            "doc_id",
+            F.col("meta.modality").alias("modality"),
+            F.when(is_png, width).alias("width"),
+            F.when(is_png, height).alias("height"),
+        )
+        .filter(F.col("width").isNotNull())
+    )
+
+
+def dimension_histogram(parsed: DataFrame, band: int = 128) -> DataFrame:
+    """Roll the parsed (width, height) grain into a banded dimension
+    histogram per modality — the ingest-side census that sizes
+    decoder batches and flags absurd dimensions. Bounded output
+    (|modality| × bands²); one hash agg."""
+    return (
+        parsed.groupBy(
+            "modality",
+            F.floor(F.col("width") / band).cast("int").alias("wband"),
+            F.floor(F.col("height") / band).cast("int").alias("hband"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("width").cast("int").alias("min_w"),
+            F.max("width").cast("int").alias("max_w"),
+            F.min("height").cast("int").alias("min_h"),
+            F.max("height").cast("int").alias("max_h"),
+        )
+    )
+
+
 def payload_entropy(media_df: DataFrame) -> DataFrame:
     """U6 [EXT]: byte-level Shannon entropy per modality — the
     decode-free compressed/encrypted-vs-plain screen multimodal
@@ -232,15 +414,21 @@ def payload_entropy(media_df: DataFrame) -> DataFrame:
             F.hex(F.col("media")).alias("_hx"),
         )
     )
+    # sequence(1, 0) counts DOWN in Spark (the shingles_all pitfall):
+    # an empty blob would emit two bogus empty-substring byte rows
+    # where the oracle's generate_series(1, 0) emits none — guard it
+    # (r12 ADVICE).
+    byte_grams = F.when(
+        F.length("_hx") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (F.length("_hx") / 2).cast("int")),
+            lambda i: F.col("_hx").substr((i - 1) * 2 + 1, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     bytes_long = hexed.select(
         "doc_id",
         "modality",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), (F.length("_hx") / 2).cast("int")),
-                lambda i: F.col("_hx").substr((i - 1) * 2 + 1, F.lit(2)),
-            )
-        ).alias("_b"),
+        F.explode(byte_grams).alias("_b"),
     )
     counts = bytes_long.groupBy("doc_id", "modality", "_b").agg(
         F.count("*").cast("double").alias("_c")

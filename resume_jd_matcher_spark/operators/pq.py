@@ -108,7 +108,14 @@ def pq_fit_encode(
         F.transform("_sv", lambda x: x.cast("double")).alias("_v"),
     )
     enc = assign_to_centroids_grouped(
-        corpus_long, cents, group_col="subspace", id_col=id_col, vec_col="_v"
+        corpus_long,
+        cents,
+        group_col="subspace",
+        id_col=id_col,
+        vec_col="_v",
+        # m subspaces × k codes × (dim/m) values = k·dim, known
+        # plan-side — zero-job budget probe
+        known_total_vals=k * dim,
     )
     codes = enc.groupBy(id_col).agg(
         *[
@@ -248,7 +255,17 @@ def ivf_pq_fit_encode(
         F.transform("_sv", lambda x: x.cast("double")).alias("_v"),
     )
     enc = assign_to_centroids_grouped(
-        corpus_long, cents, group_col="subspace", id_col=id_col, vec_col="_v"
+        corpus_long,
+        cents,
+        group_col="subspace",
+        id_col=id_col,
+        vec_col="_v",
+        # total_vals is already known to exceed the literal budget on
+        # this branch — skip the collectable probe entirely so the
+        # centroid table is never materialized driver-side (r12
+        # ADVICE: the default probe collected e.g. 65536×768 coarse
+        # centroids before the budget check)
+        collectable=False,
     )
     wide = enc.groupBy(id_col).agg(
         F.max(F.when(F.col("subspace") == -1, F.col("_cid")))

@@ -368,7 +368,9 @@ WITH o AS (
   FROM o JOIN g USING (o_orderpriority) WHERE o.sp < 5
 ), k AS (
   SELECT count(*)::BIGINT AS n_calib,
-         (({100 - _CONF_ALPHA_PCT} * (count(*) + 1) + 99) // 100)::BIGINT AS k
+         greatest(1, least(
+           ({100 - _CONF_ALPHA_PCT} * (count(*) + 1) + 99) // 100,
+           count(*)))::BIGINT AS k
   FROM cal
 ), cum AS (
   SELECT s, sum(c) OVER (ORDER BY s) AS cum

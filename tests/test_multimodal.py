@@ -159,3 +159,139 @@ class TestPayloadEntropy:
         assert got["image"]["avg_entropy_bits"] == 8.0
         assert got["audio"]["avg_entropy_bits"] == 0.0
         assert got["image"]["n_docs"] == 1
+
+    def test_empty_payload_emits_no_byte_rows(self, spark):
+        """r12 ADVICE: sequence(1, 0) counts DOWN in Spark, so an
+        empty blob used to emit two bogus empty-substring byte rows
+        (the oracle's generate_series(1, 0) is empty). An empty
+        payload must contribute no rows at all — same as DuckDB."""
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.operators.multimodal import (
+            payload_entropy,
+        )
+
+        rows = [
+            (1, "image", b""),
+            (2, "image", bytes(range(16))),
+        ]
+        df = spark.createDataFrame(
+            [(i, payload, m) for i, m, payload in rows],
+            "doc_id long, media binary, modality string",
+        ).select(
+            "doc_id",
+            "media",
+            F.struct(
+                F.col("modality").alias("modality"),
+                F.lit("raw").alias("codec"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        got = {r["modality"]: r for r in payload_entropy(df).collect()}
+        # the empty doc drops out entirely: n_docs counts only doc 2
+        assert got["image"]["n_docs"] == 1
+        assert got["image"]["avg_entropy_bits"] == 4.0
+
+
+class TestIhdrDimensions:
+    def _docs(self, spark, ids):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [(i, f"text body {i}", "s") for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    def test_golden_png_header_parse(self, spark):
+        """Hand-built IHDR bytes: width 0x0102 = 258, height 0x30 =
+        48 — the parse must decode multi-byte big-endian exactly."""
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.operators.multimodal import (
+            ihdr_dimensions,
+        )
+
+        blob = bytes.fromhex(
+            "89504E470D0A1A0A"  # signature
+            "0000000D" "49484452"  # len, 'IHDR'
+            "00000102" "00000030"  # width 258, height 48
+            "0806000000" "00000000"
+        ) + b"payload"
+        df = spark.createDataFrame(
+            [(1, blob)], "doc_id long, media binary"
+        ).select(
+            "doc_id",
+            "media",
+            F.struct(
+                F.lit("image").alias("modality"),
+                F.lit("raw").alias("codec"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+        [r] = ihdr_dimensions(df).collect()
+        assert (r["width"], r["height"]) == (258, 48)
+
+    def test_attach_parse_roundtrip_and_census(self, spark):
+        """attach_media_with_ihdr → ihdr_dimensions must recover the
+        doc_id arithmetic exactly; non-image and headerless docs drop."""
+        from resume_jd_matcher_spark.operators.multimodal import (
+            attach_media_with_ihdr,
+            ihdr_dimensions,
+        )
+
+        ids = list(range(50))
+        got = {
+            r["doc_id"]: (r["width"], r["height"])
+            for r in ihdr_dimensions(
+                attach_media_with_ihdr(self._docs(spark, ids))
+            ).collect()
+        }
+        want = {
+            i: (16 * (1 + i % 40), 16 * (1 + i % 30))
+            for i in ids
+            if i % 3 == 0 and i % 7 != 0
+        }
+        assert got == want
+
+
+class TestExtMagicQuarantine:
+    def test_planted_defect_classes(self, spark):
+        """All three planted classes must be quarantined: unsupported
+        ext (%11), renamed file (%13, supported ext + wrong magic),
+        headerless payload (%7 → unknown); clean rows pass."""
+        from resume_jd_matcher_spark.operators.multimodal import (
+            attach_media_encoded,
+            attach_media_paths,
+            ext_magic_quarantine,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", "s") for i in range(1, 400)],
+            "doc_id long, text string, source string",
+        )
+        rows = ext_magic_quarantine(
+            attach_media_paths(attach_media_encoded(docs))
+        ).collect()
+        by_key = {(r["route"], r["detected"]): r for r in rows}
+        # clean rows: ext agrees with magic, not quarantined
+        for route, det in (("png", "png"), ("wav", "riff"), ("mp4", "mp4")):
+            assert not by_key[(route, det)]["quarantined"]
+        # every other (route, detected) combination is quarantined
+        for (route, det), r in by_key.items():
+            if (route, det) not in (
+                ("png", "png"),
+                ("wav", "riff"),
+                ("mp4", "mp4"),
+            ):
+                assert r["quarantined"], (route, det)
+        # the unsupported-ext arm routed to quarantine
+        assert any(r["route"] == "quarantine" for r in rows)
+        # the renamed-file arm: supported route, mismatched container
+        assert any(
+            r["route"] in ("png", "wav", "mp4")
+            and r["detected"] in ("png", "riff", "mp4")
+            and r["quarantined"]
+            for r in rows
+        )
+        # totals preserved
+        assert sum(r["n"] for r in rows) == 399

@@ -207,6 +207,46 @@ class TestConformalInterval:
             2 * len(ev_c)
         )
 
+    def test_tiny_calibration_engine_oracle_parity(self, spark, tmp_path):
+        """r12 ADVICE: the Spark side clamps k to [1, n] but the
+        registered DuckDB oracle used the raw ceil(0.9*(n+1)) rank —
+        for n_calib < 9 the oracle returned NULL qhat / 0 covered
+        while the engine returned the max order statistic. Both sides
+        must now select the same clamped order statistic. 12 orders →
+        n_calib = 6 (hash split), k = ceil(0.9*7) = 7 > 6 → clamp."""
+        import datetime as dt
+
+        import duckdb
+
+        from resume_jd_matcher_spark.queries import structure_q as sq
+
+        ts = dt.datetime(2024, 1, 1)
+        prices = [100.0 + 7 * (i % 13) for i in range(12)]
+        o = spark.createDataFrame(
+            [(i, 1, "O", prices[i], ts, "1-URGENT") for i in range(12)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        o.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "orders.parquet")
+        )
+        [r] = sq.q_conformal_interval(spark, str(tmp_path)).collect()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'{tmp_path}/orders.parquet/*.parquet'"
+        )
+        from resume_jd_matcher_spark import queries as Q
+
+        [d] = con.sql(Q._REGISTRY["conformal_interval"].oracle).fetchall()
+        con.close()
+        duck = dict(zip(["n_calib", "n_eval", "qhat_cents", "n_covered", "coverage_e6"], d))
+        assert r["n_calib"] < 9, "fixture must exercise the clamp"
+        assert r["qhat_cents"] is not None and duck["qhat_cents"] is not None
+        for col in ("n_calib", "n_eval", "qhat_cents", "n_covered", "coverage_e6"):
+            assert r[col] == duck[col], col
+
 
 class TestBcubedEval:
     def test_perfect_clustering_scores_one(self, spark, monkeypatch):

@@ -274,3 +274,52 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     }
     assert len(multi & truth) >= len(single & truth)
     assert len(multi) >= len(single)  # probes can only add candidates
+
+
+def test_grouped_literals_never_collects_over_budget(spark, monkeypatch):
+    """r12 ADVICE: _grouped_literals must reject an over-budget
+    centroid table via an executor-side size agg BEFORE any driver
+    collect — the old order materialized every row first. Poison
+    DataFrame.collect so any driver materialization fails loudly."""
+    from pyspark.sql import DataFrame
+
+    from resume_jd_matcher_spark.operators import ann
+
+    cents = spark.createDataFrame(
+        [(0, c, [float(c), float(c)]) for c in range(4)],
+        "_grp int, _cid int, centroid array<double>",
+    )
+    monkeypatch.setattr(ann, "_LIT_ASSIGN_MAX_VALUES", 3)
+    monkeypatch.setattr(
+        DataFrame,
+        "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("driver collect on over-budget centroids")
+        ),
+    )
+    assert ann._grouped_literals(cents, "_grp") is None
+
+
+def test_ivf_pq_at_scale_branch_skips_literal_probe(spark, monkeypatch):
+    """r12 ADVICE: ivf_pq_fit_encode's at-scale branch already knows
+    total_vals exceeds the budget — it must pass collectable=False so
+    the grouped assign never probes the literal route at all."""
+    from resume_jd_matcher_spark.operators import ann, pq
+
+    monkeypatch.setattr(ann, "_LIT_ASSIGN_MAX_VALUES", 1)
+    monkeypatch.setattr(
+        ann,
+        "_grouped_literals",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("literal probe on the at-scale branch")
+        ),
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2), 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    encoded, coarse, books = pq.ivf_pq_fit_encode(
+        corpus, n_lists=2, m=2, k=2, n_iter=1
+    )
+    assert encoded.count() == 12
+    assert {c for c in encoded.columns} >= {"cid", "code_0", "code_1"}
