@@ -184,6 +184,10 @@ _DRIVER_PRIORITY = [
     "leakage_safe_split",
     "pack_token_budget",
     # ---- window boundary (50) ----
+    # -- r13 debuts: queue to lead r14's window --
+    "stream_view_conversion",
+    "media_ihdr_histogram",
+    "media_ext_quarantine",
     # -- rows-only trio (held out of the hash window by design) --
     "llm_feedback",
     "llm_explain",

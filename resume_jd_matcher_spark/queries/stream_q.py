@@ -868,3 +868,138 @@ def q_media_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return payload_entropy(attach_media_encoded(d))
+
+
+@register(
+    "stream_view_conversion",
+    """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_id, v.user_id,
+       coalesce(p.purchase_id, -1)::BIGINT AS purchase_id,
+       coalesce((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000, -1)::BIGINT
+         AS lag_s,
+       (p.purchase_id IS NOT NULL) AS converted
+FROM v LEFT JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts < v.ts + INTERVAL 1 HOUR
+""",
+)
+def q_stream_view_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G [EXT] batch twin of the LEFT OUTER stream-stream interval
+    join (streaming/events.view_conversion_outer): every view joined
+    to same-user purchases in the following hour; unmatched views
+    emit one purchase_id=-1 row — the per-impression conversion
+    ledger. The OUTER side is the new streaming surface vs
+    stream_attribution_join's inner join: the no-conversion verdict
+    is watermark-driven state eviction, which
+    tests/test_streaming.py asserts agrees with this twin on the
+    watermark-closed cohort (matched pairs emit immediately; NULL
+    rows emit when the purchase watermark passes view_ts + 1h)."""
+    from resume_jd_matcher_spark.streaming.events import (
+        view_conversion_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return view_conversion_outer(ev, window_s=3600)
+
+
+@register(
+    "media_ihdr_histogram",
+    """
+WITH img AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 40) AS width,
+         16 * (1 + doc_id % 30) AS height
+  FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+)
+SELECT 'image' AS modality,
+       (width // 128)::INT AS wband,
+       (height // 128)::INT AS hband,
+       count(*)::BIGINT AS n_docs,
+       min(width)::INT AS min_w, max(width)::INT AS max_w,
+       min(height)::INT AS min_h, max(height)::INT AS max_h
+FROM img GROUP BY 2, 3
+""",
+)
+def q_media_ihdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 [EXT]: fixed-offset HEADER FIELD extraction from the binary
+    media column — parse width/height out of the PNG IHDR chunk
+    (4-byte big-endian ints at payload offsets 16/20, decoded with a
+    base-16 conv, no UDF) and roll into a banded dimension histogram
+    per modality. The decode-free metadata probe that sizes decoder
+    batches before any image library loads. The oracle recomputes
+    the dimensions from the fixture's doc_id arithmetic — a full
+    round-trip check of the big-endian encode+parse
+    (operators/multimodal.py: attach_media_with_ihdr,
+    ihdr_dimensions, dimension_histogram). Narrow per-row parse,
+    one bounded hash agg."""
+    from resume_jd_matcher_spark.operators.multimodal import (
+        attach_media_with_ihdr,
+        dimension_histogram,
+        ihdr_dimensions,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return dimension_histogram(ihdr_dimensions(attach_media_with_ihdr(d)))
+
+
+@register(
+    "media_ext_quarantine",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         {_MODALITY_CASE} AS declared,
+         {_MAGIC_CASE} || hex(encode(text)) AS hx
+  FROM documents
+), r AS (
+  SELECT doc_id, hx,
+         CASE WHEN doc_id % 11 = 0 THEN 'quarantine'
+              WHEN doc_id % 13 = 0 THEN
+                CASE declared WHEN 'image' THEN 'wav'
+                              WHEN 'audio' THEN 'mp4'
+                              ELSE 'png' END
+              ELSE CASE declared WHEN 'image' THEN 'png'
+                                 WHEN 'audio' THEN 'wav'
+                                 ELSE 'mp4' END END AS route,
+         CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+              WHEN starts_with(hx, '52494646') THEN 'riff'
+              WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+              ELSE 'unknown' END AS detected
+  FROM m
+)
+SELECT route, detected, count(*)::BIGINT AS n,
+       (route = 'quarantine' OR detected = 'unknown' OR
+        detected <> CASE route WHEN 'png' THEN 'png'
+                               WHEN 'wav' THEN 'riff'
+                               WHEN 'mp4' THEN 'mp4'
+                               ELSE 'quarantine' END) AS quarantined
+FROM r GROUP BY 1, 2
+""",
+)
+def q_media_ext_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6/SRC4 [EXT]: extension-vs-magic admission screen — the SRC4
+    filename dispatcher (sources/io.format_dispatch, media
+    whitelist) routes by extension, the payload's magic bytes name
+    the actual container, and disagreement is the quarantine
+    verdict. Catches the three planted defect classes: unsupported
+    extensions (doc_id%11), renamed files (supported extension,
+    wrong container, doc_id%13), and headerless payloads (doc_id%7).
+    All per-row narrow projections on one scan + one bounded
+    (route × detected) hash agg (operators/multimodal.py:
+    attach_media_paths, ext_magic_quarantine)."""
+    from resume_jd_matcher_spark.operators.multimodal import (
+        attach_media_encoded,
+        attach_media_paths,
+        ext_magic_quarantine,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return ext_magic_quarantine(attach_media_paths(attach_media_encoded(d)))

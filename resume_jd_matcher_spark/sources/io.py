@@ -153,7 +153,11 @@ def scan_binary_files(spark: SparkSession, glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(glob)
 
 
-def format_dispatch(df: DataFrame, path_col: str = "path") -> DataFrame:
+def format_dispatch(
+    df: DataFrame,
+    path_col: str = "path",
+    formats: tuple[str, ...] = SUPPORTED_FORMATS,
+) -> DataFrame:
     """SRC4/T7: route rows by file extension (reference utils.py:11-19)
     and sanitize the filename (reference: ``secure_filename``,
     app.py:75,149 — anything outside [A-Za-z0-9._-] becomes '_').
@@ -161,10 +165,13 @@ def format_dispatch(df: DataFrame, path_col: str = "path") -> DataFrame:
     Adds ``ext``, ``route``, and ``safe_name`` columns; unsupported
     extensions are routed to 'quarantine' (the reference raised
     ValueError — at scale a bad row must not kill the job).
+    ``formats`` defaults to the reference's document formats; media
+    ingest passes its own container whitelist (png/wav/mp4) so the
+    SAME dispatcher serves both surfaces.
     """
     ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]+)$", 1))
     route = (
-        F.when(ext.isin(*SUPPORTED_FORMATS), ext)
+        F.when(ext.isin(*formats), ext)
         .otherwise(F.lit("quarantine"))
     )
     basename = F.substring_index(F.col(path_col), "/", -1)

@@ -292,6 +292,71 @@ def stream_stream_join(
     )
 
 
+def view_conversion_outer(
+    events: DataFrame, window_s: int = 3600, delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every ``view`` joined
+    to the ``purchase`` events of the same user in the FOLLOWING
+    ``window_s`` seconds; a view with no purchase in its window emits
+    one NULL-match row — the per-impression conversion ledger (the
+    row shape funnel attribution and negative-sampling both read).
+
+    The outer side is what makes this a distinct streaming surface
+    from ``stream_stream_join``: matched pairs emit as they join, but
+    the NULL row for an unmatched view can only emit once the
+    purchase-side WATERMARK has passed ``view_ts + window_s`` —
+    state-store eviction doubles as the no-conversion verdict.
+    Both sides carry ``delay`` watermarks and the join condition
+    bounds event-time skew, so buffered state is
+    watermark-bounded — never corpus-bounded.
+
+    Output: (view_id, user_id, purchase_id, lag_s, converted) with
+    the NULL match exposed as purchase_id = -1 / lag_s = -1 (exact
+    integers hash-compare across engines; NULLs do not)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            purchase_ts >= view_ts AND
+            purchase_ts < view_ts + INTERVAL {window_s} SECONDS
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(view_ts))"
+                " div 1000000"
+            ),
+            F.lit(-1).cast("bigint"),
+        ).alias("lag_s"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
 def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session_window aggregate (per-user merging sessions,
     gap-based): the SAME projection serves the batch query

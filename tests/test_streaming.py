@@ -414,3 +414,46 @@ def test_topk_trending_stream_plus_finalize_equals_batch(spark):
     got = trending_finalize(pre.select("day_epoch", "event_type", "n"), k=3)
     want = q_stream_topk_trending(spark, SF)
     assert _rows(got) == _rows(want)
+
+
+@pytest.mark.slow
+def test_view_conversion_outer_stream_equals_batch_on_closed_cohort(spark):
+    """LEFT OUTER stream-stream interval join: matched pairs emit
+    immediately, NULL (no-conversion) rows emit only when the
+    purchase watermark passes view_ts + 1h — so equality with the
+    batch twin holds on the WATERMARK-CLOSED cohort (views at least
+    window + delay = 2h before stream end); tail views may lack
+    their NULL row when the run terminates."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from resume_jd_matcher_spark.queries.stream_q import (
+        q_stream_view_conversion,
+    )
+    from resume_jd_matcher_spark.sources.io import load_table
+    from resume_jd_matcher_spark.streaming.events import (
+        view_conversion_outer,
+    )
+
+    stream = view_conversion_outer(read_events_stream(spark, SF))
+    got = run_stream_to_memory(stream, "t_view_conv", output_mode="append")
+    want = q_stream_view_conversion(spark, SF)
+
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    closed = (
+        load_table(spark, SF, "events")
+        .filter((F.col("event_type") == "view") & (F.col("ts") <= F.lit(cutoff)))
+        .select(F.col("event_id").alias("view_id"))
+    )
+    got_closed = got.join(closed, "view_id")
+    want_closed = want.join(closed, "view_id")
+    assert _rows(got_closed) == _rows(want_closed)
+    # the closed cohort must include genuine NULL-match rows, or the
+    # outer arm is vacuous
+    assert want_closed.filter("purchase_id = -1").count() > 0
+    # matched pairs (emitted immediately) agree on the FULL stream
+    assert _rows(got.filter("purchase_id >= 0")) == _rows(
+        want.filter("purchase_id >= 0")
+    )
