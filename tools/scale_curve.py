@@ -210,6 +210,16 @@ REGISTERED = [
     # round-12 packing profile: one token-count projection + ONE
     # bucketed prefix shuffle + a 1-row agg.
     "sequence_packing",
+    # round-13 multimodal members (documents-only, uncapped): IHDR
+    # parse is a fixed-offset hex projection + a bounded histogram
+    # agg; ext-vs-magic quarantine is two narrow per-row routes + a
+    # bounded (route x detected) rollup. stream_view_conversion
+    # reads the events table this corpus doesn't synthesize — a
+    # watermark-bounded user+time equi/range join, linear by
+    # construction, measured via bench + the three-sf sims instead
+    # (the matryoshka_eval precedent).
+    "media_ihdr_histogram",
+    "media_ext_quarantine",
 ]
 
 
