@@ -295,3 +295,46 @@ class TestExtMagicQuarantine:
         )
         # totals preserved
         assert sum(r["n"] for r in rows) == 399
+
+    def test_property_bigendian_roundtrip(self, spark):
+        """Hypothesis: for arbitrary PNG dimensions (1..2^31-1,
+        including values whose high bytes are non-zero), hand-built
+        IHDR bytes parse back to exactly (width, height) — the
+        4-byte big-endian decode is total, not just correct on the
+        fixture's 16..640 range."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import functions as F
+
+        from resume_jd_matcher_spark.operators.multimodal import (
+            ihdr_dimensions,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            w=st.integers(min_value=1, max_value=2**31 - 1),
+            h=st.integers(min_value=1, max_value=2**31 - 1),
+        )
+        def check(w, h):
+            blob = bytes.fromhex(
+                "89504E470D0A1A0A"
+                "0000000D" "49484452"
+                + format(w, "08X")
+                + format(h, "08X")
+                + "0806000000" "00000000"
+            )
+            df = spark.createDataFrame(
+                [(1, blob)], "doc_id long, media binary"
+            ).select(
+                "doc_id",
+                "media",
+                F.struct(
+                    F.lit("image").alias("modality"),
+                    F.lit("raw").alias("codec"),
+                    F.lit("t").alias("source"),
+                ).alias("meta"),
+            )
+            [r] = ihdr_dimensions(df).collect()
+            assert (r["width"], r["height"]) == (w, h)
+
+        check()

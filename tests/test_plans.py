@@ -550,3 +550,47 @@ def test_keyword_tag_routes_by_dictionary_size(spark):
     big = physical_plan(keyword_tag(d, [f"kw{i}" for i in range(400)]))
     assert "BroadcastHashJoin" in big
     assert "CartesianProduct" not in big
+
+
+def test_view_conversion_outer_is_equi_join(spark):
+    """The LEFT OUTER interval join must plan as a SortMergeJoin on
+    the user equi-key (range predicate as join condition), never a
+    BroadcastNestedLoopJoin — the property that keeps it
+    shuffle-bounded at 100 TB."""
+    from resume_jd_matcher_spark.queries.stream_q import (
+        q_stream_view_conversion,
+    )
+
+    plan = physical_plan(q_stream_view_conversion(spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # equi-key hash-family join; at toy SF the planner broadcasts the
+    # purchase side, at scale both sides shuffle on the user key
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_media_ihdr_is_scan_plus_single_agg(spark):
+    """IHDR parse is a narrow per-row projection: exactly one
+    exchange (the bounded histogram rollup), no joins, no windows."""
+    from resume_jd_matcher_spark.queries.stream_q import (
+        q_media_ihdr_histogram,
+    )
+
+    plan = physical_plan(q_media_ihdr_histogram(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_media_ext_quarantine_is_scan_plus_single_agg(spark):
+    """Extension route + magic detect are per-row; the only exchange
+    is the bounded (route x detected) rollup."""
+    from resume_jd_matcher_spark.queries.stream_q import (
+        q_media_ext_quarantine,
+    )
+
+    plan = physical_plan(q_media_ext_quarantine(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1

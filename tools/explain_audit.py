@@ -31,6 +31,14 @@ HEADLINERS = {
     "broadcast disabled here because at this toy SF the planner would "
     "broadcast the dim - at scale both sides exceed the threshold)",
     "stream_attribution_join": "time-bounded join condition (watermark-evictable)",
+    "stream_view_conversion": "LEFT OUTER interval join on the user equi-key "
+    "(SortMergeJoin, range as join condition — no nested loop); in stream "
+    "mode the NULL-match row is watermark state eviction",
+    "media_ihdr_histogram": "fixed-offset big-endian IHDR parse as a narrow "
+    "hex projection (no UDF, no join); ONE exchange for the bounded "
+    "dimension-histogram rollup",
+    "media_ext_quarantine": "extension route + magic detect both per-row on "
+    "one scan; ONE exchange for the bounded (route x detected) rollup",
     "pipeline_e2e": "dedup window + embed + partial-top-k in ONE plan, one scan",
     "decontaminate": "distinct benchmark gram set broadcast; train side streams",
     "pq_topk": "ADC rank = broadcast m*k distance table equi-join on "
