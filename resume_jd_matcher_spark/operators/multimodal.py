@@ -340,6 +340,114 @@ def attach_media_with_ihdr(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_media_with_wav_fmt(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``attach_media_encoded`` variant whose AUDIO payloads carry a
+    structurally-valid WAV header through the ``fmt `` chunk: RIFF
+    4CC, 4-byte LITTLE-endian riff size, 'WAVE', 'fmt ', LE chunk
+    size 16, PCM tag 1, then deterministic functions of doc_id —
+    channels = 1 + doc_id mod 2 (LE16), sample_rate = 8000 ·
+    (1 + doc_id mod 5) (LE32), the derived byte_rate (LE32) and
+    block_align (LE16), bits = 8 · (1 + doc_id mod 2) (LE16) —
+    followed by the text bytes as 'samples'. The little-endian
+    counterpart of ``attach_media_with_ihdr``: together they cover
+    both byte orders real container metadata uses. Image/video docs
+    keep flat magic; every 7th doc ships headerless."""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (8000 * (1 + F.col("doc_id") % 5)).cast("int")
+    bits = (8 * (1 + F.col("doc_id") % 2)).cast("int")
+    block_align = (channels * bits / 8).cast("int")
+    byte_rate = (rate * block_align).cast("int")
+
+    def le(col, nbytes):
+        # hex the int big-endian, pad, then reverse the byte pairs
+        be = F.lpad(F.hex(col), nbytes * 2, "0")
+        pairs = [F.substring(be, i * 2 + 1, 2) for i in range(nbytes)]
+        return F.concat(*reversed(pairs))
+
+    fmt_hex = F.concat(
+        F.lit(MAGIC_HEX["audio"]),  # 'RIFF'
+        le(F.lit(36), 4),  # riff size (payload-free placeholder)
+        F.lit("57415645"),  # 'WAVE'
+        F.lit("666D7420"),  # 'fmt '
+        le(F.lit(16), 4),  # fmt chunk size
+        le(F.lit(1), 2),  # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+    )
+    magic = (
+        F.when(F.col("doc_id") % 7 == 0, F.unhex(F.lit("")))
+        .when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(MAGIC_HEX["image"])))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(fmt_hex))
+        .otherwise(F.unhex(F.lit(MAGIC_HEX["video"])))
+    )
+    return df.select(
+        "doc_id",
+        F.concat(magic, F.encode(F.col(text_col), "utf-8")).alias("media"),
+        F.struct(
+            modality.alias("modality"),
+            F.lit("raw").alias("codec"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _le_int(hx, hex_offset: int, nbytes: int):
+    """Decode an unsigned little-endian integer from a hex string at
+    1-based hex char offset ``hex_offset`` — reverse the byte pairs,
+    then one base-16 conv. Pure codegen expression, no UDF."""
+    pairs = [
+        F.substring(hx, hex_offset + i * 2, 2) for i in range(nbytes)
+    ]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("int")
+
+
+def wav_fmt_fields(media_df: DataFrame) -> DataFrame:
+    """U6 [EXT]: fixed-offset LITTLE-endian field extraction from the
+    binary column — channels (byte 22), sample_rate (byte 24, 4B),
+    byte_rate (byte 28, 4B), block_align (byte 32), bits (byte 34)
+    out of a canonical RIFF/WAVE ``fmt `` chunk, plus the PCM
+    consistency verdict byte_rate == sample_rate · block_align (the
+    ingest screen that catches truncated or doctored headers). A
+    payload parses iff it leads with 'RIFF', carries 'WAVE' at byte
+    8 and 'fmt ' at byte 12. Narrow per-row projection; non-WAV and
+    headerless payloads drop. Output: (doc_id, modality, channels,
+    sample_rate_hz, bits, rate_consistent)."""
+    hx = F.hex(F.col("media"))
+    is_wav = (
+        hx.startswith(MAGIC_HEX["audio"])
+        & (F.substring(hx, 17, 8) == F.lit("57415645"))
+        & (F.substring(hx, 25, 8) == F.lit("666D7420"))
+    )
+    channels = _le_int(hx, 45, 2)
+    rate = _le_int(hx, 49, 4)
+    byte_rate = _le_int(hx, 57, 4)
+    block_align = _le_int(hx, 65, 2)
+    bits = _le_int(hx, 69, 2)
+    return (
+        media_df.select(
+            "doc_id",
+            F.col("meta.modality").alias("modality"),
+            F.when(is_wav, channels).alias("channels"),
+            F.when(is_wav, rate).alias("sample_rate_hz"),
+            F.when(is_wav, bits).alias("bits"),
+            F.when(
+                is_wav, byte_rate == rate * block_align
+            ).alias("rate_consistent"),
+        )
+        .filter(F.col("channels").isNotNull())
+    )
+
+
 def ihdr_dimensions(media_df: DataFrame) -> DataFrame:
     """U6 [EXT]: fixed-offset header FIELD extraction from the binary
     column — the decode-free metadata probe multimodal ingest runs

@@ -188,6 +188,7 @@ _DRIVER_PRIORITY = [
     "stream_view_conversion",
     "media_ihdr_histogram",
     "media_ext_quarantine",
+    "media_wav_census",
     # -- rows-only trio (held out of the hash window by design) --
     "llm_feedback",
     "llm_explain",

@@ -1003,3 +1003,42 @@ def q_media_ext_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return ext_magic_quarantine(attach_media_paths(attach_media_encoded(d)))
+
+
+@register(
+    "media_wav_census",
+    """
+WITH a AS (
+  SELECT doc_id,
+         (1 + doc_id % 2)::INT AS channels,
+         (8000 * (1 + doc_id % 5))::INT AS sample_rate_hz,
+         (8 * (1 + doc_id % 2))::INT AS bits
+  FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id % 7 <> 0
+)
+SELECT channels, sample_rate_hz, bits, TRUE AS rate_consistent,
+       count(*)::BIGINT AS n_docs
+FROM a GROUP BY 1, 2, 3
+""",
+)
+def q_media_wav_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 [EXT]: fixed-offset LITTLE-endian header extraction — parse
+    channels / sample_rate / bits / byte_rate out of the WAV 'fmt '
+    chunk (LE byte-pair-reversed base-16 conv, no UDF) and roll into
+    the audio format census with the PCM byte_rate consistency
+    verdict. The little-endian complement of media_ihdr_histogram:
+    together they cover both byte orders container metadata uses.
+    The oracle recomputes every field from the fixture's doc_id
+    arithmetic — a full round-trip of the LE encode+parse
+    (operators/multimodal.py: attach_media_with_wav_fmt,
+    wav_fmt_fields). Narrow per-row parse, one bounded hash agg."""
+    from resume_jd_matcher_spark.operators.multimodal import (
+        attach_media_with_wav_fmt,
+        wav_fmt_fields,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    f = wav_fmt_fields(attach_media_with_wav_fmt(d))
+    return f.groupBy(
+        "channels", "sample_rate_hz", "bits", "rate_consistent"
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

@@ -338,3 +338,80 @@ class TestExtMagicQuarantine:
             assert (r["width"], r["height"]) == (w, h)
 
         check()
+
+
+class TestWavFmtFields:
+    def _wrap(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "doc_id long, media binary"
+        ).select(
+            "doc_id",
+            "media",
+            F.struct(
+                F.lit("audio").alias("modality"),
+                F.lit("raw").alias("codec"),
+                F.lit("t").alias("source"),
+            ).alias("meta"),
+        )
+
+    def test_golden_le_parse_and_consistency_verdict(self, spark):
+        """Hand-built fmt chunk: stereo 44100 Hz 16-bit (all fields
+        multi-byte LE) parses exactly; a doctored byte_rate flips
+        rate_consistent to False."""
+        from resume_jd_matcher_spark.operators.multimodal import (
+            wav_fmt_fields,
+        )
+
+        def wav(byte_rate):
+            return bytes.fromhex(
+                "52494646" + "24000000" + "57415645" + "666D7420"
+                + "10000000" + "0100"
+                + "0200"              # channels 2, LE
+                + "44AC0000"          # 44100 Hz, LE
+                + byte_rate           # byte rate, LE
+                + "0400"              # block align 4
+                + "1000"              # bits 16
+            ) + b"data"
+
+        good = wav("10B10200")  # 44100*4 = 176400 = 0x02B110
+        bad = wav("11B10200")   # off by one
+        rows = wav_fmt_fields(
+            self._wrap(spark, [(1, good), (2, bad)])
+        ).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        for i in (1, 2):
+            assert by_id[i]["channels"] == 2
+            assert by_id[i]["sample_rate_hz"] == 44100
+            assert by_id[i]["bits"] == 16
+        assert by_id[1]["rate_consistent"] is True
+        assert by_id[2]["rate_consistent"] is False
+
+    def test_attach_parse_roundtrip_census(self, spark):
+        """attach_media_with_wav_fmt → wav_fmt_fields recovers the
+        doc_id arithmetic exactly; non-audio and headerless drop."""
+        from resume_jd_matcher_spark.operators.multimodal import (
+            attach_media_with_wav_fmt,
+            wav_fmt_fields,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", "s") for i in range(60)],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["channels"],
+                r["sample_rate_hz"],
+                r["bits"],
+                r["rate_consistent"],
+            )
+            for r in wav_fmt_fields(attach_media_with_wav_fmt(docs)).collect()
+        }
+        want = {
+            i: (1 + i % 2, 8000 * (1 + i % 5), 8 * (1 + i % 2), True)
+            for i in range(60)
+            if i % 3 == 1 and i % 7 != 0
+        }
+        assert got == want

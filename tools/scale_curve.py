@@ -220,6 +220,8 @@ REGISTERED = [
     # (the matryoshka_eval precedent).
     "media_ihdr_histogram",
     "media_ext_quarantine",
+    # the little-endian twin of the IHDR parse — same narrow shape
+    "media_wav_census",
 ]
 
 
