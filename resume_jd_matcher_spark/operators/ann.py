@@ -285,25 +285,36 @@ def ivf_topk(
 _LIT_ASSIGN_MAX_VALUES = 32_768
 
 
-def _argmin_literal(vec, cents: list[tuple[int, list[float]]]):
+def _argmin_literal(vec_sql: str, cents: list[tuple[int, list[float]]]):
     """Expression-side nearest-centroid id against LITERAL centroids:
     array_min over (dist, cid) structs — identical squared-L2
     arithmetic (same zip_with/aggregate fold) and identical
     (dist, cid) tie-break as the groupBy-argmin path, so the two
-    routes are trajectory-equivalent."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    squared_l2(
-                        vec, F.array(*[F.lit(float(x)) for x in c])
-                    ).alias("_d"),
-                    F.lit(int(cid)).alias("_cid"),
-                )
-                for cid, c in cents
-            ]
+    routes are trajectory-equivalent.
+
+    ``vec_sql`` is a SQL expression string (an ARRAY<DOUBLE>), and the
+    whole argmin is built as ONE parsed SQL expression: the former
+    Column-API construction paid ~2-12 ms of py4j latency PER
+    operator node, which for a k×dim literal table meant >0.6 s of
+    pure driver time per encode call (measured; F.expr parses the
+    same tree in <2 ms). ``repr(float)`` round-trips doubles exactly
+    and SQL ``...D`` literals parse IEEE-correctly, so the Literal
+    values are bit-identical to F.lit's."""
+    return F.expr(_argmin_literal_sql(vec_sql, cents))
+
+
+def _argmin_literal_sql(
+    vec_sql: str, cents: list[tuple[int, list[float]]]
+) -> str:
+    arms = []
+    for cid, c in cents:
+        lit = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        arms.append(
+            f"struct(aggregate(zip_with({vec_sql}, {lit}, (x, y) -> "
+            "(x - y) * (x - y)), 0.0D, (acc, v) -> acc + v) AS _d, "
+            f"{int(cid)} AS _cid)"
         )
-    )["_cid"]
+    return f"array_min(array({','.join(arms)}))._cid"
 
 
 def lloyd_kmeans_partition(
@@ -325,26 +336,27 @@ def lloyd_kmeans_partition(
     (assigned corpus + out_col, final centroids (out_col, centroid)).
 
     Each iteration is a broadcast of the ≤n_clusters centroids, a
-    codegen'd argmin (min(struct(dist, cid))), and a map-side-combined
-    per-dim mean — two narrow shuffles, no driver collection; the tiny
-    centroid table is localCheckpoint'ed per iteration so the lineage
-    stays flat (same discipline as operators/cluster.py label
-    propagation). At 100 TB: fit on a sample, assign the full corpus —
-    identical shape, sample-bounded iteration cost."""
+    codegen'd argmin (min(struct(dist, cid, vec)) — the vector rides
+    the min-struct so no join-back is needed), and a map-side-combined
+    per-dim mean — three narrow shuffles, no driver collection; only
+    the FINAL centroid table is localCheckpoint'ed (intermediate
+    iterations are single-consumer, so materializing them added
+    blocking jobs without reuse — r13). At 100 TB: fit on a sample,
+    assign the full corpus — identical shape, sample-bounded
+    iteration cost."""
     v = corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     seed_w = Window.orderBy(id_col)
-    cents = (
-        v.orderBy(id_col)
-        .limit(n_clusters)
-        .select(
-            (F.row_number().over(seed_w) - 1).alias("_cid"),
-            F.transform("_v", lambda x: F.round(x, round_dp)).alias("centroid"),
-        )
-        .localCheckpoint()
+    cents = v.orderBy(id_col).limit(n_clusters).select(
+        (F.row_number().over(seed_w) - 1).alias("_cid"),
+        F.transform("_v", lambda x: F.round(x, round_dp)).alias("centroid"),
     )
+    if n_iter == 0:
+        # no iteration will re-derive it: materialize here so the two
+        # downstream consumers (assign + returned cents) compute it once
+        cents = cents.localCheckpoint()
 
     def assign_join(cents_df: DataFrame, src: DataFrame) -> DataFrame:
         cand = src.crossJoin(F.broadcast(cents_df))
@@ -378,20 +390,48 @@ def lloyd_kmeans_partition(
     # a bigger whole-stage-codegen compile each round beat the tiny
     # sample-bounded shuffles they replaced), so the loop keeps the
     # broadcast-join argmin.
-    for _ in range(n_iter):
-        a = assign_join(cents, v).join(v, id_col)
+    # r13 (guide §2.4 — remove shuffles outright): the per-iteration
+    # assignment is EXPRESSION-side. The ≤n_clusters centroid table is
+    # collapsed to ONE sorted array row, broadcast, and each vector
+    # row computes argmin via array_min(transform(...)) over the same
+    # squared-L2 + (dist, cid) struct ordering the old
+    # groupBy-min(struct) used — identical winner, identical values,
+    # but the data-sized argmin exchange AND the join-back exchange
+    # per iteration are both gone; each iteration shuffles only the
+    # long-form per-dim means. Unlike the literal-argmin route
+    # (measured slower in-loop: per-round collect + a k×dim-sized
+    # codegen), the centroids here stay DATA — the codegen is
+    # k/dim-independent and there is no driver round-trip. Only the
+    # LAST iteration's centroid table is localCheckpoint'ed:
+    # intermediates are single-consumer, so per-iteration
+    # materialization was pure blocking-job latency.
+    for it in range(n_iter):
+        cl = cents.agg(
+            F.array_sort(F.collect_list(F.struct("_cid", "centroid"))).alias(
+                "_cl"
+            )
+        )
+        cand = v.crossJoin(F.broadcast(cl))
+        best = F.array_min(
+            F.transform(
+                "_cl",
+                lambda c: F.struct(
+                    squared_l2(F.col("_v"), c["centroid"]).alias("_d"),
+                    c["_cid"].alias("_cid"),
+                ),
+            )
+        )
+        a = cand.select(best["_cid"].alias("_cid"), "_v")
         long = a.select("_cid", F.posexplode("_v").alias("_dim", "_x"))
         per_dim = long.groupBy("_cid", "_dim").agg(F.avg("_x").alias("_cv"))
-        cents = (
-            per_dim.groupBy("_cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
-                    lambda s: F.round(s["_cv"], round_dp),
-                ).alias("centroid")
-            )
-            .localCheckpoint()
+        cents = per_dim.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
+                lambda s: F.round(s["_cv"], round_dp),
+            ).alias("centroid")
         )
+        if it == n_iter - 1:
+            cents = cents.localCheckpoint()
 
     # Final full-corpus assignment: ONE collect of the (already
     # checkpointed, <=n_clusters-row) centroid table decides the
@@ -405,9 +445,7 @@ def lloyd_kmeans_partition(
     if 0 < n_clusters * dim <= _LIT_ASSIGN_MAX_VALUES:
         assigned = corpus.withColumn(
             out_col,
-            _argmin_literal(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")), cl
-            ),
+            _argmin_literal(f"transform(`{vec_col}`, x -> double(x))", cl),
         )
     else:
         assigned = corpus.join(
@@ -457,7 +495,7 @@ def assign_to_centroids_grouped(
                 F.col(group_col),
                 F.col(id_col),
                 _grouped_argmin_literal(
-                    F.col(vec_col), group_col, by_group
+                    f"`{vec_col}`", group_col, by_group
                 ).alias(cid_col),
                 # a group with no fitted centroids falls off the
                 # when-chain as NULL; the join route drops it (inner
@@ -540,8 +578,9 @@ def lloyd_kmeans_grouped(
             (F.col("_rn") - 1).alias("_cid"),
             F.transform("_v", lambda x: F.round(x, round_dp)).alias("centroid"),
         )
-        .localCheckpoint()
     )
+    if n_iter == 0:
+        cents = cents.localCheckpoint()
     # Long-form per-dim means, same rationale as
     # lloyd_kmeans_partition (the wide avg(_v[i]) agg measured slower
     # — see the note there). The iteration loop keeps the
@@ -551,31 +590,50 @@ def lloyd_kmeans_grouped(
     # tiny sample-bounded shuffles saved); it pays off only on the
     # final full-corpus encode, where the caller's
     # assign_to_centroids_grouped call takes it (collectable=True).
-    for _ in range(n_iter):
-        a = assign_to_centroids_grouped(
-            v,
-            cents,
-            group_col=group_col,
-            id_col=id_col,
-            vec_col="_v",
-            collectable=False,
-        ).join(v, [group_col, id_col])
+    # r13 (guide §2.4, mirroring lloyd_kmeans_partition): the
+    # assignment is EXPRESSION-side — each group's centroid set
+    # collapses to one sorted array row, broadcast-joined on the group
+    # key, and every vector row computes argmin via
+    # array_min(transform(...)) with the identical squared-L2 +
+    # (dist, cid) struct ordering. The per-iteration data-sized argmin
+    # exchange and the (group, id) join-back are both gone; each
+    # iteration shuffles only the long-form per-dim means. Only the
+    # FINAL iteration's centroid table is localCheckpoint'ed —
+    # intermediates are single-consumer, so per-iteration
+    # materialization was pure blocking-job latency.
+    for it in range(n_iter):
+        cl_g = cents.groupBy(group_col).agg(
+            F.array_sort(F.collect_list(F.struct("_cid", "centroid"))).alias(
+                "_cl"
+            )
+        )
+        cand = v.join(F.broadcast(cl_g), group_col)
+        best = F.array_min(
+            F.transform(
+                "_cl",
+                lambda c: F.struct(
+                    squared_l2(F.col("_v"), c["centroid"]).alias("_d"),
+                    c["_cid"].alias("_cid"),
+                ),
+            )
+        )
+        a = cand.select(
+            F.col(group_col), best["_cid"].alias("_cid"), F.col("_v")
+        )
         long = a.select(
             F.col(group_col), F.col("_cid"), F.posexplode("_v").alias("_dim", "_x")
         )
         per_dim = long.groupBy(group_col, "_cid", "_dim").agg(
             F.avg("_x").alias("_cv")
         )
-        cents = (
-            per_dim.groupBy(group_col, "_cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
-                    lambda s: F.round(s["_cv"], round_dp),
-                ).alias("centroid")
-            )
-            .localCheckpoint()
+        cents = per_dim.groupBy(group_col, "_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_cv"))),
+                lambda s: F.round(s["_cv"], round_dp),
+            ).alias("centroid")
         )
+        if it == n_iter - 1:
+            cents = cents.localCheckpoint()
     return cents
 
 
@@ -612,16 +670,17 @@ def _grouped_literals(
     return {g: sorted(cl) for g, cl in by_group.items()}
 
 
-def _grouped_argmin_literal(vec, group_col: str, by_group: dict):
+def _grouped_argmin_literal(vec_sql: str, group_col: str, by_group: dict):
     """when-chain over group values, one _argmin_literal per group —
     same trajectory as assign_to_centroids_grouped on the join
-    route."""
-    expr = None
-    for g in sorted(by_group):
-        arm = _argmin_literal(vec, by_group[g])
-        cond = F.col(group_col) == F.lit(g)
-        expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
-    return expr
+    route. ``vec_sql`` is a SQL expression string (see
+    _argmin_literal); the whole CASE chain is one parsed expression."""
+    arms = "".join(
+        f" WHEN `{group_col}` = {int(g)} THEN "
+        + _argmin_literal_sql(vec_sql, by_group[g])
+        for g in sorted(by_group)
+    )
+    return F.expr(f"CASE{arms} END")
 
 
 def kmeans_partition(

@@ -89,37 +89,57 @@ def bootstrap_mean_ci(
         F.col(group_col),
         v.alias("_v"),
         *[
-            F.md5(F.concat(key.cast("string"), F.lit(f":h{g}"))).alias(f"_h{g}")
+            F.expr(f"md5(concat(CAST(`{key_col}` AS STRING), ':h{g}'))").alias(
+                f"_h{g}"
+            )
             for g in range(n_groups)
         ],
     )
+    # r13: the 2·B weighted-sum aggregates are built as parsed SQL
+    # strings — the Column-API loop constructed ~10 operator nodes per
+    # replicate at ~2-12 ms of py4j latency each (>1.3 s of pure
+    # driver time per call at B=32, measured); one F.expr parse per
+    # aggregate builds the identical tree (same conv/substring
+    # uniform, same Poisson(1) CASE thresholds, same arithmetic) in
+    # microseconds.
+    # each weight is projected ONCE per row (a dedicated column) so
+    # the paired sum(_v·w)/sum(w) aggregates share the conv+CASE
+    # evaluation instead of each re-deriving it from the digest
+    weight_cols = []
+    for b in range(n_replicates):
+        grp, lane = divmod(b, 4)
+        u = (
+            f"(CAST(conv(substring(_h{grp}, {1 + 8 * lane}, 8), 16, 10) "
+            "AS BIGINT) / 4294967296.0D)"
+        )
+        weight_cols.append(
+            F.expr(
+                f"CAST(CASE WHEN {u} < {_POIS_T[0]!r}D THEN 0"
+                f" WHEN {u} < {_POIS_T[1]!r}D THEN 1"
+                f" WHEN {u} < {_POIS_T[2]!r}D THEN 2"
+                f" WHEN {u} < {_POIS_T[3]!r}D THEN 3"
+                " ELSE 4 END AS BIGINT)"
+            ).alias(f"_pw{b}")
+        )
+    weighted = hashed.select(F.col(group_col), F.col("_v"), *weight_cols)
     aggs = [
         F.count("*").alias("n"),
         F.sum(F.col("_v")).alias("_sv"),
     ]
     for b in range(n_replicates):
-        grp, lane = divmod(b, 4)
-        u = F.conv(
-            F.substring(F.col(f"_h{grp}"), 1 + 8 * lane, 8), 16, 10
-        ).cast("long") / F.lit(4294967296.0)
-        w = _poisson1_from_u(u)
-        aggs.append(F.sum(F.col("_v") * w).alias(f"_wv{b}"))
-        aggs.append(F.sum(w).alias(f"_w{b}"))
-    g = hashed.groupBy(group_col).agg(*aggs)
+        aggs.append(F.expr(f"sum(_v * _pw{b})").alias(f"_wv{b}"))
+        aggs.append(F.expr(f"sum(_pw{b})").alias(f"_w{b}"))
+    g = weighted.groupBy(group_col).agg(*aggs)
     # replicate means as a bounded array; a replicate whose total
     # weight is 0 (vanishingly rare beyond tiny groups) is dropped
     # from the order statistics via filter()
-    means = F.filter(
-        F.array(
-            *[
-                F.when(
-                    F.col(f"_w{b}") > 0,
-                    F.col(f"_wv{b}") / F.col(f"_w{b}").cast("double"),
-                )
-                for b in range(n_replicates)
-            ]
-        ),
-        lambda x: x.isNotNull(),
+    means = F.expr(
+        "filter(array("
+        + ",".join(
+            f"CASE WHEN _w{b} > 0 THEN _wv{b} / CAST(_w{b} AS DOUBLE) END"
+            for b in range(n_replicates)
+        )
+        + "), x -> x IS NOT NULL)"
     )
     sorted_means = F.array_sort(means)
     # clamp the order-statistic indices to the surviving replicate

@@ -578,6 +578,7 @@ def k_core(
     n_rounds: int = 6,
     left: str = "left_id",
     right: str = "right_id",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Fixed-round k-core peel of an undirected (left < right) edge
     graph: repeatedly drop nodes with degree < k and the edges
@@ -596,13 +597,30 @@ def k_core(
     discipline).
 
     Output: (node, core_deg) for nodes surviving ``n_rounds`` peels.
+
+    Cost-based routing (r13 — the ``connected_components`` /
+    100k-edge LPA discipline): a near-dup candidate graph is usually
+    a small fraction of the corpus, and each distributed peel round
+    costs a checkpointed shuffle + two semi-joins of pure latency.
+    When the deduped edge list fits on the driver (bounded take, ≤
+    ``local_threshold`` edges — same sizing rationale as
+    ``connected_components``) the identical fixed-round peel runs in
+    one Python pass — exact integer degree counts, same edge-drop
+    rule, same final filter, so the trajectory and output are
+    bit-identical to the distributed loop. Above the threshold the
+    per-round loop runs unchanged.
     """
-    e = (
+    dedup_e = (
         pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
+    probe = dedup_e.take(local_threshold + 1)
+    if len(probe) <= local_threshold:
+        return _k_core_local_df(
+            pairs.sparkSession, [(r[0], r[1]) for r in probe], k, n_rounds
+        )
+    e = dedup_e.localCheckpoint()
     for _ in range(n_rounds):
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("node"))
@@ -622,6 +640,27 @@ def k_core(
         .agg(F.count("*").cast("bigint").alias("core_deg"))
         .filter(F.col("core_deg") >= k)
     )
+
+
+def _k_core_local_df(spark, edges, k: int, n_rounds: int) -> DataFrame:
+    """Driver-side twin of the distributed peel: identical fixed-round
+    trajectory over a (bounded) deduped edge list."""
+    from collections import Counter
+
+    es = list(edges)
+    for _ in range(n_rounds):
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = [(a, b) for a, b in es if a in keep and b in keep]
+    final = Counter()
+    for a, b in es:
+        final[a] += 1
+        final[b] += 1
+    rows = [(n, d) for n, d in final.items() if d >= k]
+    return spark.createDataFrame(rows, "node: bigint, core_deg: bigint")
 
 
 def label_propagation_sync(

@@ -179,11 +179,19 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     x = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v")
     ).filter(~F.isnan("_v") & (F.abs("_v") != F.lit(float("inf"))))
+    # r13: the 1-row stats pin and the bounded cumulative histogram
+    # are registered lazy persists, not eager localCheckpoints — each
+    # eager pin was a BLOCKING driver job (~1 s of pure latency per
+    # call at sf0.1, x2 pins, measured), while a persist computes the
+    # identical values once inside the caller's single action (min/
+    # max/count and the coalesce(1) cumulative sum are merge-order-
+    # invariant, so even a recompute-on-eviction cannot diverge).
     s = x.agg(
         F.count("*").cast("bigint").alias("_n"),
         F.min("_v").alias("_lo"),
         F.max("_v").alias("_hi"),
-    ).localCheckpoint(eager=True)
+    ).persist()
+    _PERSISTED.append(s)
     xb = x.crossJoin(F.broadcast(s))
     bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(1)).otherwise(
         F.width_bucket("_v", "_lo", "_hi", F.lit(n_buckets))
@@ -197,9 +205,8 @@ def global_median_exact(df: DataFrame, value_col: str) -> DataFrame:
     )
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     # bucket _b covers global ranks (_cum - _bc, _cum]
-    ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).localCheckpoint(
-        eager=True
-    )
+    ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).persist()
+    _PERSISTED.append(ch)
     t = F.lit(0.5) * (F.col("_n") - 1) + 1
     k_lo, k_hi = F.floor(t), F.ceil(t)
     tb = ch.crossJoin(F.broadcast(s)).filter(
@@ -294,11 +301,14 @@ def global_value_at_rank(
     x = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("_v")
     ).filter(~F.isnan("_v") & (F.abs("_v") != F.lit(float("inf"))))
+    # r13: lazy registered persists instead of eager localCheckpoints
+    # — same rationale and invariance argument as global_median_exact.
     s = x.agg(
         F.count("*").cast("bigint").alias("_n"),
         F.min("_v").alias("_lo"),
         F.max("_v").alias("_hi"),
-    ).localCheckpoint(eager=True)
+    ).persist()
+    _PERSISTED.append(s)
     xb = x.crossJoin(F.broadcast(s))
     bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(1)).otherwise(
         F.width_bucket("_v", "_lo", "_hi", F.lit(n_buckets))
@@ -309,9 +319,8 @@ def global_value_at_rank(
         .coalesce(1)
     )
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
-    ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).localCheckpoint(
-        eager=True
-    )
+    ch = hist.withColumn("_cum", F.sum("_bc").over(wb)).persist()
+    _PERSISTED.append(ch)
     # clamp: rank expressions like ceil(0.9*(n+1)) exceed n on tiny
     # inputs; an out-of-range k must select the extreme order
     # statistic, not an empty bucket set.

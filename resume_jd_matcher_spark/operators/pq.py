@@ -229,13 +229,13 @@ def ivf_pq_fit_encode(
                 (r["_cid"], list(r["centroid"]))
             )
         by_group = {g: sorted(cl) for g, cl in by_group.items()}
-        dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dbl = f"transform(`{vec_col}`, x -> double(x))"
         encoded = corpus.select(
             "*",
             _argmin_literal(dbl, by_group[-1]).alias(part_col),
             *[
                 _argmin_literal(
-                    F.slice(dbl, s * sub + 1, sub), by_group[s]
+                    f"slice({dbl}, {s * sub + 1}, {sub})", by_group[s]
                 )
                 .cast("int")
                 .alias(f"code_{s}")

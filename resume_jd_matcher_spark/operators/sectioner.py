@@ -73,9 +73,46 @@ def chunk_by_section(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Documents → long-form (id, section, body), one row per canonical
-    section present (keep-last on duplicate headers)."""
-    return (
-        df.select(F.col(id_col), chunk_sections_udf(F.col(text_col)).alias("secs"))
-        .select(F.col(id_col), F.explode("secs").alias("sec"))
-        .select(id_col, F.col("sec.section").alias("section"), F.col("sec.body").alias("body"))
+    section present (keep-last on duplicate headers).
+
+    r13 (guide §4.2): emitted via ``mapInArrow`` as the LONG FORM
+    directly — same ``_chunk_one`` spans, same keep-last dict — with
+    three flat columns per batch. The previous pandas_udf returned an
+    ``array<struct<...>>`` per row plus an explode; serializing the
+    nested type through pandas cost ~2× the regex work itself
+    (measured: 5000 rows chunked in 0.9 s of pure Python but ~2.3 s
+    as a stage). Flat Arrow arrays + a cardinality-changing batch
+    keep the boundary cheap; only (id, text) cross into Python.
+    """
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("section", T.StringType()),
+            T.StructField("body", T.StringType()),
+        ]
     )
+
+    def gen(batches):
+        for batch in batches:
+            ids, texts = batch.column(0), batch.column(1)
+            out_i, out_s, out_b = [], [], []
+            for i in range(batch.num_rows):
+                t = texts[i].as_py()
+                the_id = ids[i].as_py()
+                for sec, body in _chunk_one(t):
+                    out_i.append(the_id)
+                    out_s.append(sec)
+                    out_b.append(body)
+            if out_i:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_i, ids.type),
+                        pa.array(out_s, pa.string()),
+                        pa.array(out_b, pa.string()),
+                    ],
+                    names=[id_col, "section", "body"],
+                )
+
+    return df.select(id_col, text_col).mapInArrow(gen, out_schema)

@@ -708,10 +708,41 @@ def psi_drift(
     )
 
 
+def _bpe_local_loop(word_counts, n_merges: int):
+    """Driver-side twin of the distributed BPE merge loop over a
+    (bounded) word-type vocabulary: identical delimiter encoding,
+    leftmost-non-overlapping replace, exact integer pair counts, and
+    (count desc, a, b) argmax tie-break. Returns (merges, final
+    vocab as {word: sym})."""
+    syms = {w: "·" + "··".join(w) + "·" for w, _ in word_counts}
+    cnts = dict(word_counts)
+    merges = []
+    for step in range(1, n_merges + 1):
+        pair_n: dict = {}
+        for w, sym in syms.items():
+            parts = sym.strip("·").split("··")
+            if len(parts) < 2:
+                continue
+            c = cnts[w]
+            for i in range(len(parts) - 1):
+                key = (parts[i], parts[i + 1])
+                pair_n[key] = pair_n.get(key, 0) + c
+        if not pair_n:
+            break
+        (a, b), n = min(
+            pair_n.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, n))
+        old, new = f"·{a}··{b}·", f"·{a}{b}·"
+        syms = {w: sym.replace(old, new) for w, sym in syms.items()}
+    return merges, syms
+
+
 def bpe_learn_merges(
     df: DataFrame,
     n_merges: int = 6,
     text_col: str = "text",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Byte-pair-encoding vocabulary learning (Sennrich et al. 2016),
     the tokenizer-training step, as a distributed DataFrame program:
@@ -739,15 +770,38 @@ def bpe_learn_merges(
     2 regardless of ``n_merges`` (pinned by a getPersistentRDDs
     pytest). Every ~8 merges the vocab is ``localCheckpoint``-ed so
     lineage (one withColumn+replace per merge) stays bounded.
+
+    Cost-based routing (r13 — the connected_components / k_core
+    discipline): BPE's loop state is the WORD-TYPE vocabulary, which
+    is sub-linear in corpus size; when it fits on the driver (bounded
+    take, ≤ ``local_threshold`` types) the identical merge loop runs
+    in one Python pass — same delimiter encoding, same
+    leftmost-non-overlapping replace (str.replace), same exact
+    integer pair counts and (count desc, a, b) argmax — instead of
+    ``n_merges`` sequential argmax jobs. Above the threshold the
+    distributed loop runs unchanged; both routes produce identical
+    merge rows (pinned by a pytest).
     """
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("sym", F.regexp_replace("w", "(.)", "·$1·"))
-        .persist()
     )
+    if local_threshold:
+        probe = vocab.take(local_threshold + 1)
+        if len(probe) <= local_threshold:
+            merges, _ = _bpe_local_loop(
+                [(r["w"], r["cnt"]) for r in probe], n_merges
+            )
+            return df.sparkSession.createDataFrame(
+                merges,
+                "step INT, left_sym STRING, right_sym STRING, "
+                "merged STRING, pair_count BIGINT",
+            )
+    vocab = vocab.withColumn(
+        "sym", F.regexp_replace("w", "(.)", "·$1·")
+    ).persist()
     prev = None
     merges = []
     try:
@@ -807,6 +861,7 @@ def bpe_encode_stats(
     n_merges: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Apply learned BPE merges and measure tokenizer fertility per
     document — the encode half of the tokenizer loop, done the way
@@ -820,15 +875,53 @@ def bpe_encode_stats(
     against it. Output per document: (id, n_words, n_symbols,
     symbols_per_word) over the ``[a-z0-9]+`` word subset — the
     compression/fertility stat that decides whether a vocab is big
-    enough."""
-    vocab = (
+    enough.
+
+    Same r13 cost routing as ``bpe_learn_merges``: when the word-type
+    vocabulary fits the driver, the merge trajectory replays locally
+    and only the word→symbol-count LOOKUP returns to the cluster (a
+    broadcast-sized createDataFrame) — the corpus word stream and the
+    per-document aggregate stay distributed on both routes."""
+    vocab0 = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("sym", F.regexp_replace("w", "(.)", "·$1·"))
-        .persist()
     )
+    if local_threshold:
+        probe = vocab0.take(local_threshold + 1)
+        if len(probe) <= local_threshold:
+            _, syms = _bpe_local_loop(
+                [(r["w"], r["cnt"]) for r in probe], n_merges
+            )
+            lkp_rows = [
+                (w, len(sym.strip("·").split("··"))) for w, sym in syms.items()
+            ]
+            lookup = df.sparkSession.createDataFrame(
+                lkp_rows, "w STRING, n_sym INT"
+            )
+            words = df.select(
+                F.col(id_col), F.explode(tokens(text_col)).alias("w")
+            ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+            return (
+                words.join(F.broadcast(lookup), "w")
+                .groupBy(id_col)
+                .agg(
+                    F.count("*").alias("n_words"),
+                    F.sum("n_sym").alias("n_symbols"),
+                )
+                .select(
+                    id_col,
+                    "n_words",
+                    F.col("n_symbols").cast("bigint").alias("n_symbols"),
+                    F.round(
+                        F.col("n_symbols") / F.col("n_words").cast("double"), 4
+                    ).alias("symbols_per_word"),
+                )
+            )
+    vocab = vocab0.withColumn(
+        "sym", F.regexp_replace("w", "(.)", "·$1·")
+    ).persist()
     prev = None
     try:
         for step in range(1, n_merges + 1):

@@ -884,7 +884,15 @@ def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"en div {_SESS_BIN_S}"),
             )
         ).alias("bin"),
-    )
+    ).persist()
+    # r13 (guide §2.4): both self-join sides are (differently aliased)
+    # projections of this frame, so without the registered persist the
+    # whole sessionize window + session agg ran twice — the two sides'
+    # exchanges differ by projection, so ReuseExchange cannot dedup
+    # them. Session-grain rows, bounded by session count, not events.
+    from resume_jd_matcher_spark.operators.dedup import _PERSISTED
+
+    _PERSISTED.append(binned)
     a = binned.select(
         F.col("user_id").alias("a_user"),
         F.col("st").alias("a_st"),

@@ -1133,6 +1133,24 @@ class TestKCore:
         ).collect()}
         assert out == {1, 2, 3, 4}
 
+    def test_local_and_distributed_routes_agree(self, spark):
+        """r13 cost routing: the driver-side peel (bounded take) and
+        the distributed per-round loop (forced via local_threshold=0)
+        must produce identical (node, core_deg) sets — the
+        connected_components routing contract applied to k_core."""
+        from resume_jd_matcher_spark.operators.cluster import k_core
+
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6), (6, 7), (5, 7), (2, 8), (3, 8),
+                 (4, 8)]
+        pairs = self._pairs(spark, edges)
+        local = {(r["node"], r["core_deg"])
+                 for r in k_core(pairs, k=3).collect()}
+        dist = {(r["node"], r["core_deg"])
+                for r in k_core(pairs, k=3, local_threshold=0).collect()}
+        assert local == dist
+        assert local  # K4+node8 survives: non-vacuous agreement
+
 
 class TestMarkovAttribution:
     def test_two_channel_hand_chain(self, spark, monkeypatch):
