@@ -111,13 +111,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name in ("documents", "embeddings"):
             # text/vector corpora amplify per-byte CPU 10-100×
             # downstream (tokenize + per-token md5, 64-dim folds) —
-            # split by cores, the guide-§6 "smaller splits for
-            # CPU-dense scans" case. Measured: the doc-based LSH/
-            # n-gram family ran ~2× faster at full fan-out, and the
-            # same family REGRESSED when every table was fanned out
-            # (task overhead on the small relational queries), hence
-            # the per-family rule rather than a flat count.
-            n_parts = par if fbytes > (1 << 17) else 1
+            # smaller splits than relational scans, the guide-§6
+            # "smaller splits for CPU-dense scans" case: ~64 KB of
+            # parquet per split, capped at the core count. r13 fanned
+            # these to the FULL core count unconditionally, which the
+            # r13 verdict measured as a +0.4-1.4 s tax on ~15 small
+            # doc/embedding consumers (term_dispersion 0.67→2.05 in
+            # the driver sweep) while the heavy n-gram family was
+            # latency-flat between 8 and 32 partitions at this scale.
+            # r14 re-measured (JIT-warm, rotated order): light set
+            # 9.7 s @32 parts vs 5.1-5.7 s @{8,12,bytes>>16}; heavy
+            # set flat within noise. bytes>>16 is scale-adaptive —
+            # it reaches the core count again once the table carries
+            # ≥64 KB of parquet per core.
+            n_parts = max(1, min(par, fbytes >> 16))
         else:
             # relational scans: ~1 MB of parquet per split, capped at
             # the core count — enough map tasks to spread the heavy
